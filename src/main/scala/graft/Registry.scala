@@ -1,0 +1,17 @@
+package graft
+
+import graft.ops._
+
+/** All implemented operators from SURVEY.md §2, keyed by their stable
+  * query key. SparkEntry derives `queries` and `oracleSql` from here.
+  */
+object Registry {
+  val all: Seq[Op] =
+    Sources.ops ++ CoreOps.ops ++ Relational.ops ++ Functions.ops ++
+      StreamingOps.ops ++ LlmOps.ops
+
+  require(all.map(_.key).distinct.size == all.size, "duplicate op keys")
+
+  def byKey(key: String): Op =
+    all.find(_.key == key).getOrElse(sys.error(s"no such op: $key"))
+}

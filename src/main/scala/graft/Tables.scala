@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One operator from SURVEY.md §2: a stable key, the Spark query, and the
+  * equivalent DuckDB oracle SQL (None for ops whose semantics the oracle
+  * cannot reproduce deterministically, e.g. HLL sketches).
+  *
+  * Contract (driver t2): `query(spark, sfDir)` is written to parquet and
+  * hash-compared against DuckDB running `oracle` over views named after the
+  * tables (`lineitem`, `orders`, ...). Columns are compared by sorted name;
+  * rows in result order — so every query ends in a total ORDER BY over a
+  * unique key, identical on both sides.
+  */
+case class Op(
+    key: String,
+    query: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** Shared table loaders and oracle-parity helpers (SURVEY.md §2-G). */
+object Tables {
+
+  /** All parquet tables except `events` (which needs the nanos shim). */
+  val plainNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` rebuilt as a microsecond TIMESTAMP_NTZ.
+    *
+    * The parquet column is TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it arrives as
+    * Long nanos. `timestamp_micros(ts div 1000)` equals DuckDB's natively
+    * read, microsecond-truncated naive TIMESTAMP (session TZ is UTC).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Register temp views for spark.sql-authored operators. */
+  def views(spark: SparkSession, dir: String): Unit = {
+    plainNames.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  private val dec = DecimalType(18, 4)
+
+  /** Order-independent 2-dp sum of a double column: cast to DECIMAL(18,4)
+    * first so the aggregation is exact (no float summation-order drift
+    * across partitions or engines), then round and return DOUBLE.
+    */
+  def dsum(c: Column): Column = round(sum(c.cast(dec)), 2).cast(DoubleType)
+
+  /** Same stabilization for averages. */
+  def davg(c: Column): Column = round(avg(c.cast(dec)), 2).cast(DoubleType)
+
+  /** DuckDB-side equivalents of [[dsum]]/[[davg]]. */
+  def oSum(e: String): String =
+    s"CAST(ROUND(SUM(CAST($e AS DECIMAL(18,4))),2) AS DOUBLE)"
+  def oAvg(e: String): String =
+    s"CAST(ROUND(AVG(CAST($e AS DECIMAL(18,4))),2) AS DOUBLE)"
+}

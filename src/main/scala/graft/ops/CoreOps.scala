@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-B — snapflow's own built-in pipeline operators
+  * (core module: accumulator, dedupe_keep_latest, stream latest/merge,
+  * schema translation and cast), re-expressed on DataFrames.
+  */
+object CoreOps {
+
+  val ops: Seq[Op] = Seq(
+
+    // accumulator: append-accumulate all blocks of a stream into one table.
+    // Two disjoint slices of `orders` stand in for two incoming blocks.
+    Op("core_accumulator",
+      (s, d) => {
+        val o = T.t(s, d, "orders")
+        o.where("o_orderkey % 2 = 0")
+          .unionByName(o.where("o_orderkey % 2 = 1"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1 " +
+        "ORDER BY o_orderkey")),
+
+    // dedupe_keep_latest: collapse duplicates on the unique_on key keeping
+    // the most recent record (tie-broken on event_id for determinism).
+    Op("core_dedupe_keep_latest",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select("user_id", "event_id", "ts", "event_type", "value", "props")
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, event_id, ts, event_type, value, props FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id")),
+
+    // stream op `latest`: reduce each keyed stream to its most recent block.
+    Op("core_stream_latest",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select("event_type", "event_id", "user_id", "ts", "value")
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, event_id, user_id, ts, value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY event_type")),
+
+    // stream op `merge`: interleave streams with differing schemas
+    // (missing columns null-filled, matched by name).
+    Op("core_stream_merge",
+      (s, d) => {
+        val o = T.t(s, d, "orders")
+        val a = o.where("o_orderstatus = 'O'").select("o_orderkey", "o_totalprice")
+        val b = o.where("o_orderstatus = 'F'").select("o_orderkey", "o_orderpriority")
+        a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION ALL BY NAME " +
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F' " +
+        "ORDER BY o_orderkey")),
+
+    // schema translation: rename/re-map realized fields to a target schema.
+    Op("core_schema_translate",
+      (s, d) => T.t(s, d, "customer").select(
+          col("c_custkey").as("id"),
+          col("c_name").as("full_name"),
+          col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("balance"))
+        .orderBy("id"),
+      Some("SELECT c_custkey AS id, c_name AS full_name, c_mktsegment AS segment, " +
+        "c_acctbal AS balance FROM customer ORDER BY id")),
+
+    // schema cast: strict casts plus soft (try_cast) coercion to NULL.
+    Op("core_schema_cast",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderkey").cast(StringType).as("okey_str"),
+          col("o_custkey").cast(DoubleType).as("custkey_d"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("priority_num"),
+          expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+          // date-cast then back to timestamp: DATE output columns render
+          // differently across pandas/duckdb readers, timestamps agree.
+          expr("CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP_NTZ)").as("odate"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS okey_str, " +
+        "CAST(o_custkey AS DOUBLE) AS custkey_d, " +
+        "TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num, " +
+        "TRY_CAST(o_orderstatus AS INTEGER) AS status_num, " +
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate FROM orders ORDER BY o_orderkey")),
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2-D — scalar function families, one combined query per family.
+  * Return types are aligned with DuckDB explicitly (DuckDB length/year/rank
+  * return BIGINT where Spark returns INT; DuckDB floor returns DOUBLE where
+  * Spark returns BIGINT) and transcendental outputs are rounded to absorb
+  * libm last-ulp differences.
+  */
+object Functions {
+
+  val ops: Seq[Op] = Seq(
+
+    Op("fn_string",
+      (s, d) => T.t(s, d, "part").select(
+          col("p_partkey"),
+          expr("upper(p_name)").as("up_name"),
+          expr("lower(p_brand)").as("low_brand"),
+          expr("substring(p_name, 1, 8)").as("name8"),
+          expr("concat(p_brand, ':', p_type)").as("brand_type"),
+          expr("length(p_name)").as("name_len"),
+          expr("p_type LIKE '%a%'").as("has_a"),
+          expr("lpad(p_brand, 12, '*')").as("brand_pad"),
+          expr("regexp_extract(p_name, '([a-z]+)', 1)").as("first_word"),
+          expr("array_join(split(p_type, ' '), '|')").as("type_parts"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS low_brand, " +
+        "substring(p_name, 1, 8) AS name8, concat(p_brand, ':', p_type) AS brand_type, " +
+        "CAST(length(p_name) AS INTEGER) AS name_len, p_type LIKE '%a%' AS has_a, " +
+        "lpad(p_brand, 12, '*') AS brand_pad, " +
+        "regexp_extract(p_name, '([a-z]+)', 1) AS first_word, " +
+        "array_to_string(string_split(p_type, ' '), '|') AS type_parts " +
+        "FROM part ORDER BY p_partkey")),
+
+    Op("fn_date",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("year(o_orderdate)").as("yr"),
+          expr("month(o_orderdate)").as("mo"),
+          expr("day(o_orderdate)").as("dy"),
+          expr("date_trunc('month', o_orderdate)").as("month_start"),
+          // DATE results are re-cast to timestamp for the compare: DATE
+          // output columns render differently across pandas/duckdb readers.
+          expr("CAST(date_add(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP_NTZ)").as("due_date"),
+          expr("datediff(DATE '2002-01-01', CAST(o_orderdate AS DATE))").as("days_to_2002"),
+          expr("CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP_NTZ)").as("odate"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS mo, CAST(day(o_orderdate) AS INTEGER) AS dy, " +
+        "date_trunc('month', o_orderdate) AS month_start, " +
+        "CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002, " +
+        "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate FROM orders ORDER BY o_orderkey")),
+
+    Op("fn_math",
+      (s, d) => T.t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("abs(l_discount - 0.05)").as("abs_disc"),
+          expr("round(l_extendedprice, 1)").as("price_r1"),
+          expr("floor(l_extendedprice)").as("price_floor"),
+          expr("ceil(l_quantity)").as("qty_ceil"),
+          expr("power(l_quantity, 2)").as("qty_sq"),
+          expr("sqrt(l_extendedprice)").as("price_sqrt"),
+          expr("round(ln(l_extendedprice), 6)").as("price_ln"),
+          expr("round(exp(l_discount), 6)").as("disc_exp"),
+          expr("pmod(l_orderkey, 7)").as("okey_mod"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS abs_disc, " +
+        "round(l_extendedprice, 1) AS price_r1, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
+        "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
+        "power(l_quantity, 2) AS qty_sq, sqrt(l_extendedprice) AS price_sqrt, " +
+        "round(ln(l_extendedprice), 6) AS price_ln, round(exp(l_discount), 6) AS disc_exp, " +
+        "l_orderkey % 7 AS okey_mod " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
+    Op("fn_array",
+      (s, d) => T.t(s, d, "documents").select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").as("n_toks"),
+          expr("array_contains(split(text, ' '), 'data')").as("has_data"),
+          expr("array_join(slice(split(text, ' '), 1, 3), '-')").as("first3"),
+          expr("array_min(split(text, ' '))").as("min_tok"),
+          expr("array_max(split(text, ' '))").as("max_tok"),
+          expr("array_join(transform(slice(split(text, ' '), 1, 5), x -> upper(x)), ',')").as("up5"),
+          expr("CAST(aggregate(split(text, ' '), 0, (acc, x) -> acc + length(x)) AS INT)").as("tot_len"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks, " +
+        "list_contains(string_split(text, ' '), 'data') AS has_data, " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3, " +
+        "list_min(string_split(text, ' ')) AS min_tok, " +
+        "list_max(string_split(text, ' ')) AS max_tok, " +
+        "array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 5), x -> upper(x)), ',') AS up5, " +
+        "CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), x -> CAST(length(x) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS tot_len " +
+        "FROM documents ORDER BY doc_id")),
+
+    Op("fn_map_struct",
+      (s, d) => T.t(s, d, "customer")
+        .withColumn("st", expr("named_struct('name', c_name, 'bal', c_acctbal)"))
+        .select(
+          col("c_custkey"),
+          col("st.name").as("sname"),
+          col("st.bal").as("sbal"),
+          expr("st.bal > 1000").as("rich"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, struct_pack(name := c_name, bal := c_acctbal).name AS sname, " +
+        "struct_pack(name := c_name, bal := c_acctbal).bal AS sbal, " +
+        "struct_pack(name := c_name, bal := c_acctbal).bal > 1000 AS rich " +
+        "FROM customer ORDER BY c_custkey")),
+
+    Op("fn_json",
+      (s, d) => T.events(s, d).select(
+          col("event_id"),
+          expr("get_json_object(props, '$.k')").as("k_str"),
+          expr("CAST(get_json_object(props, '$.k') AS INT)").as("k_int"),
+          expr("get_json_object(props, '$.missing') IS NULL").as("no_missing"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int, " +
+        "json_extract_string(props, '$.missing') IS NULL AS no_missing " +
+        "FROM events ORDER BY event_id")),
+  )
+}

@@ -1,0 +1,379 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2-F plus the driver-mandated training-data-pipeline surface:
+  * dedup (exact, sorted-signature fuzzy, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding near-dup), similarity search (brute-force top-k, k-NN
+  * join, partition-pruned IVF-style ANN), text analysis (stats, top terms,
+  * language-ID, quality score, token counts, rolling-hash fingerprint) and
+  * the multimodal struct-column bundle.
+  *
+  * Scale rules baked in: no collect(); probes/params broadcast; pair
+  * generation is always blocked/bucketed (LSH band, simhash prefix, shared
+  * shingle, label) so the quadratic term is per-bucket, never global.
+  *
+  * Float parity: cosine similarity is computed as an explicit sequential
+  * left-fold over the vector in DOUBLE on BOTH engines (Spark
+  * aggregate/zip_with vs DuckDB list_reduce/list_transform), which makes
+  * the results bit-identical and needs no rounding.
+  */
+object LlmOps {
+
+  /** Sequential double dot-product fold, Spark side. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def sim(a: String, b: String): String =
+    s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
+
+  /** Same fold, DuckDB side (list_reduce is a sequential left-fold). */
+  private def oDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  private def oSim(a: String, b: String): String =
+    s"${oDot(a, b)} / sqrt(${oDot(a, a)} * ${oDot(b, b)})"
+
+  /** Deterministic 32-bit token hash shared by MinHash and SimHash: first 8
+    * hex digits of md5, identical in both engines.
+    */
+  private val sparkTokHash = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+  private val duckTokHash = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+
+  val ops: Seq[Op] = Seq(
+
+    // ---- deduplication -------------------------------------------------
+
+    Op("llm_dedup_exact",
+      (s, d) => T.t(s, d, "documents")
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id"),
+      // oracle groups on the normalized text itself — same partition as the
+      // hash, minus the (collision-free) sha2 step DuckDB 1.0 lacks.
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY lower(trim(text)) ORDER BY keep_id")),
+
+    Op("llm_dedup_fuzzy",
+      (s, d) => {
+        val w = Window.partitionBy("sig")
+        T.t(s, d, "documents")
+          .withColumn("sig",
+            expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .withColumn("rep", min("doc_id").over(w))
+          .where("grp_n > 1")
+          .select("doc_id", "rep")
+          .orderBy("rep", "doc_id")
+      },
+      Some("SELECT doc_id, rep FROM (SELECT doc_id, " +
+        "min(doc_id) OVER (PARTITION BY sig) AS rep, " +
+        "count(*) OVER (PARTITION BY sig) AS grp_n FROM (" +
+        "SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
+        "FROM documents)) WHERE grp_n > 1 ORDER BY rep, doc_id")),
+
+    Op("llm_dedup_minhash",
+      (s, d) => {
+        import s.implicits._
+        val toks = T.t(s, d, "documents")
+          .select(col("doc_id"), explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+          .withColumn("th", expr(sparkTokHash))
+        val params = Seq(
+          (0, 3L, 101L), (1, 5L, 103L), (2, 7L, 107L), (3, 11L, 109L),
+          (4, 13L, 113L), (5, 17L, 127L), (6, 19L, 131L), (7, 23L, 137L))
+          .toDF("i", "a", "b")
+        val mh = toks.crossJoin(broadcast(params))
+          .groupBy("doc_id", "i").agg(min(expr("(a * th + b) % 2038074743")).as("mh"))
+        val sigs = mh.groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
+        val banded = mh.withColumn("band", expr("i div 2"))
+          .groupBy("doc_id", "band")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING)), ',')").as("band_sig"))
+        val pairs = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        pairs
+          .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+          .withColumn("est_jaccard",
+            expr("CAST(size(filter(sequence(1, 8), i -> element_at(s1, i) = element_at(s2, i))) AS DOUBLE) / 8"))
+          .select("d1", "d2", "est_jaccard")
+          .orderBy("d1", "d2")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents), " +
+        s"th AS (SELECT doc_id, $duckTokHash AS th FROM toks), " +
+        "params AS (SELECT * FROM (VALUES (0,3,101),(1,5,103),(2,7,107),(3,11,109),(4,13,113),(5,17,127),(6,19,131),(7,23,137)) p(i, a, b)), " +
+        "mh AS (SELECT doc_id, i, min((a * th + b) % 2038074743) AS mh FROM th, params GROUP BY doc_id, i), " +
+        "sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig FROM mh GROUP BY doc_id, i // 2), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
+        "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id) " +
+        "SELECT d1, d2, CAST(len(list_filter(range(1, 9), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 8 AS est_jaccard " +
+        "FROM pairs JOIN sigs s1 ON pairs.d1 = s1.doc_id JOIN sigs s2 ON pairs.d2 = s2.doc_id " +
+        "ORDER BY d1, d2")),
+
+    Op("llm_dedup_simhash",
+      (s, d) => {
+        val toks = T.t(s, d, "documents")
+          .select(col("doc_id"), explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+          .withColumn("th", expr(sparkTokHash))
+        val bitSums = toks
+          .select(col("doc_id"), col("th"), explode(expr("sequence(0, 31)")).as("j"))
+          .withColumn("contrib",
+            expr("CASE WHEN (shiftright(th, j) & 1) = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
+        val sh = bitSums.groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+          .withColumn("bucket", expr("shiftright(simhash, 16)"))
+        sh.as("x").join(sh.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+          .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+          .where("hamming <= 8")
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("hamming"))
+          .orderBy("d1", "d2")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents), " +
+        s"th AS (SELECT doc_id, $duckTokHash AS th FROM toks), " +
+        "bits AS (SELECT doc_id, j, CAST(SUM(CASE WHEN ((th >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s " +
+        "FROM th, (SELECT unnest(range(0, 32)) AS j) jj GROUP BY doc_id, j), " +
+        "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash " +
+        "FROM bits GROUP BY doc_id), " +
+        "b AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh) " +
+        "SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming " +
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.simhash, y.simhash)) <= 8 ORDER BY d1, d2")),
+
+    Op("llm_ngram_jaccard",
+      (s, d) => {
+        val sh = T.t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 3")
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+            .as("shingle"))
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shared = sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+          .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+          .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
+          .where("jaccard >= 0.2")
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+      },
+      Some("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM sh x JOIN sh y " +
+        "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
+        "SELECT d1, d2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard " +
+        "FROM shared JOIN (SELECT doc_id AS d1, n_sh AS n1 FROM counts) c1 USING (d1) " +
+        "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2) " +
+        "WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2 ORDER BY d1, d2")),
+
+    Op("llm_embedding_neardup",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val x = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
+        val y = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
+        x.join(y, Seq("label")).where("v1 < v2")
+          .withColumn("sim", expr(sim("e1", "e2")))
+          .where("sim >= 0.35")
+          .select("v1", "v2", "sim")
+          .orderBy("v1", "v2")
+      },
+      Some("SELECT v1, v2, sim FROM (SELECT x.vec_id AS v1, y.vec_id AS v2, " +
+        s"${oSim("x.embedding", "y.embedding")} AS sim " +
+        "FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id) " +
+        "WHERE sim >= 0.35 ORDER BY v1, v2")),
+
+    // ---- similarity search --------------------------------------------
+
+    Op("llm_similarity_topk",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val probe = emb.where("vec_id = 0").select(col("embedding").as("p_emb"))
+        emb.where("vec_id <> 0").crossJoin(broadcast(probe))
+          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .select("vec_id", "sim")
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+      },
+      Some("WITH p AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT vec_id, ${oSim("embedding", "p_emb")} AS sim " +
+        "FROM embeddings, p WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10")),
+
+    Op("llm_knn_join",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val probes = emb.where("vec_id < 5")
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val w = Window.partitionBy("probe_id").orderBy(desc("sim"), col("neighbor_id"))
+        emb.crossJoin(broadcast(probes)).where("vec_id <> probe_id")
+          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
+          .withColumn("rn", row_number().over(w))
+          .where("rn <= 3")
+          .orderBy("probe_id", "rn")
+      },
+      Some("SELECT * FROM (SELECT probe_id, neighbor_id, sim, " +
+        "CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rn " +
+        "FROM (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, " +
+        s"${oSim("e.embedding", "p.embedding")} AS sim " +
+        "FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) p " +
+        "WHERE e.vec_id <> p.vec_id)) WHERE rn <= 3 ORDER BY probe_id, rn")),
+
+    // IVF-style ANN: search only the probe's coarse bucket (label stands in
+    // for the centroid assignment), i.e. partition-pruned similarity.
+    Op("llm_ann_ivf",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val probe = emb.where("vec_id = 0")
+          .select(col("embedding").as("p_emb"), col("label").as("p_label"))
+        emb.join(broadcast(probe), col("label") === col("p_label") && col("vec_id") =!= 0)
+          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .select("vec_id", "label", "sim")
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+      },
+      Some("WITH p AS (SELECT embedding AS p_emb, label AS p_label FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT vec_id, label, ${oSim("embedding", "p_emb")} AS sim " +
+        "FROM embeddings, p WHERE label = p_label AND vec_id <> 0 " +
+        "ORDER BY sim DESC, vec_id LIMIT 5")),
+
+    // ---- text analysis -------------------------------------------------
+
+    Op("llm_text_stats",
+      (s, d) => T.t(s, d, "documents").groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(expr("CAST(size(split(text, ' ')) AS DOUBLE)")), 4).as("avg_tokens"),
+          sum("n_chars").as("total_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang"),
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, min(n_chars) AS min_chars, " +
+        "max(n_chars) AS max_chars FROM documents GROUP BY lang ORDER BY lang")),
+
+    Op("llm_top_terms",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+        T.t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w))
+          .where("rnk <= 5")
+          .orderBy("lang", "rnk")
+      },
+      Some("SELECT * FROM (SELECT lang, token, cnt, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INTEGER) AS rnk " +
+        "FROM (SELECT lang, token, count(*) AS cnt FROM (" +
+        "SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY lang, token)) WHERE rnk <= 5 ORDER BY lang, rnk")),
+
+    // language-ID by n-gram/token-profile overlap: profiles are the top-20
+    // tokens per language derived from the corpus itself (pure integer
+    // logic, fully deterministic), prediction is the best-overlap language.
+    Op("llm_lang_id",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+        val wp = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+        val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(wp)).where("rnk <= 20")
+          .select(col("lang").as("p_lang"), col("token"))
+        val docTok = tok.select("doc_id", "token").distinct()
+        val wb = Window.partitionBy("doc_id").orderBy(desc("matches"), col("p_lang"))
+        val best = docTok.join(broadcast(profile), "token")
+          .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("matches"))
+          .withColumn("rn", row_number().over(wb)).where("rn = 1")
+          .select(col("doc_id"), col("p_lang").as("pred_lang"), col("matches"))
+        docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+            coalesce(col("matches"), lit(0L)).as("matches"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "profile AS (SELECT p_lang, token FROM (SELECT lang AS p_lang, token, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rnk " +
+        "FROM tok GROUP BY lang, token) WHERE rnk <= 20), " +
+        "doctok AS (SELECT DISTINCT doc_id, token FROM tok), " +
+        "scores AS (SELECT doc_id, p_lang, count(*) AS matches FROM doctok JOIN profile USING (token) GROUP BY doc_id, p_lang), " +
+        "best AS (SELECT doc_id, p_lang, matches FROM (SELECT doc_id, p_lang, matches, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, p_lang) AS rn FROM scores) WHERE rn = 1) " +
+        "SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unknown') AS pred_lang, " +
+        "COALESCE(b.matches, 0) AS matches FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id " +
+        "ORDER BY d.doc_id")),
+
+    Op("llm_quality_score",
+      (s, d) => T.t(s, d, "documents").select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          col("n_chars"),
+          expr("round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')), 4)").as("avg_word_len"),
+          expr("round(CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text), 4)").as("digit_ratio"),
+          expr("round(CAST(size(filter(split(text, ' '), x -> length(x) <= 3)) AS DOUBLE) / size(split(text, ' ')), 4)").as("short_tok_ratio"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, n_chars, " +
+        "ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len, " +
+        "ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio, " +
+        "ROUND(CAST(len(list_filter(string_split(text, ' '), x -> length(x) <= 3)) AS DOUBLE) / len(string_split(text, ' ')), 4) AS short_tok_ratio " +
+        "FROM documents ORDER BY doc_id")),
+
+    // token counting: whitespace tokens plus a BPE-ish regex token count.
+    Op("llm_token_count",
+      (s, d) => T.t(s, d, "documents").select(
+          col("doc_id"),
+          expr("size(split(text, ' '))").as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+', 0))").as("re_tokens"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+', 0)) AS INTEGER) AS re_tokens " +
+        "FROM documents ORDER BY doc_id")),
+
+    // rolling-hash document fingerprint: identical BIGINT left-fold over
+    // character code points on both engines.
+    Op("llm_fingerprint",
+      (s, d) => T.t(s, d, "documents").select(
+          col("doc_id"),
+          expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- multimodal ----------------------------------------------------
+
+    // typed multimodal bundle: text + metadata + embedding in one struct
+    // column, flattened for the oracle compare.
+    Op("llm_multimodal_schema",
+      (s, d) => T.t(s, d, "documents")
+        .join(T.t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .withColumn("bundle", expr("struct(text, lang, embedding)"))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          expr("size(bundle.embedding)").as("dim"),
+          expr("CAST(element_at(bundle.embedding, 1) AS DOUBLE)").as("emb_first"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS dim, " +
+        "CAST(embedding[1] AS DOUBLE) AS emb_first " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id")),
+  )
+}

@@ -1,0 +1,280 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-C — the relational surface snapflow exposes through SQL
+  * transforms (it delegates these to Postgres/SQLite; we own them natively
+  * on Catalyst). All joins pick their physical strategy via Catalyst/AQE;
+  * bounded dimensions are broadcast explicitly.
+  */
+object Relational {
+
+  private val shipCut = "TIMESTAMP_NTZ '1998-09-02 00:00:00'"
+
+  val ops: Seq[Op] = Seq(
+
+    Op("rel_project_filter",
+      (s, d) => T.t(s, d, "lineitem")
+        .where(expr(s"l_shipdate <= $shipCut"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    Op("rel_join_inner_hash",
+      (s, d) => {
+        val o = T.t(s, d, "orders"); val c = T.t(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice, c_name, c_mktsegment " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    Op("rel_join_broadcast",
+      (s, d) => {
+        val n = T.t(s, d, "nation"); val r = T.t(s, d, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select("n_nationkey", "n_name", "r_name")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, r_name " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey")),
+
+    // full outer with populated null sides: BUILDING customers (left-only
+    // when they have no orders) vs per-customer order counts (right-only
+    // for non-BUILDING customers).
+    Op("rel_join_left_right_full",
+      (s, d) => {
+        val c = T.t(s, d, "customer").where("c_mktsegment = 'BUILDING'")
+        val oa = T.t(s, d, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(oa, c("c_custkey") === oa("o_custkey"), "full_outer")
+          .select(
+            coalesce(c("c_custkey"), oa("o_custkey")).as("custkey"),
+            c("c_name").as("c_name"),
+            oa("n_orders").as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey, c.c_name AS c_name, " +
+        "oa.n_orders AS n_orders " +
+        "FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c " +
+        "FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) oa " +
+        "ON c.c_custkey = oa.o_custkey ORDER BY custkey")),
+
+    Op("rel_join_semi_anti",
+      (s, d) => {
+        val c = T.t(s, d, "customer"); val o = T.t(s, d, "orders")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").withColumn("tag", lit("has_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").withColumn("tag", lit("no_orders"))
+        semi.unionByName(anti).orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) " +
+        "UNION ALL SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey")),
+
+    // non-equi band join against a tiny broadcast dimension.
+    Op("rel_join_theta_range",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (1, "small", 0, 9), (2, "medium", 10, 24), (3, "large", 25, 1000000))
+          .toDF("band_id", "band_name", "lo", "hi")
+        T.t(s, d, "part")
+          .join(broadcast(bands), col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+          .select("p_partkey", "p_size", "band_id", "band_name")
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_size, band_id, band_name FROM part JOIN " +
+        "(VALUES (1, 'small', 0, 9), (2, 'medium', 10, 24), (3, 'large', 25, 1000000)) " +
+        "AS b(band_id, band_name, lo, hi) ON p_size >= lo AND p_size <= hi " +
+        "ORDER BY p_partkey")),
+
+    // as-of join: each click matched to the latest purchase at-or-before it
+    // for the same user; emulated identically on both sides (window trick —
+    // SURVEY §2-G: do NOT use DuckDB's native ASOF JOIN as the oracle).
+    Op("rel_join_asof",
+      (s, d) => {
+        val e = T.events(s, d)
+        val clicks = e.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val buys = e.where("event_type = 'purchase'")
+          .select(col("event_id").as("buy_id"), col("user_id").as("b_user"), col("ts").as("buy_ts"))
+        val w = Window.partitionBy("click_id")
+          .orderBy(col("buy_ts").desc_nulls_last, col("buy_id").desc_nulls_last)
+        clicks.join(buys,
+            col("user_id") === col("b_user") && col("buy_ts") <= col("click_ts"), "left")
+          .withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+          .orderBy("click_id")
+      },
+      Some("SELECT click_id, user_id, click_ts, buy_id, buy_ts FROM (" +
+        "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
+        "b.event_id AS buy_id, b.ts AS buy_ts, " +
+        "row_number() OVER (PARTITION BY c.event_id ORDER BY b.ts DESC NULLS LAST, b.event_id DESC NULLS LAST) AS rn " +
+        "FROM events c LEFT JOIN events b " +
+        "ON b.event_type = 'purchase' AND b.user_id = c.user_id AND b.ts <= c.ts " +
+        "WHERE c.event_type = 'click') WHERE rn = 1 ORDER BY click_id")),
+
+    // TPC-H Q1 shape; double aggregates stabilized via DECIMAL (§2-G.3).
+    Op("rel_agg_hash",
+      (s, d) => T.t(s, d, "lineitem")
+        .where(expr(s"l_shipdate <= $shipCut"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.dsum(col("l_quantity")).as("sum_qty"),
+          T.dsum(col("l_extendedprice")).as("sum_base_price"),
+          T.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          T.davg(col("l_quantity")).as("avg_qty"),
+          T.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        s"${T.oSum("l_quantity")} AS sum_qty, " +
+        s"${T.oSum("l_extendedprice")} AS sum_base_price, " +
+        s"${T.oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price, " +
+        s"${T.oAvg("l_quantity")} AS avg_qty, " +
+        s"${T.oAvg("l_discount")} AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    Op("rel_agg_distinct",
+      (s, d) => T.t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    // HLL values are engine-specific — no oracle (SURVEY §2-G.4).
+    Op("rel_agg_approx_distinct",
+      (s, d) => T.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // rollup with a manually derived grouping id (identical CASE on both
+    // sides; avoids engine-specific GROUPING_ID bit layouts).
+    Op("rel_grouping_sets",
+      (s, d) => T.t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("gid",
+          when(col("o_orderstatus").isNull, 2).otherwise(0) +
+          when(col("o_orderpriority").isNull, 1).otherwise(0))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("SELECT o_orderstatus, o_orderpriority, n, sum_price, gid FROM (" +
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        s"${T.oSum("o_totalprice")} AS sum_price, " +
+        "(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END + " +
+        "CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS gid " +
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)) " +
+        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+
+    Op("rel_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("rn", row_number().over(w))
+          .where("rn <= 3").orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk, " +
+        "CAST(drk AS INTEGER) AS drk, CAST(rn AS INTEGER) AS rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, rank() OVER w AS rk, " +
+        "dense_rank() OVER w AS drk, row_number() OVER w AS rn FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
+    Op("rel_window_analytic",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.t(s, d, "orders")
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .withColumn("next_price", lead("o_totalprice", 1).over(w))
+          .withColumn("first_price", first("o_totalprice").over(cum))
+          .withColumn("run_sum",
+            round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(cum), 2)
+              .cast(DoubleType))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "lag(o_totalprice, 1) OVER w AS prev_price, " +
+        "lead(o_totalprice, 1) OVER w AS next_price, " +
+        "first_value(o_totalprice) OVER wc AS first_price, " +
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER wc, 2) AS DOUBLE) AS run_sum " +
+        "FROM orders WINDOW " +
+        "w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, o_orderkey")),
+
+    Op("rel_sort_limit",
+      (s, d) => T.t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20")),
+
+    Op("rel_set_ops",
+      (s, d) => {
+        val c = T.t(s, d, "customer")
+        val a = c.where("c_mktsegment = 'BUILDING'").select("c_nationkey").distinct()
+        val b = c.where("c_mktsegment = 'AUTOMOBILE'").select("c_nationkey").distinct()
+        a.intersect(b).withColumn("tag", lit("in_both"))
+          .unionByName(a.except(b).withColumn("tag", lit("only_building")))
+          .unionByName(a.union(b).distinct().withColumn("tag", lit("in_either")))
+          .orderBy("tag", "c_nationkey")
+      },
+      Some("SELECT c_nationkey, 'in_both' AS tag FROM (" +
+        "SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') " +
+        "UNION ALL SELECT c_nationkey, 'only_building' AS tag FROM (" +
+        "SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "EXCEPT SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') " +
+        "UNION ALL SELECT c_nationkey, 'in_either' AS tag FROM (" +
+        "SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "UNION SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') " +
+        "ORDER BY tag, c_nationkey")),
+
+    // correlated scalar subquery — same SQL text on both engines; Catalyst
+    // decorrelates it into an aggregate + join.
+    Op("rel_subquery_scalar",
+      (s, d) => {
+        T.t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+          "WHERE o_totalprice > (SELECT CAST(ROUND(AVG(CAST(o2.o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) " +
+          "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > (SELECT CAST(ROUND(AVG(CAST(o2.o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) " +
+        "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey")),
+
+    Op("rel_case_null",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("CASE WHEN o_totalprice > 300000 THEN 'big' " +
+            "WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END").as("size_class"),
+          expr("COALESCE(NULLIF(o_orderstatus, 'O'), 'open')").as("status_or_open"),
+          expr("CASE WHEN o_orderpriority LIKE '1%' THEN NULL ELSE o_orderpriority END")
+            .as("pri_nulled"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, " +
+        "CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS size_class, " +
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open, " +
+        "CASE WHEN o_orderpriority LIKE '1%' THEN NULL ELSE o_orderpriority END AS pri_nulled " +
+        "FROM orders ORDER BY o_orderkey")),
+  )
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-E — snapflow's incremental/stream semantics as
+  * batch-equivalent DataFrame queries (the t2 oracle cannot run streams).
+  * The true Structured Streaming forms live in graft.streaming and are
+  * pinned equal to these in the test suite.
+  */
+object StreamingOps {
+
+  val ops: Seq[Op] = Seq(
+
+    Op("strm_tumbling_window",
+      (s, d) => T.events(s, d)
+        .groupBy(expr("date_trunc('hour', ts)").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), T.dsum(col("value")).as("sum_value"))
+        .orderBy("bucket"),
+      Some("SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events, " +
+        s"${T.oSum("value")} AS sum_value " +
+        "FROM events GROUP BY date_trunc('hour', ts) ORDER BY bucket")),
+
+    // 1-hour window sliding every 15 min: each event lands in exactly 4
+    // windows (batch equivalent of window(ts, '1 hour', '15 minutes')).
+    Op("strm_sliding_window",
+      (s, d) => T.events(s, d)
+        .select(col("ts"), col("value"), explode(expr("array(0, 1, 2, 3)")).as("k"))
+        .withColumn("w_start", expr(
+          "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, 0, (minute(ts) div 15) * 15 - k * 15, 0)"))
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_events"), T.dsum(col("value")).as("sum_value"))
+        .withColumn("w_end", expr("w_start + INTERVAL 1 HOUR"))
+        .orderBy("w_start"),
+      Some("SELECT w_start, count(*) AS n_events, " +
+        s"${T.oSum("value")} AS sum_value, " +
+        "w_start + INTERVAL 1 HOUR AS w_end FROM (" +
+        "SELECT date_trunc('hour', ts) + ((minute(ts) // 15) * 15 - k.k * 15) * INTERVAL 1 MINUTE AS w_start, value " +
+        "FROM events, (VALUES (0), (1), (2), (3)) k(k)) " +
+        "GROUP BY w_start ORDER BY w_start")),
+
+    // sessionization with a 30-minute gap: lag + cumulative-sum-of-flags
+    // window trick (same event at exactly lag+30min starts a new session,
+    // matching session_window's half-open [start, last+gap) semantics).
+    Op("strm_session_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              expr("ts >= prev_ts + INTERVAL 30 MINUTE"), 1).otherwise(0))
+          .withColumn("session_id", sum("new_s").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(
+            min("ts").as("session_start"), max("ts").as("session_end"),
+            count(lit(1)).as("n_events"), T.dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        s"count(*) AS n_events, ${T.oSum("value")} AS sum_value FROM (" +
+        "SELECT user_id, ts, event_id, value, " +
+        "CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
+        "SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_s FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
+        "GROUP BY user_id, session_id ORDER BY user_id, session_start")),
+
+    // watermark: keep only events within 24h of the observed max event time
+    // (batch analogue of withWatermark + late-row drop).
+    Op("strm_watermark_late",
+      (s, d) => {
+        val e = T.events(s, d)
+        val wm = e.agg(max("ts").as("max_ts"))
+        e.crossJoin(broadcast(wm))
+          .where(expr("ts >= max_ts - INTERVAL 24 HOUR"))
+          .select("event_id", "user_id", "ts", "event_type")
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, ts, event_type FROM events " +
+        "WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR " +
+        "ORDER BY event_id")),
+
+    // streaming dedupe: first-seen row per (user_id, event_type) with a
+    // deterministic order, not bare dropDuplicates (§2-E).
+    Op("strm_dedup_stateful",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, event_id, ts FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id, event_type")),
+
+    // incremental node state: process only blocks past the stored
+    // high-watermark (snapflow's DataBlockLog consumption accounting).
+    Op("strm_incremental_state",
+      (s, d) => T.events(s, d)
+        .where(expr("ts > TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_new"), max("ts").as("latest_ts"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n_new, max(ts) AS latest_ts FROM events " +
+        "WHERE ts > TIMESTAMP '2024-01-15 00:00:00' " +
+        "GROUP BY event_type ORDER BY event_type")),
+  )
+}
