@@ -78,23 +78,37 @@ object LlmOps {
         "SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
         "FROM documents)) WHERE grp_n > 1 ORDER BY rep, doc_id")),
 
+    // MinHash(k=16) over 3-gram shingles + LSH(4 bands of 4): signatures
+    // are computed per-doc inside whole-stage codegen (no exploded
+    // shuffle); the only shuffle is the banded candidate join — the shape
+    // that scales to 100 TB. Shingles (not raw tokens) keep the random
+    // overlap between unrelated documents near zero.
     Op("llm_dedup_minhash",
       (s, d) => {
-        import s.implicits._
-        val toks = T.t(s, d, "documents")
-          .select(col("doc_id"), explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
-          .withColumn("th", expr(sparkTokHash))
-        val params = Seq(
-          (0, 3L, 101L), (1, 5L, 103L), (2, 7L, 107L), (3, 11L, 109L),
-          (4, 13L, 113L), (5, 17L, 127L), (6, 19L, 131L), (7, 23L, 137L))
-          .toDF("i", "a", "b")
-        val mh = toks.crossJoin(broadcast(params))
-          .groupBy("doc_id", "i").agg(min(expr("(a * th + b) % 2038074743")).as("mh"))
-        val sigs = mh.groupBy("doc_id")
-          .agg(expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
-        val banded = mh.withColumn("band", expr("i div 2"))
-          .groupBy("doc_id", "band")
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING)), ',')").as("band_sig"))
+        val A = "array(3L,5L,7L,11L,13L,17L,19L,23L,29L,31L,37L,41L,43L,47L,53L,59L)"
+        val B = "array(101L,103L,107L,109L,113L,127L,131L,137L,139L,149L,151L,157L,163L,167L,173L,179L)"
+        val sigs = T.t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 3")
+          .withColumn("shs", expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .withColumn("ths", expr(s"transform(shs, tok -> $sparkTokHash)"))
+          // single-pass fold: each shingle is hashed exactly once per row
+          // (a per-i formulation would re-evaluate the inlined md5 chain
+          // 16x — Catalyst inlines withColumn expressions into lambdas).
+          .select(col("doc_id"), expr(
+            "aggregate(ths, transform(sequence(1, 16), x -> CAST(2038074743 AS BIGINT)), " +
+              s"(acc, h) -> zip_with(acc, sequence(0, 15), (m, i) -> " +
+              s"least(m, (element_at($A, i + 1) * h + element_at($B, i + 1)) % 2038074743)))").as("sig"))
+          // materialize the (small) signature table once — it feeds the
+          // band explode and both pair-join sides.
+          .persist()
+        val banded = sigs
+          .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("band_sig",
+            expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
+          .select("doc_id", "band", "band_sig")
         val pairs = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -103,35 +117,55 @@ object LlmOps {
           .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
           .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
           .withColumn("est_jaccard",
-            expr("CAST(size(filter(sequence(1, 8), i -> element_at(s1, i) = element_at(s2, i))) AS DOUBLE) / 8"))
+            expr("CAST(size(filter(sequence(1, 16), i -> element_at(s1, i) = element_at(s2, i))) AS DOUBLE) / 16"))
+          .where("est_jaccard >= 0.5")
           .select("d1", "d2", "est_jaccard")
           .orderBy("d1", "d2")
       },
-      Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents), " +
-        s"th AS (SELECT doc_id, $duckTokHash AS th FROM toks), " +
-        "params AS (SELECT * FROM (VALUES (0,3,101),(1,5,103),(2,7,107),(3,11,109),(4,13,113),(5,17,127),(6,19,131),(7,23,137)) p(i, a, b)), " +
-        "mh AS (SELECT doc_id, i, min((a * th + b) % 2038074743) AS mh FROM th, params GROUP BY doc_id, i), " +
-        "sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id), " +
-        "banded AS (SELECT doc_id, i // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_sig FROM mh GROUP BY doc_id, i // 2), " +
+      Some("WITH ths AS (SELECT doc_id, list_transform(" +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+        s"tok -> $duckTokHash) AS ths " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "sigs AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
+        "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
+        "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
+        "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
+        "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
+        "banded AS (SELECT doc_id, b.band AS band, " +
+        "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
+        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
         "pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
         "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id) " +
-        "SELECT d1, d2, CAST(len(list_filter(range(1, 9), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 8 AS est_jaccard " +
-        "FROM pairs JOIN sigs s1 ON pairs.d1 = s1.doc_id JOIN sigs s2 ON pairs.d2 = s2.doc_id " +
-        "ORDER BY d1, d2")),
+        "SELECT d1, d2, est_jaccard FROM (" +
+        "SELECT d1, d2, CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 AS est_jaccard " +
+        "FROM pairs JOIN sigs s1 ON pairs.d1 = s1.doc_id JOIN sigs s2 ON pairs.d2 = s2.doc_id) " +
+        "WHERE est_jaccard >= 0.5 ORDER BY d1, d2")),
 
+    // 32-bit SimHash computed per-doc as one nested fold (codegen, no
+    // shuffle); candidate pairs are blocked on the top-16-bit prefix.
     Op("llm_dedup_simhash",
       (s, d) => {
-        val toks = T.t(s, d, "documents")
-          .select(col("doc_id"), explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
-          .withColumn("th", expr(sparkTokHash))
-        val bitSums = toks
-          .select(col("doc_id"), col("th"), explode(expr("sequence(0, 31)")).as("j"))
-          .withColumn("contrib",
-            expr("CASE WHEN (shiftright(th, j) & 1) = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
-        val sh = bitSums.groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+        val sh = T.t(s, d, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 3")
+          .withColumn("shs", expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .withColumn("ths", expr(s"transform(shs, tok -> $sparkTokHash)"))
+          // single pass over shingles: fold a 32-wide bit-sum vector, then
+          // assemble the simhash — hashes each shingle exactly once.
+          .select(col("doc_id"), expr(
+            "aggregate(zip_with(" +
+              "aggregate(ths, transform(sequence(1, 32), x -> 0), " +
+              "(acc, h) -> zip_with(acc, sequence(0, 31), (a, j) -> a + " +
+              "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)), " +
+              "sequence(0, 31), (sb, j) -> CASE WHEN sb > 0 " +
+              "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("simhash"))
           .withColumn("bucket", expr("shiftright(simhash, 16)"))
+          // materialize once — both self-join sides read it.
+          .persist()
         sh.as("x").join(sh.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
           .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
@@ -139,12 +173,18 @@ object LlmOps {
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("hamming"))
           .orderBy("d1", "d2")
       },
-      Some("WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents), " +
-        s"th AS (SELECT doc_id, $duckTokHash AS th FROM toks), " +
-        "bits AS (SELECT doc_id, j, CAST(SUM(CASE WHEN ((th >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s " +
-        "FROM th, (SELECT unnest(range(0, 32)) AS j) jj GROUP BY doc_id, j), " +
-        "sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash " +
-        "FROM bits GROUP BY doc_id), " +
+      Some("WITH ths AS (SELECT doc_id, list_transform(" +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+        s"tok -> $duckTokHash) AS ths " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "bits AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "list_transform(range(0, 32), x -> 0), " +
+        "list_transform(ths, h -> list_transform(range(0, 32), j -> " +
+        "CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END))), " +
+        "(acc, v) -> list_transform(range(1, 33), i -> acc[i] + v[i])) AS bits FROM ths), " +
+        "sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> " +
+        "CASE WHEN bits[j + 1] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM bits), " +
         "b AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sh) " +
         "SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming " +
         "FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id " +
@@ -159,6 +199,7 @@ object LlmOps {
             "array_distinct(transform(sequence(1, size(toks) - 2), " +
               "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
             .as("shingle"))
+          .persist() // feeds the inverted-index self-join and the counts
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val shared = sh.as("x").join(sh.as("y"),
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
