@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
 object LlmOps {
 
   /** Sequential double dot-product fold, Spark side. */
-  private def dot(a: String, b: String): String =
+  private[graft] def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  private def sim(a: String, b: String): String =
+  private[graft] def sim(a: String, b: String): String =
     s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
 
   /** Same fold, DuckDB side (list_reduce is a sequential left-fold). */

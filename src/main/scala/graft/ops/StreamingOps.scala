@@ -12,6 +12,21 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** The sessionization window-trick on any (user_id, ts, event_id) frame.
+    * A row at exactly prev_ts + gap still JOINS the session (strictly
+    * greater starts a new one) — Spark's session_window merges windows
+    * that touch at the boundary; pinned equal by a property test.
+    */
+  def sessionizeBatch(events: org.apache.spark.sql.DataFrame, gap: String = "30 MINUTE"): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || expr(s"ts > prev_ts + INTERVAL $gap"), 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(cum))
+  }
+
   val ops: Seq[Op] = Seq(
 
     Op("strm_tumbling_window",
@@ -46,14 +61,7 @@ object StreamingOps {
     // matching session_window's half-open [start, last+gap) semantics).
     Op("strm_session_window",
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T.events(s, d)
-          .withColumn("prev_ts", lag("ts", 1).over(w))
-          .withColumn("new_s",
-            when(col("prev_ts").isNull ||
-              expr("ts >= prev_ts + INTERVAL 30 MINUTE"), 1).otherwise(0))
-          .withColumn("session_id", sum("new_s").over(cum))
+        sessionizeBatch(T.events(s, d))
           .groupBy("user_id", "session_id")
           .agg(
             min("ts").as("session_start"), max("ts").as("session_end"),
@@ -66,7 +74,7 @@ object StreamingOps {
         "CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
         "SELECT user_id, ts, event_id, value, " +
-        "CASE WHEN lag(ts) OVER w IS NULL OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS new_s FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
         "GROUP BY user_id, session_id ORDER BY user_id, session_start")),

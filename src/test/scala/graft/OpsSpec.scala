@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator invariants over the sf0.001 fixtures plus literal
+  * mini-frame tests for the semantic corners (SURVEY.md §5).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+  private def q(key: String) = Registry.byKey(key).query(spark, sf)
+
+  test("registry: keys unique, every oracle belongs to a query") {
+    assert(Registry.all.map(_.key).distinct.size == Registry.all.size)
+    val keys = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(keys))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("core_dedupe_keep_latest keeps exactly the latest event per user") {
+    val got = q("core_dedupe_keep_latest").cache()
+    assert(got.groupBy("user_id").count().where("count > 1").isEmpty)
+    val maxTs = Tables.events(spark, sf).groupBy("user_id").agg(max("ts").as("mx"))
+    assert(got.join(maxTs, "user_id").where("ts <> mx").isEmpty)
+  }
+
+  test("rel_join_semi_anti partitions customers") {
+    val got = q("rel_join_semi_anti").cache()
+    val nCust = Tables.t(spark, sf, "customer").count()
+    assert(got.count() == nCust)
+    assert(got.select("c_custkey").distinct().count() == nCust)
+  }
+
+  test("rel_join_asof matches latest purchase at or before each click") {
+    val got = q("rel_join_asof").cache()
+    val nClicks = Tables.events(spark, sf).where("event_type = 'click'").count()
+    assert(got.count() == nClicks)
+    assert(got.where("buy_ts IS NOT NULL AND buy_ts > click_ts").isEmpty)
+  }
+
+  test("strm_dedup_stateful is idempotent and keyed uniquely") {
+    val got = q("strm_dedup_stateful").cache()
+    assert(got.groupBy("user_id", "event_type").count().where("count > 1").isEmpty)
+  }
+
+  test("llm_dedup_exact accounts for every document") {
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(q("llm_dedup_exact").agg(sum("n_dups")).head.getLong(0) == total)
+  }
+
+  test("llm_similarity_topk returns k descending sims in [-1, 1]") {
+    val sims = q("llm_similarity_topk").select("sim").as[Double].collect()
+    assert(sims.length == 10)
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("llm_fingerprint stays within the modulus") {
+    assert(q("llm_fingerprint").where("fp < 0 OR fp >= 1000000007").isEmpty)
+  }
+
+  test("src_csv_roundtrip preserves region") {
+    val region = Tables.t(spark, sf, "region").orderBy("r_regionkey").collect()
+    assert(q("src_csv_roundtrip").collect().toSeq == region.toSeq)
+  }
+
+  test("cosine fold: duplicate=1, orthogonal=0, antipodal=-1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+      (3L, Array(0.0f, 3.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, -2.0f, 0.0f))).toDF("id", "v")
+    val probe = df.where("id = 1").select(col("v").as("p"))
+    val sims = df.crossJoin(probe)
+      .select(col("id"), expr(graft.ops.LlmOps.sim("v", "p")).as("s"))
+      .orderBy("id").as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(2L) - 1.0) < 1e-12)
+    assert(math.abs(sims(3L)) < 1e-12)
+    assert(math.abs(sims(4L) + 1.0) < 1e-12)
+  }
+
+  test("sessionize window-trick: gap fixture incl. exact-30min boundary") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 1: gaps 1m, 10m, 45m -> sessions {a,b,c | d};
+    // user 2: exact 30m gap -> boundary-touching, SAME session
+    // (session_window merges windows that touch; 31m -> new session).
+    val events = Seq(
+      (1L, 1L, plus(0)), (1L, 2L, plus(1)), (1L, 3L, plus(11)), (1L, 4L, plus(56)),
+      (2L, 5L, plus(0)), (2L, 6L, plus(30)), (2L, 7L, plus(61))).toDF("user_id", "event_id", "ts")
+    val got = graft.ops.StreamingOps.sessionizeBatch(events)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 2L),
+      (2L, 5L, 1L), (2L, 6L, 1L), (2L, 7L, 2L)))
+  }
+
+  test("multimodal decode: deterministic, batch-shaped, resizable") {
+    import graft.ops.Multimodal
+    val a = Multimodal.decodeFeatures(Multimodal.assets(spark, sf), dim = 8, batchSize = 16)
+    val b = Multimodal.decodeFeatures(Multimodal.assets(spark, sf), dim = 8, batchSize = 3)
+    val fa = a.orderBy("asset_id").collect()
+    val fb = b.orderBy("asset_id").collect()
+    assert(fa.length == 500 && fa.zip(fb).forall { case (x, y) =>
+      x.asset_id == y.asset_id && x.features.sameElements(y.features) })
+    assert(fa.forall(f => f.features.length == 8 && f.features.forall(p => p >= 0f && p < 1f)))
+    val resized = Multimodal.resize(a, 4)
+    assert(resized.select(expr("size(features)")).distinct().as[Int].collect().toSeq == Seq(4))
+  }
+}

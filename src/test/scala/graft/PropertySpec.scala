@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.3): dedupe idempotence, accumulator
+  * associativity, cosine bounds, sessionization trick == session_window.
+  * Drives scalacheck Gens directly with fixed seeds (the scalatest
+  * bridge artifact is not available offline).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default.withSize(50), Seed(i.toLong)))
+    }
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 3L)
+      offMin <- Gen.choose(0L, 300L)
+    } yield (u, offMin))
+  } yield rows.zipWithIndex.map { case ((u, off), i) => (u, i.toLong, off) }
+
+  private def toDf(rows: List[(Long, Long, Long)]) = {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    rows.map { case (u, id, off) =>
+      (u, id, new java.sql.Timestamp(t0 + off * 60000L)) }
+      .toDF("user_id", "event_id", "ts")
+  }
+
+  test("sessionization window-trick equals session_window") {
+    forSamples(eventsGen) { rows =>
+      val df = toDf(rows)
+      val trick = graft.ops.StreamingOps.sessionizeBatch(df)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("s"), count(lit(1)).as("n"))
+        .select("user_id", "s", "n")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      val native = df
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s"), col("n"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(trick == native)
+    }
+  }
+
+  test("dedupe-keep-latest is idempotent") {
+    forSamples(eventsGen) { rows =>
+      val df = toDf(rows)
+      def dedupe(d: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        d.withColumn("rn", row_number().over(w)).where("rn = 1").drop("rn")
+      }
+      val once = dedupe(df).collect().toSet
+      val twice = dedupe(dedupe(df)).collect().toSet
+      assert(once == twice)
+    }
+  }
+
+  test("accumulator (unionByName) is associative in row multiset") {
+    forSamples(Gen.listOfN(3, Gen.choose(0, 20))) { sizes =>
+      val dfs = sizes.zipWithIndex.map { case (n, i) =>
+        (0 until n).map(j => (i, j)).toDF("block", "v") }
+      val leftFold = dfs.reduceLeftOption((a, b) => a.unionByName(b))
+      val rightFold = dfs.reverse.reduceLeftOption((a, b) => b.unionByName(a))
+      val l = leftFold.map(_.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+      val r = rightFold.map(_.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+      assert(l == r)
+    }
+  }
+
+  test("cosine fold stays in [-1, 1] and sim(v, v) == 1") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-100, 100)).map(_.map(_.toFloat / 7f).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    forSamples(Gen.listOfN(6, vecGen), n = 3) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val sims = df.as("x").crossJoin(df.as("y"))
+        .select(col("x.id").as("i"), col("y.id").as("j"),
+          expr(graft.ops.LlmOps.sim("x.v", "y.v")).as("s"))
+        .as[(Long, Long, Double)].collect()
+      assert(sims.forall { case (_, _, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+      assert(sims.filter(t => t._1 == t._2).forall(t => math.abs(t._3 - 1.0) < 1e-9))
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
+/** §2-E parity: each Structured Streaming op over a MemoryStream must
+  * equal its batch-equivalent query on the same rows (SURVEY.md §5.4).
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkEvents(n: Int): Seq[Ev] = {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (1 to n).map { i =>
+      Ev(i % 7, i.toLong, new java.sql.Timestamp(t0 + (i * 193 % 7200) * 1000L),
+        if (i % 3 == 0) "click" else "view", i * 0.5)
+    }
+  }
+
+  private def runStream[T](events: Seq[Ev], mode: OutputMode)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val name = s"out_${System.nanoTime()}"
+    val q = build(mem.toDF()).writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: stream == batch date_trunc counts") {
+    val events = mkEvents(200)
+    val got = runStream(events, OutputMode.Complete())(Streams.tumbling)
+      .select(col("bucket"), col("n_events")).as[(java.sql.Timestamp, Long)].collect().toSet
+    val want = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("sliding window: stream == batch 4-offset explode") {
+    val events = mkEvents(150)
+    val got = runStream(events, OutputMode.Complete())(Streams.sliding)
+      .select(col("w_start"), col("n_events")).as[(java.sql.Timestamp, Long)].collect().toSet
+    val want = events.toDF()
+      .select(col("ts"), explode(expr("array(0,1,2,3)")).as("k"))
+      .withColumn("w_start", expr(
+        "date_trunc('hour', ts) + make_interval(0,0,0,0,0,(minute(ts) div 15)*15 - k*15,0)"))
+      .groupBy("w_start").agg(count(lit(1)).as("n_events"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("session window: stream == batch window-trick") {
+    val events = mkEvents(120)
+    val got = runStream(events, OutputMode.Complete())(Streams.sessions)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val want = graft.ops.StreamingOps.sessionizeBatch(events.toDF())
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming dedupe: key set == batch distinct keys") {
+    val events = mkEvents(100)
+    val got = runStream(events, OutputMode.Append())(Streams.dedupFirstSeen)
+      .select("user_id", "event_type").as[(Long, String)].collect()
+    val want = events.map(e => (e.user_id, e.event_type)).toSet
+    assert(got.length == want.size && got.toSet == want)
+  }
+
+  test("mapGroupsWithState running totals == batch aggregation") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
+    val mem = MemoryStream[Streams.UserEvent]
+    mem.addData(events)
+    val name = s"tot_${System.nanoTime()}"
+    val q = Streams.runningTotals(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // last update per user is the final state
+    val got = spark.table(name)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(desc("n_events"))))
+      .where("rn = 1").select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      (u, es.size.toLong, es.map(_.value).sum) }.toSet
+    assert(got.map(t => (t._1, t._2, math.round(t._3 * 1e6))) ==
+      want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
+  }
+
+  test("incremental consumption processes only new blocks per run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(in)
+    Streams.consumeIncrement(spark, in, schema, ck, out)(_.withColumn("doubled", col("id") * 2))
+    assert(spark.read.parquet(out).count() == 2)
+    Seq(3L).toDF("id").write.mode("append").parquet(in)
+    Streams.consumeIncrement(spark, in, schema, ck, out)(_.withColumn("doubled", col("id") * 2))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3) // 2 + only-the-new block, no reprocessing
+    assert(rows.select(sum("doubled")).head.getLong(0) == 12L)
+  }
+}
