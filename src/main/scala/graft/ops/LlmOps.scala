@@ -30,6 +30,15 @@ object LlmOps {
   private[graft] def sim(a: String, b: String): String =
     s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})"
 
+  /** The codegen'd Catalyst expression form — bit-identical to [[sim]]
+    * (same accumulation order; pinned by a test) but stays inside
+    * whole-stage codegen with no per-row allocation.
+    */
+  private def simCol(s: org.apache.spark.sql.SparkSession, a: String, b: String) = {
+    graft.functions.CosineSimilarity.register(s)
+    expr(s"cosine_sim($a, $b)")
+  }
+
   /** Same fold, DuckDB side (list_reduce is a sequential left-fold). */
   private def oDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -230,7 +239,7 @@ object LlmOps {
         val x = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
         val y = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
         x.join(y, Seq("label")).where("v1 < v2")
-          .withColumn("sim", expr(sim("e1", "e2")))
+          .withColumn("sim", simCol(s, "e1", "e2"))
           .where("sim >= 0.35")
           .select("v1", "v2", "sim")
           .orderBy("v1", "v2")
@@ -247,7 +256,7 @@ object LlmOps {
         val emb = T.t(s, d, "embeddings")
         val probe = emb.where("vec_id = 0").select(col("embedding").as("p_emb"))
         emb.where("vec_id <> 0").crossJoin(broadcast(probe))
-          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .withColumn("sim", simCol(s, "embedding", "p_emb"))
           .select("vec_id", "sim")
           .orderBy(desc("sim"), col("vec_id"))
           .limit(10)
@@ -263,7 +272,7 @@ object LlmOps {
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
         val w = Window.partitionBy("probe_id").orderBy(desc("sim"), col("neighbor_id"))
         emb.crossJoin(broadcast(probes)).where("vec_id <> probe_id")
-          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .withColumn("sim", simCol(s, "embedding", "p_emb"))
           .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("sim"))
           .withColumn("rn", row_number().over(w))
           .where("rn <= 3")
@@ -284,7 +293,7 @@ object LlmOps {
         val probe = emb.where("vec_id = 0")
           .select(col("embedding").as("p_emb"), col("label").as("p_label"))
         emb.join(broadcast(probe), col("label") === col("p_label") && col("vec_id") =!= 0)
-          .withColumn("sim", expr(sim("embedding", "p_emb")))
+          .withColumn("sim", simCol(s, "embedding", "p_emb"))
           .select("vec_id", "label", "sim")
           .orderBy(desc("sim"), col("vec_id"))
           .limit(5)

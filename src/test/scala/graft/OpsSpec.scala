@@ -84,6 +84,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sims(4L) + 1.0) < 1e-12)
   }
 
+  test("codegen CosineSimilarity is bit-identical to the declarative fold") {
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val probe = emb.where("vec_id = 0").select(col("embedding").as("p"))
+    val both = emb.crossJoin(probe)
+      .select(
+        expr("cosine_sim(embedding, p)").as("fast"),
+        expr(graft.ops.LlmOps.sim("embedding", "p")).as("fold"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (f, g) =>
+      java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(g) })
+  }
+
   test("sessionize window-trick: gap fixture incl. exact-30min boundary") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
