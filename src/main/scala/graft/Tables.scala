@@ -51,6 +51,14 @@ object Tables {
     events(spark, dir).createOrReplaceTempView("events")
   }
 
+  /** Fan a small-file scan out to all cores. The testdata tables are one
+    * parquet file each, so compute-heavy per-row work (hashing, folds)
+    * would otherwise run in a single task; at production scale the file
+    * count makes this a no-op-sized shuffle of the narrow input.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private val dec = DecimalType(18, 4)
 
   /** Order-independent 2-dp sum of a double column: cast to DECIMAL(18,4)

@@ -48,10 +48,10 @@ object LlmOps {
   private def oSim(a: String, b: String): String =
     s"${oDot(a, b)} / sqrt(${oDot(a, a)} * ${oDot(b, b)})"
 
-  /** Deterministic 32-bit token hash shared by MinHash and SimHash: first 8
-    * hex digits of md5, identical in both engines.
+  /** Deterministic 32-bit token hash for the MinHash/SimHash oracles:
+    * first 8 hex digits of md5 — the Spark side computes the same value in
+    * graft.functions.ShingleHashes.
     */
-  private val sparkTokHash = "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
   private val duckTokHash = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
 
   val ops: Seq[Op] = Seq(
@@ -94,22 +94,13 @@ object LlmOps {
     // overlap between unrelated documents near zero.
     Op("llm_dedup_minhash",
       (s, d) => {
-        val A = "array(3L,5L,7L,11L,13L,17L,19L,23L,29L,31L,37L,41L,43L,47L,53L,59L)"
-        val B = "array(101L,103L,107L,109L,113L,127L,131L,137L,139L,149L,151L,157L,163L,167L,173L,179L)"
-        val sigs = T.t(s, d, "documents")
-          .withColumn("toks", split(lower(col("text")), " "))
-          .where("size(toks) >= 3")
-          .withColumn("shs", expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-          .withColumn("ths", expr(s"transform(shs, tok -> $sparkTokHash)"))
-          // single-pass fold: each shingle is hashed exactly once per row
-          // (a per-i formulation would re-evaluate the inlined md5 chain
-          // 16x — Catalyst inlines withColumn expressions into lambdas).
-          .select(col("doc_id"), expr(
-            "aggregate(ths, transform(sequence(1, 16), x -> CAST(2038074743 AS BIGINT)), " +
-              s"(acc, h) -> zip_with(acc, sequence(0, 15), (m, i) -> " +
-              s"least(m, (element_at($A, i + 1) * h + element_at($B, i + 1)) % 2038074743)))").as("sig"))
+        graft.functions.ShingleHashes.register(s)
+        val sigs = T.spread(T.t(s, d, "documents"))
+          .where("size(split(lower(text), ' ')) >= 3")
+          // JVM-native shingle-hash + signature (graft.functions): one eval
+          // per row instead of interpreted lambda folds; min is commutative
+          // so the result matches the oracle's fold exactly.
+          .select(col("doc_id"), expr("minhash_sig(shingle_hashes(text))").as("sig"))
           // materialize the (small) signature table once — it feeds the
           // band explode and both pair-join sides.
           .persist()
@@ -155,23 +146,13 @@ object LlmOps {
     // shuffle); candidate pairs are blocked on the top-16-bit prefix.
     Op("llm_dedup_simhash",
       (s, d) => {
-        val sh = T.t(s, d, "documents")
-          .withColumn("toks", split(lower(col("text")), " "))
-          .where("size(toks) >= 3")
-          .withColumn("shs", expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-          .withColumn("ths", expr(s"transform(shs, tok -> $sparkTokHash)"))
-          // single pass over shingles: fold a 32-wide bit-sum vector, then
-          // assemble the simhash — hashes each shingle exactly once.
-          .select(col("doc_id"), expr(
-            "aggregate(zip_with(" +
-              "aggregate(ths, transform(sequence(1, 32), x -> 0), " +
-              "(acc, h) -> zip_with(acc, sequence(0, 31), (a, j) -> a + " +
-              "CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)), " +
-              "sequence(0, 31), (sb, j) -> CASE WHEN sb > 0 " +
-              "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), " +
-              "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("simhash"))
+        graft.functions.ShingleHashes.register(s)
+        val sh = T.spread(T.t(s, d, "documents"))
+          .where("size(split(lower(text), ' ')) >= 3")
+          // JVM-native shingle-hash + simhash (graft.functions): bit votes
+          // are commutative integer sums, so this matches the oracle's
+          // declarative fold exactly.
+          .select(col("doc_id"), expr("simhash32(shingle_hashes(text))").as("simhash"))
           .withColumn("bucket", expr("shiftright(simhash, 16)"))
           // materialize once — both self-join sides read it.
           .persist()
@@ -201,7 +182,7 @@ object LlmOps {
 
     Op("llm_ngram_jaccard",
       (s, d) => {
-        val sh = T.t(s, d, "documents")
+        val sh = T.spread(T.t(s, d, "documents"))
           .withColumn("toks", split(lower(col("text")), " "))
           .where("size(toks) >= 3")
           .select(col("doc_id"), explode(expr(
@@ -235,7 +216,7 @@ object LlmOps {
 
     Op("llm_embedding_neardup",
       (s, d) => {
-        val emb = T.t(s, d, "embeddings")
+        val emb = T.spread(T.t(s, d, "embeddings"))
         val x = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
         val y = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label"))
         x.join(y, Seq("label")).where("v1 < v2")
@@ -255,7 +236,8 @@ object LlmOps {
       (s, d) => {
         val emb = T.t(s, d, "embeddings")
         val probe = emb.where("vec_id = 0").select(col("embedding").as("p_emb"))
-        emb.where("vec_id <> 0").crossJoin(broadcast(probe))
+        val scan = T.spread(emb)
+        scan.where("vec_id <> 0").crossJoin(broadcast(probe))
           .withColumn("sim", simCol(s, "embedding", "p_emb"))
           .select("vec_id", "sim")
           .orderBy(desc("sim"), col("vec_id"))
@@ -341,7 +323,7 @@ object LlmOps {
     Op("llm_lang_id",
       (s, d) => {
         val docs = T.t(s, d, "documents")
-        val tok = docs.select(col("doc_id"), col("lang"),
+        val tok = T.spread(docs).select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("token"))
         val wp = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
         val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
