@@ -391,6 +391,62 @@ object LlmOps {
         "list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))), " +
         "(acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents ORDER BY doc_id")),
 
+    // TF-IDF: integer tf/df with a rounded ln-based idf; top-scoring term
+    // per document (deterministic tiebreak on the term itself).
+    Op("llm_tfidf",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = T.spread(docs)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("token"))
+        tf.join(df_, "token").crossJoin(broadcast(n))
+          .withColumn("score", expr("round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)"))
+          .withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select(col("doc_id"), col("token").as("top_term"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
+        "GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, token, " +
+        "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score FROM tf JOIN df USING (token), n) " +
+        "SELECT doc_id, token AS top_term, score FROM (SELECT doc_id, token, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored) " +
+        "WHERE rn = 1 ORDER BY doc_id")),
+
+    // reproducible stratified sampling: hash-mod selection is stable
+    // across runs, partitionings, and engines (unlike rand()-based
+    // sampling) — the only sampling admissible in a training-data
+    // pipeline that must be auditable.
+    Op("llm_sample_stratified",
+      (s, d) => T.t(s, d, "documents")
+        .where("CAST(conv(substring(md5(concat(lang, ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 20")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE CAST(concat('0x', substr(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 20 " +
+        "ORDER BY doc_id")),
+
+    // PII-style scrubbing: redact digit runs, report redaction counts.
+    Op("llm_pii_scrub",
+      (s, d) => T.t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          expr("substring(regexp_replace(text, '[0-9]+', '[NUM]'), 1, 60)").as("scrubbed_head"),
+          expr("length(regexp_replace(text, '[0-9]+', '[NUM]'))").as("scrubbed_len"),
+          expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("n_redactions"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "substring(regexp_replace(text, '[0-9]+', '[NUM]', 'g'), 1, 60) AS scrubbed_head, " +
+        "CAST(length(regexp_replace(text, '[0-9]+', '[NUM]', 'g')) AS INTEGER) AS scrubbed_len, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_redactions " +
+        "FROM documents ORDER BY doc_id")),
+
     // ---- multimodal ----------------------------------------------------
 
     // typed multimodal bundle: text + metadata + embedding in one struct

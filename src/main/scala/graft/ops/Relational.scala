@@ -262,6 +262,63 @@ object Relational {
         "WHERE o_totalprice > (SELECT CAST(ROUND(AVG(CAST(o2.o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) " +
         "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey")),
 
+    Op("rel_join_cross",
+      (s, d) => {
+        val r = T.t(s, d, "region"); val n = T.t(s, d, "nation")
+        r.crossJoin(n)
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy("r_regionkey", "n_nationkey")
+      },
+      Some("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_regionkey, n_nationkey")),
+
+    // pivot on a closed value set; nulls for absent cells coalesced to 0
+    // to match the oracle's conditional counts.
+    Op("rel_pivot",
+      (s, d) => T.t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, " +
+        "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // ordered collect: list aggregation made deterministic by sorting
+    // before rendering (collect_set order is engine/partition dependent).
+    Op("rel_agg_collect",
+      (s, d) => T.t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(expr("array_join(transform(array_sort(collect_set(c_nationkey)), x -> CAST(x AS STRING)), ',')")
+          .as("nation_keys"))
+        .orderBy("c_mktsegment"),
+      Some("SELECT c_mktsegment, " +
+        "array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_keys " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    // exact interpolated percentiles (sort-based, order-independent).
+    Op("rel_agg_percentile",
+      (s, d) => T.t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, " +
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, " +
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
     Op("rel_case_null",
       (s, d) => T.t(s, d, "orders").select(
           col("o_orderkey"),

@@ -29,6 +29,13 @@ object Sources {
   /** Materialize a block to parquet and read it back (snapflow's
     * StoredDataBlock persist step; Verify.scala does this for every op).
     */
+  /** ORC leg of the format-conversion lattice. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"target/tmp/orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    T.t(s, d, "supplier").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy("s_suppkey")
+  }
+
   private def parquetSink(s: SparkSession, d: String): DataFrame = {
     val tmp = s"target/tmp/snk_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     T.t(s, d, "supplier").write.mode("overwrite").parquet(tmp)
@@ -54,6 +61,10 @@ object Sources {
 
     Op("snk_parquet_write",
       parquetSink,
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    Op("src_orc_roundtrip",
+      orcRoundtrip,
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
   )
 }
