@@ -1,0 +1,80 @@
+package graft
+
+import graft.api.{Environment, RecordSchema}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Environment: declared graph produces and orders nodes") {
+    val env = new Environment(spark)
+      .addParquetSource("orders", s"${TestSpark.sf}/orders.parquet")
+      .addParquetSource("customer", s"${TestSpark.sf}/customer.parquet")
+      .addNode1("open_orders", "orders")(_.where("o_orderstatus = 'O'"))
+      .addNode("enriched", Seq("open_orders", "customer"))(dfs =>
+        dfs(0).join(dfs(1), dfs(0)("o_custkey") === dfs(1)("c_custkey")))
+    assert(env.executionOrder("enriched") == Seq("orders", "open_orders", "customer", "enriched"))
+    val n = env.produce("enriched").count()
+    assert(n > 0)
+    val direct = Tables.t(spark, TestSpark.sf, "orders").where("o_orderstatus = 'O'")
+      .join(Tables.t(spark, TestSpark.sf, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(n == direct)
+  }
+
+  test("RecordSchema: conform casts, soft-casts, and fills missing") {
+    val schema = RecordSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DoubleType),
+      StructField("note", StringType))), uniqueOn = Seq("id"))
+    val raw = Seq(("1", "2.5"), ("2", "oops")).toDF("id", "amount")
+    val strict = schema.conform(raw)
+    assert(strict.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("id", LongType), ("amount", DoubleType), ("note", StringType)))
+    val soft = schema.conform(raw, soft = true).collect()
+    assert(soft.length == 2 && soft.forall(_.isNullAt(2)))
+    assert(soft.find(_.getLong(0) == 2L).exists(_.isNullAt(1))) // 'oops' -> NULL
+  }
+
+  test("RecordSchema: translate, dedupe on unique_on, violations") {
+    val schema = RecordSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", IntegerType))), uniqueOn = Seq("id"))
+    val realized = Seq((1L, 10, 1), (1L, 20, 2), (2L, 5, 1)).toDF("key", "value", "ver")
+    val translated = schema.translateFrom(
+      realized.withColumnRenamed("ver", "order_col"),
+      Map("key" -> "id", "value" -> "v"))
+    assert(translated.columns.toSeq == Seq("id", "v"))
+    val deduped = schema.dedupeKeepLatest(
+      realized.select(col("key").as("id"), col("value").as("v"), col("ver")), "ver")
+    assert(deduped.select("id", "v").as[(Long, Int)].collect().toSet == Set((1L, 20), (2L, 5)))
+    val bad = schema.violations(realized.select(col("key").as("id"), col("value").as("v")))
+    assert(bad.count() == 2) // the duplicate id=1 pair
+  }
+
+  test("scalable as-of join equals the window-emulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 120).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000)))
+      .toDF("k", "lid", "lts")
+    val rights = (1 to 80).map(i => (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(1000)))
+      .toDF("k", "rid", "rts")
+
+    val fast = graft.ops.Joins.asofJoin(lefts, rights, "k", "lts", "rts",
+        payload = Seq("rid"), tiebreak = "rid")
+      .select(col("k"), col("lid"), col("__match.rid").as("rid"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    val w = Window.partitionBy("lid").orderBy(desc_nulls_last("rts"), desc_nulls_last("rid"))
+    val slow = lefts.join(rights.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rts") <= col("lts"), "left")
+      .withColumn("rn", row_number().over(w)).where("rn = 1")
+      .select(col("k"), col("lid"), col("rid"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    assert(fast == slow)
+  }
+}
