@@ -191,7 +191,14 @@ object LlmOps {
             .as("shingle"))
           .persist() // feeds the inverted-index self-join and the counts
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val shared = sh.as("x").join(sh.as("y"),
+        // posting-list cap: shingles shared by >256 docs are
+        // non-discriminative and would make the inverted-index join
+        // quadratic in the hottest list — drop them from pair GENERATION
+        // only (denominators still count every shingle).
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df")).where("df <= 256")
+          .select("shingle")
+        val shRare = sh.join(rare, "shingle")
+        val shared = shRare.as("x").join(shRare.as("y"),
             col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("shared"))
@@ -207,7 +214,9 @@ object LlmOps {
         "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
         "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
         "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM sh x JOIN sh y " +
+        "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
+        "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
+        "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM shrare x JOIN shrare y " +
         "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
         "SELECT d1, d2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard " +
         "FROM shared JOIN (SELECT doc_id AS d1, n_sh AS n1 FROM counts) c1 USING (d1) " +
@@ -431,6 +440,23 @@ object LlmOps {
       Some("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE CAST(concat('0x', substr(md5(concat(lang, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 20 " +
         "ORDER BY doc_id")),
+
+    // corpus composition: per-source language mix with exact-ratio
+    // percentages (integer counts divided once -> deterministic doubles).
+    Op("llm_source_mix",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+        T.t(s, d, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("pct", expr(
+            "round(CAST(n_docs AS DOUBLE) * 100 / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 4)"))
+          .select("source", "lang", "n_docs", "pct")
+          .orderBy("source", "lang")
+      },
+      Some("SELECT source, lang, n_docs, " +
+        "round(CAST(n_docs AS DOUBLE) * 100 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 4) AS pct " +
+        "FROM (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang) " +
+        "ORDER BY source, lang")),
 
     // PII-style scrubbing: redact digit runs, report redaction counts.
     Op("llm_pii_scrub",

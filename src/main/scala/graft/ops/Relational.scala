@@ -319,6 +319,22 @@ object Relational {
         "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
+    // statistical aggregates; rounding absorbs float summation-order
+    // drift (stddev/corr have no exact-decimal path).
+    Op("rel_agg_stats",
+      (s, d) => T.t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("round(stddev_samp(o_totalprice), 2)").as("sd_price"),
+          expr("round(avg(o_totalprice), 2)").as("mean_price"),
+          expr("round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)").as("price_cust_corr"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, round(stddev_samp(o_totalprice), 2) AS sd_price, " +
+        "round(avg(o_totalprice), 2) AS mean_price, " +
+        "round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
     Op("rel_case_null",
       (s, d) => T.t(s, d, "orders").select(
           col("o_orderkey"),

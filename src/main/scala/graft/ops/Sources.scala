@@ -36,6 +36,18 @@ object Sources {
     s.read.orc(tmp).orderBy("s_suppkey")
   }
 
+  /** JSON-lines leg: write region as JSONL, read back with an explicit
+    * schema (JSON inference would widen int to bigint).
+    */
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"target/tmp/json_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    T.t(s, d, "region").write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).json(tmp).orderBy("r_regionkey")
+  }
+
   private def parquetSink(s: SparkSession, d: String): DataFrame = {
     val tmp = s"target/tmp/snk_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     T.t(s, d, "supplier").write.mode("overwrite").parquet(tmp)
@@ -66,5 +78,9 @@ object Sources {
     Op("src_orc_roundtrip",
       orcRoundtrip,
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    Op("src_json_roundtrip",
+      jsonRoundtrip,
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
   )
 }

@@ -44,6 +44,22 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** stream-stream interval join: each click joined to purchases by the
+    * same user within the preceding hour. Watermarks bound the state the
+    * join keeps on both sides.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"), col("ts").as("buy_ts"))
+    c.join(p,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("buy_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+  }
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: amplify the sf0.1 documents/embeddings tables (20x / 10x,
+  * every row duplicated — a pathological near-dup corpus) into
+  * target/tmp/sfbig and time the heavy operators on it. Usage:
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.ScaleProbe [keys...]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val big = "target/tmp/sfbig"
+    if (!new java.io.File(s"$big/documents.parquet").exists()) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val copies = spark.range(20).select(col("id").as("copy"))
+      docs.crossJoin(copies)
+        .withColumn("doc_id", col("doc_id") + col("copy") * 1000000L).drop("copy")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+      emb.crossJoin(copies.where("copy < 10"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * 1000000L).drop("copy")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
+    println("PROBE docs=" + spark.read.parquet(s"$big/documents.parquet").count() +
+      " emb=" + spark.read.parquet(s"$big/embeddings.parquet").count())
+
+    val keys = if (args.nonEmpty) args.toSeq else Seq(
+      "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_minhash", "llm_dedup_simhash",
+      "llm_ngram_jaccard", "llm_tfidf", "llm_lang_id", "llm_similarity_topk",
+      "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified")
+    keys.foreach { k =>
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.Registry.byKey(k).query(spark, big).count()
+        println(f"PROBE $k: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      } catch {
+        case e: Throwable =>
+          println(s"PROBE $k FAILED: ${e.getMessage.take(200)}")
+      }
+    }
+    spark.stop()
+  }
+}

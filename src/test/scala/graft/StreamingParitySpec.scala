@@ -81,6 +81,28 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.length == want.size && got.toSet == want)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(150)
+    val clicks = events.filter(_.event_type == "click")
+    val buys = events.filter(_.event_type == "view")
+      .map(e => e.copy(event_type = "purchase"))
+    val mc = MemoryStream[Ev]; val mp = MemoryStream[Ev]
+    mc.addData(clicks); mp.addData(buys)
+    val name = s"ssj_${System.nanoTime()}"
+    val q = Streams.clickPurchaseJoin(mc.toDF(), mp.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("click_id", "buy_id")
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      c <- clicks; b <- buys
+      if b.user_id == c.user_id &&
+        b.ts.getTime >= c.ts.getTime - 3600000L && b.ts.getTime <= c.ts.getTime
+    } yield (c.event_id, b.event_id)).toSet
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running totals == batch aggregation") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
