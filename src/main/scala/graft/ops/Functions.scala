@@ -40,7 +40,7 @@ object Functions {
           expr("year(o_orderdate)").as("yr"),
           expr("month(o_orderdate)").as("mo"),
           expr("day(o_orderdate)").as("dy"),
-          expr("date_trunc('month', o_orderdate)").as("month_start"),
+          expr("CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ)").as("month_start"),
           // DATE results are re-cast to timestamp for the compare: DATE
           // output columns render differently across pandas/duckdb readers.
           expr("CAST(date_add(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP_NTZ)").as("due_date"),

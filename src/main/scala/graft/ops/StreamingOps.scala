@@ -31,7 +31,7 @@ object StreamingOps {
 
     Op("strm_tumbling_window",
       (s, d) => T.events(s, d)
-        .groupBy(expr("date_trunc('hour', ts)").as("bucket"))
+        .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"))
         .agg(count(lit(1)).as("n_events"), T.dsum(col("value")).as("sum_value"))
         .orderBy("bucket"),
       Some("SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events, " +
@@ -44,7 +44,7 @@ object StreamingOps {
       (s, d) => T.events(s, d)
         .select(col("ts"), col("value"), explode(expr("array(0, 1, 2, 3)")).as("k"))
         .withColumn("w_start", expr(
-          "date_trunc('hour', ts) + make_interval(0, 0, 0, 0, 0, (minute(ts) div 15) * 15 - k * 15, 0)"))
+          "CAST(date_trunc('hour', ts) + make_interval(0, 0, 0, 0, 0, (minute(ts) div 15) * 15 - k * 15, 0) AS TIMESTAMP_NTZ)"))
         .groupBy("w_start")
         .agg(count(lit(1)).as("n_events"), T.dsum(col("value")).as("sum_value"))
         .withColumn("w_end", expr("w_start + INTERVAL 1 HOUR"))
