@@ -84,6 +84,27 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sims(4L) + 1.0) < 1e-12)
   }
 
+  test("GraftExtensions registers the native functions in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // ensure base session exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val r = withExt.sql(
+        "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS s, " +
+        "simhash32(shingle_hashes('a b c d')) AS h").collect().head
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getLong(1) != 0L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("codegen CosineSimilarity is bit-identical to the declarative fold") {
     graft.functions.CosineSimilarity.register(spark)
     val emb = Tables.t(spark, sf, "embeddings")
