@@ -294,6 +294,36 @@ object LlmOps {
         "FROM embeddings, p WHERE label = p_label AND vec_id <> 0 " +
         "ORDER BY sim DESC, vec_id LIMIT 5")),
 
+    // LSH-bucketed ANN: 8 deterministic integer-valued random hyperplanes
+    // -> 8-bit sign bucket; the probe is searched only against its own
+    // bucket. The 100 TB shape: bucketing is a narrow map, candidate scan
+    // is one partition-pruned hash lookup, never a global cross join.
+    Op("llm_ann_lsh",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val sigExpr =
+          "aggregate(sequence(0, 7), 0, (acc, i) -> acc + CASE WHEN " +
+            "aggregate(transform(sequence(0, 63), j -> CAST(element_at(embedding, j + 1) AS DOUBLE) * " +
+            "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 " +
+            "THEN shiftleft(1, i) ELSE 0 END)"
+        val withSig = T.spread(T.t(s, d, "embeddings")).withColumn("bsig", expr(sigExpr))
+        val probe = withSig.where("vec_id = 0")
+          .select(col("embedding").as("p_emb"), col("bsig").as("p_sig"))
+        withSig.join(broadcast(probe), col("bsig") === col("p_sig") && col("vec_id") =!= 0)
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .select("vec_id", "bsig", "sim")
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+      },
+      Some("WITH s AS (SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 8), i -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, 64), j -> CAST(embedding[j + 1] AS DOUBLE) * " +
+        "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE))), (a, v) -> a + v) > 0 " +
+        "THEN (1 << i) ELSE 0 END)) AS INTEGER) AS bsig FROM embeddings), " +
+        "p AS (SELECT embedding AS p_emb, bsig AS p_sig FROM s WHERE vec_id = 0) " +
+        s"SELECT vec_id, bsig, ${oSim("embedding", "p_emb")} AS sim " +
+        "FROM s, p WHERE bsig = p_sig AND vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")),
+
     // ---- text analysis -------------------------------------------------
 
     Op("llm_text_stats",

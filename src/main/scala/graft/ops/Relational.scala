@@ -319,6 +319,37 @@ object Relational {
         "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
+    // TPC-H-Q5-shaped multi-join aggregate: the classic star-join plan —
+    // big-fact joins shuffle on keys, bounded dims broadcast, Catalyst/AQE
+    // pick the order.
+    Op("rel_multi_join_agg",
+      (s, d) => {
+        val c = T.t(s, d, "customer"); val o = T.t(s, d, "orders")
+        val l = T.t(s, d, "lineitem"); val su = T.t(s, d, "supplier")
+        val n = T.t(s, d, "nation"); val r = T.t(s, d, "region")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .where("r_name = 'ASIA' AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' " +
+            "AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+          .groupBy("n_name")
+          .agg(T.dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("SELECT n_name, " +
+        s"${T.oSum("l_extendedprice * (1 - l_discount)")} AS revenue, count(*) AS n_items " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY n_name")),
+
     // statistical aggregates; rounding absorbs float summation-order
     // drift (stddev/corr have no exact-decimal path).
     Op("rel_agg_stats",
