@@ -56,6 +56,29 @@ class ApiSpec extends AnyFunSuite {
     assert(bad.count() == 2) // the duplicate id=1 pair
   }
 
+  test("CoreModule: accumulate/merge/latest/sinceWatermark") {
+    import graft.api.CoreModule
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, 9.5)).toDF("id", "w")
+    val acc = CoreModule.accumulate(Seq(a, b))
+    assert(acc.count() == 3 && acc.columns.toSet == Set("id", "v", "w"))
+
+    val ev = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ver", "event_id")
+    val lat = CoreModule.latest(ev, Seq("user_id"), "ver", "event_id")
+      .select("user_id", "ver").as[(Long, Long)].collect().toSet
+    assert(lat == Set((1L, 20L), (2L, 5L)))
+
+    val evts = Tables.events(spark, TestSpark.sf)
+    val wm = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+    val recent = CoreModule.sinceWatermark(evts, "ts", wm)
+    assert(recent.agg(min("ts")).head.getAs[java.time.LocalDateTime](0).isAfter(wm))
+
+    // conform the raw events frame against the module's declared schema
+    val conformed = CoreModule.EventSchema.conform(evts)
+    assert(conformed.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("scalable as-of join equals the window-emulation on random data") {
     val rnd = new scala.util.Random(7)
     val lefts = (1 to 120).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000)))
