@@ -7,6 +7,20 @@ import org.apache.spark.sql.functions._
 /** Reusable join operators beyond Spark's built-in set. */
 object Joins {
 
+  /** Skew-resistant equi-join: salt the skewed (large) side's key N ways
+    * and explode the small side across all salts, so one hot key spreads
+    * over N reducers instead of one straggler. Result is identical to
+    * `large.join(small, key)` (inner); AQE's skew handling covers sort-
+    * merge joins, this covers the hash-partitioned paths it cannot.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int = 8): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** As-of join: for each left row, attach the latest right row with
     * `right.ts <= left.ts` for the same key.
     *

@@ -82,5 +82,27 @@ object Sources {
     Op("src_json_roundtrip",
       jsonRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // bucketed write + co-located join: orders bucketed by o_custkey join
+    // customer — the bucketed side needs no shuffle (asserted in tests).
+    Op("snk_bucketed_join",
+      (s, d) => {
+        val tbl = s"orders_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!s.catalog.tableExists(tbl)) {
+          T.t(s, d, "orders")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .format("parquet").saveAsTable(tbl)
+        }
+        val c = T.t(s, d, "customer")
+        s.table(tbl).join(c, col("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), T.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+        s"${T.oSum("o_totalprice")} AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )
 }

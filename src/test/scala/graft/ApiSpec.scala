@@ -79,6 +79,26 @@ class ApiSpec extends AnyFunSuite {
     assert(conformed.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
   }
 
+  test("saltedJoin equals the plain join") {
+    val rnd = new scala.util.Random(11)
+    // skewed: 80% of rows share key 0
+    val large = (1 to 500).map(i => (if (rnd.nextInt(5) > 0) 0L else rnd.nextInt(20).toLong, i))
+      .toDF("k", "v")
+    val small = (0 to 19).map(k => (k.toLong, s"dim_$k")).toDF("k", "name")
+    val fast = graft.ops.Joins.saltedJoin(large, small, "k")
+      .select("k", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    val plain = large.join(small, "k")
+      .select("k", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(fast == plain)
+  }
+
+  test("bucketed join reads buckets without shuffling the bucketed side") {
+    val df = Registry.byKey("snk_bucketed_join").query(spark, TestSpark.sf)
+    assert(df.count() == 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), s"expected bucketed scan in:\n${plan.take(2000)}")
+  }
+
   test("scalable as-of join equals the window-emulation on random data") {
     val rnd = new scala.util.Random(7)
     val lefts = (1 to 120).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000)))
