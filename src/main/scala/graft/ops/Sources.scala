@@ -89,6 +89,15 @@ object Sources {
       (s, d) => {
         val tbl = s"orders_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         if (!s.catalog.tableExists(tbl)) {
+          // a fresh in-memory catalog may not know a table whose warehouse
+          // dir survived a previous session — clear the stale location.
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          val wh = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+          if (wh.exists()) rm(wh)
           T.t(s, d, "orders")
             .write.mode("overwrite")
             .bucketBy(8, "o_custkey").sortBy("o_custkey")
