@@ -80,6 +80,28 @@ object Streams {
       }
   }
 
+  case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** flatMapGroupsWithState form: emit a running session row per user per
+    * batch and close it on event-time timeout — the general
+    * multiple-outputs-per-group stateful API (mapGroupsWithState emits
+    * exactly one).
+    */
+  def sessionCounts(events: Dataset[UserEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val next = batch.foldLeft(prev)((acc, e) =>
+            UserRunning(uid, acc.n_events + 1, acc.sum_value + e.value))
+          state.update(next)
+          Iterator(SessionOut(uid, next.n_events, closed = false))
+      }
+  }
+
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added
     * since the last run, tracked by the checkpoint — then returns.

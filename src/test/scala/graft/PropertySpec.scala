@@ -77,6 +77,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decimal-stabilized sum is invariant to partitioning") {
+    forSamples(Gen.listOfN(200, Gen.choose(-1e6, 1e6).map(x => math.round(x * 10000) / 10000.0)), n = 3) { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+      val one = df.coalesce(1).agg(Tables.dsum(col("x"))).head.getDouble(0)
+      val many = df.repartition(13).agg(Tables.dsum(col("x"))).head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(one) == java.lang.Double.doubleToLongBits(many))
+    }
+  }
+
   test("cosine fold stays in [-1, 1] and sim(v, v) == 1") {
     val vecGen = Gen.listOfN(8, Gen.choose(-100, 100)).map(_.map(_.toFloat / 7f).toArray)
       .suchThat(v => v.exists(_ != 0f))

@@ -124,6 +124,25 @@ class StreamingParitySpec extends AnyFunSuite {
       want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
   }
 
+  test("flatMapGroupsWithState emits per-batch running counts") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(40).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
+    val mem = MemoryStream[Streams.UserEvent]
+    val (h1, h2) = events.splitAt(25)
+    val name = s"fm_${System.nanoTime()}"
+    val q = Streams.sessionCounts(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    mem.addData(h1); q.processAllAvailable()
+    mem.addData(h2); q.processAllAvailable()
+    q.stop()
+    // the last emitted row per user carries the total across both batches
+    val got = spark.table(name)
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .as[(Long, Long)].collect().toSet
+    val want = events.groupBy(_.user_id).map { case (u, es) => (u, es.size.toLong) }.toSet
+    assert(got == want)
+  }
+
   test("incremental consumption processes only new blocks per run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
