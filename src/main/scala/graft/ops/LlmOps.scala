@@ -87,6 +87,26 @@ object LlmOps {
         "SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
         "FROM documents)) WHERE grp_n > 1 ORDER BY rep, doc_id")),
 
+    // the end-product operator of a dedup pipeline: the cleaned corpus —
+    // one representative (min doc_id) per sorted-token-signature group,
+    // singletons included.
+    Op("llm_corpus_dedupe",
+      (s, d) => {
+        val w = Window.partitionBy("sig")
+        T.t(s, d, "documents")
+          .withColumn("sig",
+            expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"))
+          .withColumn("rep", min("doc_id").over(w))
+          .where("doc_id = rep")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, source, n_chars FROM (SELECT doc_id, lang, source, n_chars, " +
+        "min(doc_id) OVER (PARTITION BY sig) AS rep FROM (" +
+        "SELECT doc_id, lang, source, n_chars, " +
+        "array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
+        "FROM documents)) WHERE doc_id = rep ORDER BY doc_id")),
+
     // MinHash(k=16) over 3-gram shingles + LSH(4 bands of 4): signatures
     // are computed per-doc inside whole-stage codegen (no exploded
     // shuffle); the only shuffle is the banded candidate join — the shape

@@ -124,6 +124,28 @@ class StreamingParitySpec extends AnyFunSuite {
       want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
   }
 
+  test("tumbling window parity holds on the RocksDB state store") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = s2.sqlContext
+    import s2.implicits._
+    val events = mkEvents(150)
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val name = s"rdb_${System.nanoTime()}"
+    val q = Streams.tumbling(mem.toDF()).writeStream
+      .outputMode(OutputMode.Complete()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = s2.table(name).select(col("bucket"), col("n_events"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    val want = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState emits per-batch running counts") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(40).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
