@@ -84,6 +84,32 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(sims(4L) + 1.0) < 1e-12)
   }
 
+  test("rel_pivot cells account for every order") {
+    val total = Tables.t(spark, sf, "orders").count()
+    val cells = q("rel_pivot").agg(sum(expr("n_f + n_o + n_p"))).head.getLong(0)
+    assert(cells == total)
+  }
+
+  test("llm_sample_stratified rate is near the nominal 20%") {
+    val total = Tables.t(spark, sf, "documents").count().toDouble
+    val kept = q("llm_sample_stratified").count().toDouble
+    assert(kept / total > 0.10 && kept / total < 0.32)
+  }
+
+  test("llm_ann_lsh returns at most k bucket-mates, sims descending") {
+    val rows = q("llm_ann_lsh").select("sim").as[Double].collect()
+    assert(rows.length <= 5)
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("llm_corpus_dedupe keeps exactly one doc per signature group") {
+    val kept = q("llm_corpus_dedupe").count()
+    val groups = Tables.t(spark, sf, "documents")
+      .select(expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')").as("sig"))
+      .distinct().count()
+    assert(kept == groups)
+  }
+
   test("GraftExtensions registers the native functions in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // ensure base session exists first
