@@ -523,6 +523,28 @@ object LlmOps {
         "CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_redactions " +
         "FROM documents ORDER BY doc_id")),
 
+    // training-shard packing: contiguous docs (per language, doc_id
+    // order) packed into ~2000-token shards via a cumulative-sum window —
+    // the deterministic variant of greedy sequence packing. Partitioned
+    // by lang so the window parallelizes; at 100 TB the partition key
+    // would be a range-bucketed shard group.
+    Op("llm_pack_shards",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.t(s, d, "documents")
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
+          .select("doc_id", "lang", "n_tokens", "shard_id")
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard_id FROM (" +
+        "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "FROM documents) ORDER BY doc_id")),
+
     // ---- multimodal ----------------------------------------------------
 
     // typed multimodal bundle: text + metadata + embedding in one struct
