@@ -96,6 +96,23 @@ object Functions {
         "CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), x -> CAST(length(x) AS INTEGER))), (a, b) -> a + b) AS INTEGER) AS tot_len " +
         "FROM documents ORDER BY doc_id")),
 
+    // bitwise family (DuckDB's ^ is power — xor() there, ^ here).
+    Op("fn_bitwise",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("and_lo"),
+          expr("o_orderkey | 15").as("or_lo"),
+          expr("o_orderkey ^ 90").as("xor_k"),
+          expr("shiftleft(o_orderkey, 2)").as("shl2"),
+          expr("shiftright(o_orderkey, 3)").as("shr3"),
+          expr("bit_count(o_orderkey)").as("popcnt"),
+          expr("~o_orderkey").as("inv"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderkey & 255 AS and_lo, o_orderkey | 15 AS or_lo, " +
+        "xor(o_orderkey, 90) AS xor_k, o_orderkey << 2 AS shl2, o_orderkey >> 3 AS shr3, " +
+        "CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt, ~o_orderkey AS inv " +
+        "FROM orders ORDER BY o_orderkey")),
+
     Op("fn_map_struct",
       (s, d) => T.t(s, d, "customer")
         .withColumn("st", expr("named_struct('name', c_name, 'bal', c_acctbal)"))

@@ -220,6 +220,35 @@ object Relational {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey")),
 
+    // RANGE window frame over event time: peers at the same date are all
+    // included, so no tiebreak is needed for determinism.
+    Op("rel_window_range",
+      (s, d) => {
+        T.t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("SELECT o_custkey, o_orderkey, o_orderdate, " +
+          "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_90d " +
+          "FROM orders ORDER BY o_custkey, o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_90d " +
+        "FROM orders ORDER BY o_custkey, o_orderkey")),
+
+    // unpivot/melt via stack(); oracle is the equivalent UNION ALL.
+    Op("rel_unpivot",
+      (s, d) => {
+        T.t(s, d, "supplier").createOrReplaceTempView("supplier")
+        s.sql("SELECT s_suppkey, metric, val FROM (SELECT s_suppkey, " +
+          "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, val) " +
+          "FROM supplier) ORDER BY s_suppkey, metric")
+      },
+      Some("SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier " +
+        "UNION ALL SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier " +
+        "ORDER BY s_suppkey, metric")),
+
     Op("rel_sort_limit",
       (s, d) => T.t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
