@@ -14,6 +14,21 @@ object Relational {
 
   private val shipCut = "TIMESTAMP_NTZ '1998-09-02 00:00:00'"
 
+  /** Union + carry-forward as-of join — same text on Spark and DuckDB. */
+  private val asofSql: String =
+    "SELECT click_id, user_id, click_ts, buy_id, buy_ts FROM (" +
+      "SELECT event_id AS click_id, user_id, ts AS click_ts, is_click, " +
+      "last_value(b_id IGNORE NULLS) OVER w AS buy_id, " +
+      "last_value(b_ts IGNORE NULLS) OVER w AS buy_ts " +
+      "FROM (SELECT event_id, user_id, ts, " +
+      "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click, " +
+      "CASE WHEN event_type = 'purchase' THEN event_id END AS b_id, " +
+      "CASE WHEN event_type = 'purchase' THEN ts END AS b_ts " +
+      "FROM events WHERE event_type IN ('click', 'purchase')) " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "WHERE is_click = 1 ORDER BY click_id"
+
   val ops: Seq[Op] = Seq(
 
     Op("rel_project_filter",
@@ -97,31 +112,20 @@ object Relational {
         "AS b(band_id, band_name, lo, hi) ON p_size >= lo AND p_size <= hi " +
         "ORDER BY p_partkey")),
 
-    // as-of join: each click matched to the latest purchase at-or-before it
-    // for the same user; emulated identically on both sides (window trick —
-    // SURVEY §2-G: do NOT use DuckDB's native ASOF JOIN as the oracle).
+    // as-of join: each click matched to the latest purchase at-or-before
+    // it for the same user. Implemented as union + sorted carry-forward
+    // (one shuffle on user_id, per-key linear — the shape that survives
+    // 100 TB; a per-click nested-loop emulation is quadratic per user).
+    // Identical SQL text runs on both engines (SURVEY §2-G: do NOT use
+    // DuckDB's native ASOF JOIN as the oracle). buy_id/buy_ts are
+    // null/non-null together, so independent IGNORE NULLS carries pick
+    // them from the same purchase row.
     Op("rel_join_asof",
       (s, d) => {
-        val e = T.events(s, d)
-        val clicks = e.where("event_type = 'click'")
-          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-        val buys = e.where("event_type = 'purchase'")
-          .select(col("event_id").as("buy_id"), col("user_id").as("b_user"), col("ts").as("buy_ts"))
-        val w = Window.partitionBy("click_id")
-          .orderBy(col("buy_ts").desc_nulls_last, col("buy_id").desc_nulls_last)
-        clicks.join(buys,
-            col("user_id") === col("b_user") && col("buy_ts") <= col("click_ts"), "left")
-          .withColumn("rn", row_number().over(w)).where("rn = 1")
-          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
-          .orderBy("click_id")
+        T.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofSql)
       },
-      Some("SELECT click_id, user_id, click_ts, buy_id, buy_ts FROM (" +
-        "SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts, " +
-        "b.event_id AS buy_id, b.ts AS buy_ts, " +
-        "row_number() OVER (PARTITION BY c.event_id ORDER BY b.ts DESC NULLS LAST, b.event_id DESC NULLS LAST) AS rn " +
-        "FROM events c LEFT JOIN events b " +
-        "ON b.event_type = 'purchase' AND b.user_id = c.user_id AND b.ts <= c.ts " +
-        "WHERE c.event_type = 'click') WHERE rn = 1 ORDER BY click_id")),
+      Some(asofSql)),
 
     // TPC-H Q1 shape; double aggregates stabilized via DECIMAL (§2-G.3).
     Op("rel_agg_hash",
