@@ -14,12 +14,17 @@ object Relational {
 
   private val shipCut = "TIMESTAMP_NTZ '1998-09-02 00:00:00'"
 
-  /** Union + carry-forward as-of join — same text on Spark and DuckDB. */
-  private val asofSql: String =
+  /** Union + carry-forward as-of join — identical logic on Spark and
+    * DuckDB; the one textual delta is IGNORE NULLS placement (Spark:
+    * after the call; DuckDB: inside the argument list).
+    */
+  private def asofSql(spark: Boolean): String = {
+    def lastNN(c: String) =
+      if (spark) s"last_value($c) IGNORE NULLS" else s"last_value($c IGNORE NULLS)"
     "SELECT click_id, user_id, click_ts, buy_id, buy_ts FROM (" +
       "SELECT event_id AS click_id, user_id, ts AS click_ts, is_click, " +
-      "last_value(b_id IGNORE NULLS) OVER w AS buy_id, " +
-      "last_value(b_ts IGNORE NULLS) OVER w AS buy_ts " +
+      s"${lastNN("b_id")} OVER w AS buy_id, " +
+      s"${lastNN("b_ts")} OVER w AS buy_ts " +
       "FROM (SELECT event_id, user_id, ts, " +
       "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click, " +
       "CASE WHEN event_type = 'purchase' THEN event_id END AS b_id, " +
@@ -28,6 +33,7 @@ object Relational {
       "WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click, event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
       "WHERE is_click = 1 ORDER BY click_id"
+  }
 
   val ops: Seq[Op] = Seq(
 
@@ -123,9 +129,9 @@ object Relational {
     Op("rel_join_asof",
       (s, d) => {
         T.events(s, d).createOrReplaceTempView("events")
-        s.sql(asofSql)
+        s.sql(asofSql(spark = true))
       },
-      Some(asofSql)),
+      Some(asofSql(spark = false))),
 
     // TPC-H Q1 shape; double aggregates stabilized via DECIMAL (§2-G.3).
     Op("rel_agg_hash",
