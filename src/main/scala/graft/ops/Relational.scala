@@ -133,6 +133,25 @@ object Relational {
       },
       Some(asofSql(spark = false))),
 
+    // Same as-of semantics through the engine's OWN Catalyst operator
+    // (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + merge-join
+    // SparkPlan — one shuffle per side, sorted carry-forward) so the
+    // DuckDB window emulation oracle-checks the custom physical plan.
+    Op("rel_join_asof_native",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        graft.plans.AsOf.join(clicks, buys, Seq("user_id"),
+            leftTs = "click_ts", rightTs = "buy_ts",
+            payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"))
+          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+          .orderBy("click_id")
+      },
+      Some(asofSql(spark = false))),
+
     // TPC-H Q1 shape; double aggregates stabilized via DECIMAL (§2-G.3).
     Op("rel_agg_hash",
       (s, d) => T.t(s, d, "lineitem")

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class Catalyst operator (SURVEY §2-C
+  * `rel_join_asof`, custom-operator path (c)).
+  *
+  * Semantics: for each left row, attach the payload of the LATEST right
+  * row with the same key and `rightTs <= leftTs` (nulls when none).
+  * Among equal-ts right rows the greatest `rightTiebreak` wins. Null
+  * keys group together (same as the window emulation both engines run).
+  *
+  * Physical shape — the one that survives 100 TB: each side shuffles
+  * ONCE on its key (`ClusteredDistribution`, so EnsureRequirements
+  * co-partitions the children), sorts within partitions by (key, ts),
+  * and a single forward merge pass emits every left row with a
+  * carried-forward right payload. Per-key work is linear; no window
+  * materialization of the unioned stream, no broadcast-nested-loop.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    payload: Seq[Attribute],
+    rightTiebreak: Seq[Attribute])
+    extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "as-of join needs equi keys")
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin =>
+      AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.payload,
+        j.rightTiebreak, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    payload: Seq[Attribute],
+    rightTiebreak: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys ++ Seq(rightTs) ++ rightTiebreak).map(SortOrder(_, Ascending)))
+
+  // left rows pass through in their sorted order, partitioning untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTs = leftTs; val rTs = rightTs
+    val pay = payload
+    val out = output
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val payProj = UnsafeProjection.create(pay, rOut)
+      val resultProj = UnsafeProjection.create(out, out)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val joined = new JoinedRow
+      val nullPay = new GenericInternalRow(pay.length)
+      val rBuf = rIter.buffered
+
+      // carried match: payload + key of the last right row consumed whose
+      // ts was <= the current left ts (rows are copies — buffers reuse)
+      var matchPay: InternalRow = null
+      var matchKey: InternalRow = null
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTsProj(l).get(0, tsType)
+        var advance = true
+        while (advance && rBuf.hasNext) {
+          val rk = rKeyProj(rBuf.head)
+          val cmp = keyOrd.compare(rk, lk)
+          if (cmp < 0) { rBuf.next() } // right key already passed — discard
+          else if (cmp == 0) {
+            val rt = rTsProj(rBuf.head).get(0, tsType)
+            // null ts sorts (and matches) before everything: null <= any
+            if (rt == null || (lt != null && tsOrd.lteq(rt, lt))) {
+              matchPay = payProj(rBuf.head).copy()
+              matchKey = rk.copy()
+              rBuf.next()
+            } else advance = false
+          } else advance = false
+        }
+        val hit = matchPay != null && matchKey != null && keyOrd.compare(
+          matchKey, lk) == 0
+        resultProj(joined(l, if (hit) matchPay else nullPay))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry for the native as-of join. */
+object AsOf {
+
+  /** Join `left` to the latest `right` row per key with
+    * `right(rightTs) <= left(leftTs)`; right columns in `payload` are
+    * appended (nullable). `tiebreak` orders equal-ts right rows
+    * (greatest wins). Works on any session — the planner strategy is
+    * registered on the fly via `ExperimentalMethods` (sessions built
+    * with [[graft.GraftExtensions]] already have it).
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
+    val lPlan = GraftSqlBridge.analyzed(left)
+    // Re-alias every right column so the right subtree carries fresh
+    // exprIds: with a shared lineage (self-as-of) the analyzer's
+    // DeduplicateRelations would re-id the right child underneath us,
+    // orphaning the attributes this node captured.
+    val rPlan = GraftSqlBridge.analyzed(
+      right.select(right.columns.toIndexedSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*))
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"as-of join: no column '$name' in ${p.output.map(_.name).mkString(", ")}"))
+    val node = AsOfJoin(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      payload.map(attr(rPlan, _)), tiebreak.map(attr(rPlan, _)))
+    GraftSqlBridge.ofRows(spark, node)
+  }
+}

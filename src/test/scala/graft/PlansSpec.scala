@@ -1,0 +1,96 @@
+package graft
+
+import graft.plans.{AsOf, AsOfJoinExec}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** The custom Catalyst as-of join (logical node + strategy + merge
+  * exec) — semantics vs the window-emulation reference, edge cases,
+  * and the physical plan shape that matters at scale.
+  */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join matches hand-computed expectations incl. ties, equal ts, and missing keys") {
+    val clicks = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // before any buy -> null
+      (2L, "u1", ts("2024-01-01 12:00:00")), // exactly at buy 101 -> 101 (<= matches)
+      (3L, "u1", ts("2024-01-01 13:00:00")), // after 101 -> 101
+      (4L, "u1", ts("2024-01-01 15:00:00")), // after tie pair at 14:00 -> greatest id 103
+      (5L, "u2", ts("2024-01-01 09:00:00")), // key with no buys at all -> null
+      (6L, "u3", ts("2024-01-02 00:00:00"))  // only buy is later -> null
+    ).toDF("click_id", "user_id", "click_ts")
+    val buys = Seq(
+      ("u1", 101L, ts("2024-01-01 12:00:00")),
+      ("u1", 102L, ts("2024-01-01 14:00:00")),
+      ("u1", 103L, ts("2024-01-01 14:00:00")), // tie on ts: 103 wins
+      ("u3", 104L, ts("2024-01-02 00:00:01"))
+    ).toDF("user_id", "buy_id", "buy_ts")
+
+    val got = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id"), tiebreak = Seq("buy_id"))
+      .orderBy("click_id")
+      .select("click_id", "buy_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(got.toSeq == Seq(1L -> -1L, 2L -> 101L, 3L -> 101L, 4L -> 103L, 5L -> -1L, 6L -> -1L))
+  }
+
+  test("as-of join equals the union+window emulation on real events data") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val clicks = ev.where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.where("event_type = 'purchase'")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+
+    val native = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"))
+      .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+
+    val emulated = ops.Joins.asofJoin(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        payload = Seq("buy_id", "buy_ts"), tiebreak = "buy_id")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("__match.buy_id").as("buy_id"), col("__match.buy_ts").as("buy_ts"))
+
+    assert(native.count() == clicks.count(), "every left row exactly once")
+    assert(native.exceptAll(emulated).isEmpty && emulated.exceptAll(native).isEmpty)
+  }
+
+  test("as-of physical plan is one shuffle per side feeding AsOfJoinExec (no BNL, no window over union)") {
+    val clicks = Tables.events(spark, TestSpark.sf).where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val buys = Tables.events(spark, TestSpark.sf).where("event_type = 'purchase'")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+    val df = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+      payload = Seq("buy_id"), tiebreak = Seq("buy_id"))
+    df.count() // materialize the adaptive plan
+
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collect { case n => n }
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]), s"AsOfJoinExec missing:\n$plan")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 2, s"expected exactly 2 shuffles (one per side), got $shuffles:\n$plan")
+  }
+
+  test("as-of join works on a fresh session (strategy self-registers)") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val clicks = Seq((1L, "u", ts("2024-01-01 00:00:01"))).toDF("cid", "k", "lts")
+    val buys = Seq(("u", 9L, ts("2024-01-01 00:00:00"))).toDF("k", "bid", "rts")
+    val out = AsOf.join(clicks, buys, Seq("k"), "lts", "rts", Seq("bid")).collect()
+    assert(out.length == 1 && out.head.getLong(out.head.fieldIndex("bid")) == 9L)
+  }
+}
