@@ -561,5 +561,51 @@ object LlmOps {
       Some("SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "CAST(embedding[1] AS DOUBLE) AS emb_first " +
         "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id")),
+
+    // fixed-size token chunking with overlap (context-window packing prep):
+    // 32-token chunks every 24 tokens. One narrow shuffle-free pass —
+    // sequence+explode stays inside codegen; at 100 TB this is a pure map
+    // stage whose output partitioning follows the input.
+    Op("llm_doc_chunk",
+      (s, d) => {
+        val cs = 32; val step = 24
+        T.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1), size(col("toks")), lit(step))).as("start"))
+          .select(col("doc_id"), col("start").cast("int").as("chunk_start"),
+            array_join(slice(col("toks"), col("start"), lit(cs)), " ").as("chunk_text"),
+            size(slice(col("toks"), col("start"), lit(cs))).cast("int").as("n_tokens"))
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start FROM t) " +
+        "SELECT doc_id, CAST(start AS INTEGER) AS chunk_start, " +
+        "array_to_string(toks[start:least(start + 31, len(toks))], ' ') AS chunk_text, " +
+        "CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER) AS n_tokens " +
+        "FROM s ORDER BY doc_id, chunk_start")),
+
+    // benchmark-contamination scan: probe phrases (8-token spans drawn
+    // deterministically from every 100th doc) substring-matched against the
+    // whole corpus. Probe set is bounded -> broadcast; the corpus side
+    // streams, so the scan stays embarrassingly parallel at any scale.
+    Op("llm_contamination_check",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val probes = docs
+          .where("doc_id % 100 = 7 AND size(split(text, ' ')) >= 10")
+          .select(col("doc_id").as("probe_id"),
+            array_join(slice(split(col("text"), " "), 3, 8), " ").as("phrase"))
+        docs.join(broadcast(probes),
+            col("doc_id") =!= col("probe_id") && instr(col("text"), col("phrase")) > 0)
+          .select("doc_id", "probe_id", "phrase")
+          .orderBy("doc_id", "probe_id")
+      },
+      Some("WITH probes AS (SELECT doc_id AS probe_id, " +
+        "array_to_string((string_split(text, ' '))[3:10], ' ') AS phrase " +
+        "FROM documents WHERE doc_id % 100 = 7 AND len(string_split(text, ' ')) >= 10) " +
+        "SELECT d.doc_id, probe_id, phrase FROM documents d, probes " +
+        "WHERE d.doc_id <> probe_id AND strpos(d.text, phrase) > 0 " +
+        "ORDER BY d.doc_id, probe_id")),
   )
 }

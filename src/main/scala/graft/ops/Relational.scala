@@ -266,6 +266,39 @@ object Relational {
         "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_90d " +
         "FROM orders ORDER BY o_custkey, o_orderkey")),
 
+    // distribution window functions: ntile buckets, percent_rank and
+    // cume_dist — pure rank/count arithmetic (no float accumulation), so
+    // the doubles are bit-identical across engines given the same total
+    // order; the (o_totalprice, o_orderkey) key makes the order unique.
+    Op("rel_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        T.t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .withColumn("nt", ntile(4).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "CAST(ntile(4) OVER w AS INTEGER) AS nt, percent_rank() OVER w AS pr, " +
+        "cume_dist() OVER w AS cd FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey")),
+
+    // filtered/conditional aggregation (count_if / FILTER clause).
+    Op("rel_agg_filtered",
+      (s, d) => T.t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(expr("count_if(o_totalprice > 100000)").as("n_big"),
+          T.dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("sum_f"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, " +
+        "CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big, " +
+        s"${T.oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS sum_f, " +
+        "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
     // unpivot/melt via stack(); oracle is the equivalent UNION ALL.
     Op("rel_unpivot",
       (s, d) => {

@@ -113,5 +113,24 @@ object Sources {
         s"${T.oSum("o_totalprice")} AS sum_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    // Hive-style partitioned layout + partition pruning: write orders
+    // partitioned by status, read back with a partition predicate — the
+    // scan must touch only the o_orderstatus=F directory (PartitionFilters
+    // in the plan; at 100 TB this is the difference between reading one
+    // partition and the whole table).
+    Op("snk_partitioned_prune",
+      (s, d) => {
+        val tmp = s"target/tmp/part_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val src = T.t(s, d, "orders")
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        // explicit schema: an all-empty input writes no partition dirs,
+        // which would otherwise fail inference
+        s.read.schema(src.schema).parquet(tmp).where("o_orderstatus = 'F'")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey")),
   )
 }

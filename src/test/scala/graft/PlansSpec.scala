@@ -85,6 +85,36 @@ class PlansSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected exactly 2 shuffles (one per side), got $shuffles:\n$plan")
   }
 
+  test("snk_partitioned_prune scan reads only the matching partition (PartitionFilters)") {
+    val df = Registry.byKey("snk_partitioned_prune").query(spark, TestSpark.sf)
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters.exists(_.references.exists(_.name == "o_orderstatus")))
+    assert(pruned.nonEmpty, s"no partition filter on o_orderstatus:\n${scans.mkString("\n")}")
+  }
+
+  test("llm_doc_chunk covers every token exactly once per stride and respects bounds") {
+    val chunks = Registry.byKey("llm_doc_chunk").query(spark, TestSpark.sf)
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(max("chunk_start").as("last_start"), min("chunk_start").as("first_start"),
+        max(col("chunk_start") + col("n_tokens") - 1).as("last_tok"))
+      .join(docs, "doc_id")
+    // first chunk starts at 1; last chunk ends exactly at the doc's token count
+    assert(byDoc.where("first_start <> 1 OR last_tok <> nt").isEmpty)
+    // every start lies on the 24-token stride and every chunk is exactly
+    // min(32, tokens remaining) long
+    assert(chunks.join(docs, "doc_id")
+      .where("(chunk_start - 1) % 24 <> 0 OR n_tokens <> least(32, nt - chunk_start + 1)")
+      .isEmpty)
+  }
+
   test("as-of join works on a fresh session (strategy self-registers)") {
     val s2 = spark.newSession()
     import s2.implicits._
