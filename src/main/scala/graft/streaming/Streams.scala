@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** True Structured Streaming forms of the §2-E operators (the batch
   * equivalents used by the t2 oracle live in graft.ops.StreamingOps; the
@@ -78,6 +78,43 @@ object Streams {
           state.update(next)
           next
       }
+  }
+
+  /** transformWithState form of [[runningTotals]] — the Spark 4
+    * successor API: explicit typed state handles (ValueState here;
+    * List/Map state and timers on the same handle) backed by the RocksDB
+    * state store. Same semantics as the mapGroupsWithState version,
+    * pinned equal by a parity test.
+    */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState(
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      val next = rows.foldLeft(prev)((acc, e) =>
+        UserRunning(key, acc.n_events + 1, acc.sum_value + e.value))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Requires the RocksDB state store provider (transformWithState does
+    * not run on the default HDFS-backed store).
+    */
+  def runningTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)

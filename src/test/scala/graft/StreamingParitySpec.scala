@@ -124,6 +124,30 @@ class StreamingParitySpec extends AnyFunSuite {
       want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
   }
 
+  test("transformWithState running totals == mapGroupsWithState == batch (RocksDB store)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = s2.sqlContext
+    import s2.implicits._
+    val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
+    val mem = MemoryStream[Streams.UserEvent]
+    mem.addData(events)
+    val name = s"tws_${System.nanoTime()}"
+    val q = Streams.runningTotalsTws(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = s2.table(name)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(desc("n_events"))))
+      .where("rn = 1").select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      (u, es.size.toLong, es.map(_.value).sum) }.toSet
+    assert(got.map(t => (t._1, t._2, math.round(t._3 * 1e6))) ==
+      want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
+  }
+
   test("tumbling window parity holds on the RocksDB state store") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
