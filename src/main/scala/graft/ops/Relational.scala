@@ -266,6 +266,26 @@ object Relational {
         "RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_90d " +
         "FROM orders ORDER BY o_custkey, o_orderkey")),
 
+    // top-k per group via the bounded TopKAggregator (map-side partial
+    // top-k: the shuffle carries ≤ k rows per group per mapper instead
+    // of the whole table — contrast rel_window_rank, which sorts every
+    // row). Oracle is the equivalent window formulation.
+    Op("rel_topk_per_group",
+      (s, d) => {
+        val topk = graft.functions.TopKAggregator.topK(3)
+        T.t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rn"),
+            col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn")),
+
     // distribution window functions: ntile buckets, percent_rank and
     // cume_dist — pure rank/count arithmetic (no float accumulation), so
     // the doubles are bit-identical across engines given the same total

@@ -86,6 +86,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggregator == sorted take(k) for any data and any partitioning") {
+    import graft.functions.{Scored, TopKAggregator}
+    val rowsGen = for {
+      n <- Gen.choose(0, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 4L)
+        v <- Gen.choose(-50, 50).map(_.toDouble / 3.0)
+      } yield (g, v))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+    forSamples(rowsGen) { rows =>
+      val k = 3
+      val topk = TopKAggregator.topK(k)
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val got = df.groupBy("g")
+        .agg(topk(col("v"), col("id")).as("top"))
+        .as[(Long, Seq[(Double, Long)])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sortBy { case (v, id) => (-v, id) }.take(k)
+      }
+      assert(got.view.mapValues(_.toList).toMap == want.view.mapValues(_.toList).toMap)
+      // direct unit: merge bound + ordering
+      val agg = new TopKAggregator(k)
+      val merged = agg.merge(
+        Seq(Scored(5, 1), Scored(3, 2)), Seq(Scored(5, 0), Scored(4, 9), Scored(1, 3)))
+      assert(merged == Seq(Scored(5, 0), Scored(5, 1), Scored(4, 9)))
+    }
+  }
+
   test("cosine fold stays in [-1, 1] and sim(v, v) == 1") {
     val vecGen = Gen.listOfN(8, Gen.choose(-100, 100)).map(_.map(_.toFloat / 7f).toArray)
       .suchThat(v => v.exists(_ != 0f))
