@@ -585,6 +585,41 @@ object LlmOps {
         "CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER) AS n_tokens " +
         "FROM s ORDER BY doc_id, chunk_start")),
 
+    // symmetric int8 quantization of embeddings (4x memory cut for ANN
+    // serving): per-vector scale = max|x|/127, elements floored to int8
+    // range (floor, not round — identical rounding on both engines), plus
+    // the sequential-fold reconstruction error. Pure per-row map stage.
+    Op("llm_embedding_quantize",
+      (s, d) => T.t(s, d, "embeddings")
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"))
+        .where("maxabs > 0")
+        .withColumn("scale", expr("maxabs / 127.0"))
+        .withColumn("q", expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale) AS INT))"))
+        .select(col("vec_id"), col("scale"),
+          expr("element_at(q, 1)").as("q1"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))").as("q_sum"),
+          expr("aggregate(zip_with(embedding, q, (x, qq) -> " +
+            "abs(CAST(x AS DOUBLE) - CAST(qq AS DOUBLE) * scale)), CAST(0 AS DOUBLE), " +
+            "(acc, v) -> acc + v)").as("err"))
+        .orderBy("vec_id"),
+      Some("WITH t AS (SELECT vec_id, embedding, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), " +
+        "(a, b) -> greatest(a, b)) AS maxabs FROM embeddings), " +
+        "u AS (SELECT vec_id, embedding, maxabs / 127.0 AS scale, " +
+        "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / (maxabs / 127.0)) AS INTEGER)) AS q " +
+        "FROM t WHERE maxabs > 0) " +
+        "SELECT vec_id, scale, q[1] AS q1, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> CAST(x AS BIGINT))), " +
+        "(a, b) -> a + b) AS q_sum, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(embedding) + 1), i -> " +
+        "abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale))), " +
+        "(a, b) -> a + b) AS err " +
+        "FROM u ORDER BY vec_id")),
+
     // benchmark-contamination scan: probe phrases (8-token spans drawn
     // deterministically from every 100th doc) substring-matched against the
     // whole corpus. Probe set is bounded -> broadcast; the corpus side

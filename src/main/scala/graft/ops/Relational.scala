@@ -286,6 +286,36 @@ object Relational {
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, rn")),
 
+    // forward as-of through the same custom operator: each click matched
+    // to the EARLIEST purchase at-or-after it (smallest event_id on ties).
+    // Oracle is the first_value-over-following-frame emulation.
+    Op("rel_join_asof_forward",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        graft.plans.AsOf.join(clicks, buys, Seq("user_id"),
+            leftTs = "click_ts", rightTs = "buy_ts",
+            payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"),
+            direction = "forward")
+          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+          .orderBy("click_id")
+      },
+      Some("SELECT click_id, user_id, click_ts, buy_id, buy_ts FROM (" +
+        "SELECT event_id AS click_id, user_id, ts AS click_ts, is_click, " +
+        "first_value(b_id IGNORE NULLS) OVER w AS buy_id, " +
+        "first_value(b_ts IGNORE NULLS) OVER w AS buy_ts " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click, " +
+        "CASE WHEN event_type = 'purchase' THEN event_id END AS b_id, " +
+        "CASE WHEN event_type = 'purchase' THEN ts END AS b_ts " +
+        "FROM events WHERE event_type IN ('click', 'purchase')) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "WHERE is_click = 1 ORDER BY click_id")),
+
     // distribution window functions: ntile buckets, percent_rank and
     // cume_dist — pure rank/count arithmetic (no float accumulation), so
     // the doubles are bit-identical across engines given the same total

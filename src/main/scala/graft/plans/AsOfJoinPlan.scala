@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -12,17 +12,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** As-of join as a first-class Catalyst operator (SURVEY §2-C
   * `rel_join_asof`, custom-operator path (c)).
   *
-  * Semantics: for each left row, attach the payload of the LATEST right
-  * row with the same key and `rightTs <= leftTs` (nulls when none).
-  * Among equal-ts right rows the greatest `rightTiebreak` wins. Null
-  * keys group together (same as the window emulation both engines run).
+  * Semantics (pandas `merge_asof` surface): for each left row, attach the
+  * payload of the right row with the same key that is
+  *  - `backward` (default): the LATEST with `rightTs <= leftTs` — among
+  *    equal-ts right rows the greatest `rightTiebreak` wins;
+  *  - `forward`: the EARLIEST with `rightTs >= leftTs` — among equal-ts
+  *    right rows the smallest `rightTiebreak` wins;
+  * optionally rejecting matches farther than `tolerance` (in the
+  * timestamp's native unit: µs for timestamps, days for dates).
+  * Nulls when no match. Null keys group together; a null ts sorts (and
+  * compares) before everything — both as in the window emulation that
+  * serves as this operator's oracle.
   *
   * Physical shape — the one that survives 100 TB: each side shuffles
   * ONCE on its key (`ClusteredDistribution`, so EnsureRequirements
   * co-partitions the children), sorts within partitions by (key, ts),
-  * and a single forward merge pass emits every left row with a
-  * carried-forward right payload. Per-key work is linear; no window
-  * materialization of the unioned stream, no broadcast-nested-loop.
+  * and a single merge pass emits every left row with its matched right
+  * payload. Per-key work is linear; no window materialization of the
+  * unioned stream, no broadcast-nested-loop.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -32,10 +39,13 @@ case class AsOfJoin(
     leftTs: Attribute,
     rightTs: Attribute,
     payload: Seq[Attribute],
-    rightTiebreak: Seq[Attribute])
+    rightTiebreak: Seq[Attribute],
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
     extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "as-of join needs equi keys")
+  require(direction == "backward" || direction == "forward", s"bad direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -49,7 +59,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.payload,
-        j.rightTiebreak, planLater(j.left), planLater(j.right)) :: Nil
+        j.rightTiebreak, j.direction, j.tolerance,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +72,8 @@ case class AsOfJoinExec(
     rightTs: Attribute,
     payload: Seq[Attribute],
     rightTiebreak: Seq[Attribute],
+    direction: String,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -89,6 +102,8 @@ case class AsOfJoinExec(
     val out = output
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
+    val forward = direction == "forward"
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -103,32 +118,77 @@ case class AsOfJoinExec(
       val nullPay = new GenericInternalRow(pay.length)
       val rBuf = rIter.buffered
 
-      // carried match: payload + key of the last right row consumed whose
-      // ts was <= the current left ts (rows are copies — buffers reuse)
+      // tolerance needs a numeric view of the ts (µs for timestamps,
+      // days for dates, raw for integral sort keys)
+      def tsLong(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => sys.error(s"as-of tolerance unsupported for $tsType value $other")
+      }
+      def withinTol(early: Any, late: Any): Boolean = tol match {
+        case None => true
+        case Some(t) =>
+          if (early == null && late == null) true
+          else if (early == null || late == null) false
+          else tsLong(late) - tsLong(early) <= t
+      }
+
+      // backward state: payload/key/ts of the last right row consumed
+      // whose ts was <= the current left ts (copied — buffers reuse)
       var matchPay: InternalRow = null
       var matchKey: InternalRow = null
+      var matchTs: Any = null
 
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = lTsProj(l).get(0, tsType)
         var advance = true
-        while (advance && rBuf.hasNext) {
-          val rk = rKeyProj(rBuf.head)
-          val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0) { rBuf.next() } // right key already passed — discard
-          else if (cmp == 0) {
-            val rt = rTsProj(rBuf.head).get(0, tsType)
-            // null ts sorts (and matches) before everything: null <= any
-            if (rt == null || (lt != null && tsOrd.lteq(rt, lt))) {
-              matchPay = payProj(rBuf.head).copy()
-              matchKey = rk.copy()
-              rBuf.next()
+        if (!forward) {
+          while (advance && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0) { rBuf.next() } // right key already passed — discard
+            else if (cmp == 0) {
+              val rt = rTsProj(rBuf.head).get(0, tsType)
+              // null ts sorts (and matches) before everything: null <= any
+              if (rt == null || (lt != null && tsOrd.lteq(rt, lt))) {
+                matchPay = payProj(rBuf.head).copy()
+                matchKey = rk.copy()
+                matchTs = rt
+                rBuf.next()
+              } else advance = false
             } else advance = false
-          } else advance = false
+          }
+          val hit = matchPay != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0 && withinTol(matchTs, lt)
+          resultProj(joined(l, if (hit) matchPay else nullPay))
+        } else {
+          // forward: drop rights strictly before lt, then match the head
+          // (not consumed — later left rows have ts >= lt and may reuse it)
+          while (advance && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0) { rBuf.next() }
+            else if (cmp == 0) {
+              val rt = rTsProj(rBuf.head).get(0, tsType)
+              val rtBeforeLt =
+                if (lt == null) false      // null lt is minimal: keep all
+                else if (rt == null) true  // null rt sorts first: useless
+                else tsOrd.lt(rt, lt)
+              if (rtBeforeLt) rBuf.next() else advance = false
+            } else advance = false
+          }
+          val hit = rBuf.hasNext && {
+            val rk = rKeyProj(rBuf.head)
+            keyOrd.compare(rk, lk) == 0 && {
+              val rt = rTsProj(rBuf.head).get(0, tsType)
+              withinTol(lt, rt)
+            }
+          }
+          resultProj(joined(l, if (hit) payProj(rBuf.head) else nullPay))
         }
-        val hit = matchPay != null && matchKey != null && keyOrd.compare(
-          matchKey, lk) == 0
-        resultProj(joined(l, if (hit) matchPay else nullPay))
       }
     }
   }
@@ -141,12 +201,15 @@ case class AsOfJoinExec(
 /** DataFrame-level entry for the native as-of join. */
 object AsOf {
 
-  /** Join `left` to the latest `right` row per key with
-    * `right(rightTs) <= left(leftTs)`; right columns in `payload` are
-    * appended (nullable). `tiebreak` orders equal-ts right rows
-    * (greatest wins). Works on any session — the planner strategy is
-    * registered on the fly via `ExperimentalMethods` (sessions built
-    * with [[graft.GraftExtensions]] already have it).
+  /** Join `left` to the matching `right` row per key ([[AsOfJoin]]
+    * semantics); right columns in `payload` are appended (nullable).
+    * `tiebreak` orders equal-ts right rows. Works on any session — the
+    * planner strategy is registered on the fly via `ExperimentalMethods`
+    * (sessions built with [[graft.GraftExtensions]] already have it).
+    *
+    * @param direction "backward" (latest right ≤ left ts) or "forward"
+    *                  (earliest right ≥ left ts)
+    * @param tolerance max |leftTs - rightTs| in the ts type's native unit
     */
   def join(
       left: DataFrame,
@@ -155,7 +218,9 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = GraftSqlBridge.analyzed(left)
@@ -173,7 +238,8 @@ object AsOf {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTs), attr(rPlan, rightTs),
-      payload.map(attr(rPlan, _)), tiebreak.map(attr(rPlan, _)))
+      payload.map(attr(rPlan, _)), tiebreak.map(attr(rPlan, _)),
+      direction, tolerance)
     GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -45,6 +45,46 @@ class PlansSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L -> -1L, 2L -> 101L, 3L -> 101L, 4L -> 103L, 5L -> -1L, 6L -> -1L))
   }
 
+  test("forward as-of picks the earliest at-or-after match; tolerance rejects distant ones") {
+    val clicks = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // next buy 12:00 -> 101 (but > 1h away)
+      (2L, "u1", ts("2024-01-01 12:00:00")), // exactly at 101 -> 101
+      (3L, "u1", ts("2024-01-01 13:30:00")), // next is the 14:00 tie -> smallest id 102
+      (4L, "u1", ts("2024-01-01 15:00:00")), // nothing after -> null
+      (5L, "u2", ts("2024-01-01 09:00:00"))  // no buys -> null
+    ).toDF("click_id", "user_id", "click_ts")
+    val buys = Seq(
+      ("u1", 101L, ts("2024-01-01 12:00:00")),
+      ("u1", 102L, ts("2024-01-01 14:00:00")),
+      ("u1", 103L, ts("2024-01-01 14:00:00"))
+    ).toDF("user_id", "buy_id", "buy_ts")
+
+    def run(tol: Option[Long]) =
+      AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+          payload = Seq("buy_id"), tiebreak = Seq("buy_id"),
+          direction = "forward", tolerance = tol)
+        .orderBy("click_id").select("click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+
+    assert(run(None) == Seq(1L -> 101L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
+    val hourUs = 3600L * 1000000L
+    assert(run(Some(hourUs)) == Seq(1L -> -1L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("backward as-of tolerance bounds the staleness of the carried match") {
+    val clicks = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00")),
+      (2L, "u", ts("2024-01-01 13:00:00"))
+    ).toDF("click_id", "user_id", "click_ts")
+    val buys = Seq(("u", 9L, ts("2024-01-01 09:30:00"))).toDF("user_id", "buy_id", "buy_ts")
+    val got = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id"), tiebreak = Seq("buy_id"),
+        tolerance = Some(3600L * 1000000L))
+      .orderBy("click_id").select("click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 9L, 2L -> -1L)) // 30 min ok, 3.5 h stale
+  }
+
   test("as-of join equals the union+window emulation on real events data") {
     val ev = Tables.events(spark, TestSpark.sf)
     val clicks = ev.where("event_type = 'click'")
