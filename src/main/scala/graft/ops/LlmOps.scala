@@ -585,6 +585,85 @@ object LlmOps {
         "CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER) AS n_tokens " +
         "FROM s ORDER BY doc_id, chunk_start")),
 
+    // end-to-end corpus cleaning as a declared DAG (snapflow's named-node
+    // graph ergonomics via graft.Pipeline): language filter -> quality
+    // gate -> exact dedup -> per-(lang, source) stats. Every stage is a
+    // narrow transform except the dedup window and the final aggregate —
+    // two shuffles total on a 100 TB corpus.
+    Op("llm_clean_pipeline",
+      (s, d) => {
+        val p = graft.Pipeline(
+          "docs" -> graft.Pipeline.source(T.t(s, d, "documents")),
+          "lang" -> graft.Pipeline.map1("docs")(
+            _.where("lang IN ('en', 'de', 'fr')")),
+          "quality" -> graft.Pipeline.map1("lang")(
+            _.where("n_chars BETWEEN 100 AND 500 AND size(split(text, ' ')) >= 20")),
+          "dedup" -> graft.Pipeline.map1("quality") { df =>
+            val w = Window.partitionBy("sig").orderBy("doc_id")
+            df.withColumn("sig", sha2(lower(trim(col("text"))), 256))
+              .withColumn("rn", row_number().over(w))
+              .where("rn = 1").drop("sig", "rn")
+          },
+          "stats" -> graft.Pipeline.map1("dedup")(
+            _.groupBy("lang", "source")
+              .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))))
+        p.run("stats").orderBy("lang", "source")
+      },
+      Some("WITH l AS (SELECT * FROM documents WHERE lang IN ('en', 'de', 'fr')), " +
+        "q AS (SELECT * FROM l WHERE n_chars BETWEEN 100 AND 500 AND len(string_split(text, ' ')) >= 20), " +
+        "dd AS (SELECT * FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1) " +
+        "SELECT lang, source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM dd GROUP BY lang, source ORDER BY lang, source")),
+
+    // one Lloyd/k-means iteration (the IVF coarse-quantizer training
+    // primitive): assign every vector to its nearest of 10 deterministic
+    // seed centroids (squared L2, sequential fold), then recompute each
+    // centroid per dimension. Seeds are bounded -> broadcast; assignment
+    // is a map stage; the update is one groupBy over (cluster, dim).
+    // Centroid sums go through floor(x*1e4) fixed-point so the
+    // cross-partition/engine accumulation is exact-integer.
+    Op("llm_kmeans_step",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val seeds = emb.where("vec_id < 10")
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val d2 = "aggregate(zip_with(embedding, c_vec, (x, c) -> " +
+          "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        emb.crossJoin(broadcast(seeds))
+          .withColumn("d2", expr(d2))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+          .where("rn = 1")
+          .select(col("c_id"), posexplode(col("embedding")))
+          .groupBy("c_id", "pos")
+          .agg(
+            sum(expr("CAST(floor(CAST(col AS DOUBLE) * 10000) AS BIGINT)")).as("c_fp"),
+            count(lit(1)).as("n"))
+          .select(col("c_id"), col("pos").cast("int").as("pos"),
+            col("c_fp"), col("n"),
+            round(col("c_fp") / (col("n") * 10000.0), 3).as("centroid"))
+          .orderBy("c_id", "pos")
+      },
+      Some("WITH seeds AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 10), " +
+        "a AS (SELECT e.vec_id, e.embedding, s.c_id, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(e.embedding) + 1), i -> " +
+        "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)))), " +
+        "(x, y) -> x + y) AS d2 FROM embeddings e, seeds s), " +
+        "b AS (SELECT vec_id, embedding, c_id, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a), " +
+        "c AS (SELECT c_id, embedding, unnest(range(1, len(embedding) + 1)) AS i " +
+        "FROM b WHERE rn = 1) " +
+        "SELECT c_id, CAST(i - 1 AS INTEGER) AS pos, " +
+        "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS c_fp, " +
+        "count(*) AS n, " +
+        "round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) " +
+        "/ (count(*) * 10000.0), 3) AS centroid " +
+        "FROM c GROUP BY c_id, i ORDER BY c_id, pos")),
+
     // symmetric int8 quantization of embeddings (4x memory cut for ANN
     // serving): per-vector scale = max|x|/127, elements floored to int8
     // range (floor, not round — identical rounding on both engines), plus
