@@ -155,6 +155,37 @@ class PlansSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("rel_project_filter pushes the shipdate predicate into the parquet scan") {
+    val df = Registry.byKey("rel_project_filter").query(spark, TestSpark.sf)
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate"), s"not pushed: $pushed")
+    // column pruning: the scan must read only the projected/filtered columns
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_shipdate")), s"over-read: $readCols")
+  }
+
+  test("dimension joins broadcast (rel_join_broadcast) and kmeans seeds broadcast") {
+    def exec(key: String) = {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.count()
+      (GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+    }
+    assert(exec("rel_join_broadcast").contains("BroadcastHashJoin"))
+    assert(exec("llm_kmeans_step").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("as-of join works on a fresh session (strategy self-registers)") {
     val s2 = spark.newSession()
     import s2.implicits._
