@@ -26,6 +26,29 @@ object CoreOps {
         "UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1 " +
         "ORDER BY o_orderkey")),
 
+    // CDC-style upsert (accumulate-then-dedupe collapsed into one step):
+    // an "updates" block (here: orders with a simulated price bump)
+    // overrides the base table per key; unmatched base rows pass through.
+    // anti-join + union — both sides shuffle once on the key; at scale
+    // the updates side is typically small enough to broadcast the
+    // anti-join.
+    Op("core_upsert",
+      (s, d) => {
+        val base = T.t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val updates = base.where("o_orderkey % 10 = 3")
+          .withColumn("o_totalprice", round(col("o_totalprice") * lit(1.1), 2))
+          .withColumn("o_orderstatus", lit("U"))
+        base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(updates)
+          .orderBy("o_orderkey")
+      },
+      Some("WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders), " +
+        "updates AS (SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2) AS o_totalprice, " +
+        "'U' AS o_orderstatus FROM base WHERE o_orderkey % 10 = 3) " +
+        "SELECT * FROM base WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = base.o_orderkey) " +
+        "UNION ALL SELECT * FROM updates ORDER BY o_orderkey")),
+
     // dedupe_keep_latest: collapse duplicates on the unique_on key keeping
     // the most recent record (tie-broken on event_id for determinism).
     Op("core_dedupe_keep_latest",

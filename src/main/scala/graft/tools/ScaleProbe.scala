@@ -38,7 +38,9 @@ object ScaleProbe {
     val keys = if (args.nonEmpty) args.toSeq else Seq(
       "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_minhash", "llm_dedup_simhash",
       "llm_ngram_jaccard", "llm_tfidf", "llm_lang_id", "llm_similarity_topk",
-      "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified")
+      "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified",
+      "llm_doc_chunk", "llm_contamination_check", "llm_embedding_quantize",
+      "llm_kmeans_step", "llm_clean_pipeline")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
