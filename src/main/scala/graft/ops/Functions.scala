@@ -138,5 +138,19 @@ object Functions {
         "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int, " +
         "json_extract_string(props, '$.missing') IS NULL AS no_missing " +
         "FROM events ORDER BY event_id")),
+
+    // hash family: md5 is the one digest both engines produce identically
+    // (lowercase hex over UTF-8); xxhash64/sha2 are Spark-side only.
+    Op("fn_hash",
+      (s, d) => T.t(s, d, "customer")
+        .select(col("c_custkey"),
+          md5(col("c_name")).as("h_md5"),
+          length(md5(col("c_name"))).cast("int").as("h_len"),
+          substring(md5(concat_ws("|", col("c_name"), col("c_mktsegment"))), 1, 8).as("h_compound"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, md5(c_name) AS h_md5, " +
+        "CAST(length(md5(c_name)) AS INTEGER) AS h_len, " +
+        "substr(md5(concat_ws('|', c_name, c_mktsegment)), 1, 8) AS h_compound " +
+        "FROM customer ORDER BY c_custkey")),
   )
 }

@@ -83,6 +83,15 @@ object Sources {
       jsonRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // raw text-lines leg (one line per document; texts carry no newlines).
+    Op("src_text_roundtrip",
+      (s, d) => {
+        val tmp = s"target/tmp/text_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        T.t(s, d, "documents").select("text").write.mode("overwrite").text(tmp)
+        s.read.text(tmp).orderBy("value")
+      },
+      Some("SELECT text AS value FROM documents ORDER BY value")),
+
     // bucketed write + co-located join: orders bucketed by o_custkey join
     // customer — the bucketed side needs no shuffle (asserted in tests).
     Op("snk_bucketed_join",

@@ -18,6 +18,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    equal-ts right rows the greatest `rightTiebreak` wins;
   *  - `forward`: the EARLIEST with `rightTs >= leftTs` — among equal-ts
   *    right rows the smallest `rightTiebreak` wins;
+  *  - `nearest`: whichever of the two is closer in time (ties go
+  *    backward; requires an integral-backed ts type);
   * optionally rejecting matches farther than `tolerance` (in the
   * timestamp's native unit: µs for timestamps, days for dates).
   * Nulls when no match. Null keys group together; a null ts sorts (and
@@ -45,7 +47,7 @@ case class AsOfJoin(
     extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "as-of join needs equi keys")
-  require(direction == "backward" || direction == "forward", s"bad direction: $direction")
+  require(Set("backward", "forward", "nearest")(direction), s"bad direction: $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -103,6 +105,7 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val forward = direction == "forward"
+    val nearest = direction == "nearest"
     val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -146,6 +149,9 @@ case class AsOfJoinExec(
         val lt = lTsProj(l).get(0, tsType)
         var advance = true
         if (!forward) {
+          // backward and nearest both consume rights with ts <= lt,
+          // carrying the last as the backward candidate; nearest then
+          // weighs that candidate against the (unconsumed) head.
           while (advance && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
             val cmp = keyOrd.compare(rk, lk)
@@ -161,9 +167,22 @@ case class AsOfJoinExec(
               } else advance = false
             } else advance = false
           }
-          val hit = matchPay != null && matchKey != null &&
+          val backHit = matchPay != null && matchKey != null &&
             keyOrd.compare(matchKey, lk) == 0 && withinTol(matchTs, lt)
-          resultProj(joined(l, if (hit) matchPay else nullPay))
+          val fwdCloser = nearest && rBuf.hasNext && {
+            val rk = rKeyProj(rBuf.head)
+            keyOrd.compare(rk, lk) == 0 && {
+              val rt = rTsProj(rBuf.head).get(0, tsType)
+              withinTol(lt, rt) && rt != null && lt != null &&
+                (!backHit || matchTs == null ||
+                  tsLong(rt) - tsLong(lt) < tsLong(lt) - tsLong(matchTs))
+            }
+          }
+          val pay2 =
+            if (fwdCloser) payProj(rBuf.head)
+            else if (backHit) matchPay
+            else nullPay
+          resultProj(joined(l, pay2))
         } else {
           // forward: drop rights strictly before lt, then match the head
           // (not consumed — later left rows have ts >= lt and may reuse it)
@@ -207,8 +226,9 @@ object AsOf {
     * planner strategy is registered on the fly via `ExperimentalMethods`
     * (sessions built with [[graft.GraftExtensions]] already have it).
     *
-    * @param direction "backward" (latest right ≤ left ts) or "forward"
-    *                  (earliest right ≥ left ts)
+    * @param direction "backward" (latest right ≤ left ts), "forward"
+    *                  (earliest right ≥ left ts), or "nearest"
+    *                  (closer of the two; ties go backward)
     * @param tolerance max |leftTs - rightTs| in the ts type's native unit
     */
   def join(

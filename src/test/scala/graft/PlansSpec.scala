@@ -71,6 +71,24 @@ class PlansSpec extends AnyFunSuite {
     assert(run(Some(hourUs)) == Seq(1L -> -1L, 2L -> 101L, 3L -> 102L, 4L -> -1L, 5L -> -1L))
   }
 
+  test("nearest as-of picks the closer side; ties go backward") {
+    val clicks = Seq(
+      (1L, "u", ts("2024-01-01 12:00:00")), // back 60m vs fwd 30m -> 102
+      (2L, "u", ts("2024-01-01 11:20:00")), // back 20m vs fwd 70m -> 101
+      (3L, "u", ts("2024-01-01 11:45:00")), // 45m both ways -> backward 101
+      (4L, "u", ts("2024-01-01 09:00:00"))  // nothing before, fwd 120m -> 101
+    ).toDF("click_id", "user_id", "click_ts")
+    val buys = Seq(
+      ("u", 101L, ts("2024-01-01 11:00:00")),
+      ("u", 102L, ts("2024-01-01 12:30:00"))
+    ).toDF("user_id", "buy_id", "buy_ts")
+    val got = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id"), tiebreak = Seq("buy_id"), direction = "nearest")
+      .orderBy("click_id").select("click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 102L, 2L -> 101L, 3L -> 101L, 4L -> 101L))
+  }
+
   test("backward as-of tolerance bounds the staleness of the carried match") {
     val clicks = Seq(
       (1L, "u", ts("2024-01-01 10:00:00")),
