@@ -286,6 +286,37 @@ object Relational {
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, rn")),
 
+    // range join via binning: purchases within the 10 minutes before each
+    // click, WITHOUT an equi key. The naive plan is a broadcast nested
+    // loop (quadratic); binning rewrites it as a hash join — each
+    // interval explodes into its ≤ 2 covering 10-min bins, points join
+    // on their bin, the residual range predicate filters exactly. At
+    // 100 TB this is the standard trick that keeps interval joins
+    // shuffle-partitioned and linear.
+    Op("rel_join_range_binned",
+      (s, d) => {
+        val W = 600L * 1000000L // 10 min in µs
+        val ev = T.events(s, d)
+        val clicks = ev.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("c_us"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(expr("unix_micros(CAST(ts AS TIMESTAMP))").as("p_us"))
+        val binnedBuys = buys.withColumn("bin",
+          explode(expr(s"sequence(CAST(floor(p_us / $W) AS BIGINT), CAST(floor((p_us + $W) / $W) AS BIGINT))")))
+        val binnedClicks = clicks.withColumn("bin", expr(s"CAST(floor(c_us / $W) AS BIGINT)"))
+        val counts = binnedClicks.join(binnedBuys, "bin")
+          .where(s"p_us <= c_us AND p_us >= c_us - $W")
+          .groupBy("click_id").agg(count(lit(1)).as("n_buys"))
+        clicks.join(counts, Seq("click_id"), "left")
+          .select(col("click_id"), coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+          .orderBy("click_id")
+      },
+      Some("SELECT c.event_id AS click_id, count(p.ts) AS n_buys " +
+        "FROM events c LEFT JOIN events p ON p.event_type = 'purchase' " +
+        "AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 10 MINUTE " +
+        "WHERE c.event_type = 'click' GROUP BY c.event_id ORDER BY click_id")),
+
     // forward as-of through the same custom operator: each click matched
     // to the EARLIEST purchase at-or-after it (smallest event_id on ties).
     // Oracle is the first_value-over-following-frame emulation.

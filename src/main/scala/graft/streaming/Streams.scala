@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** True Structured Streaming forms of the §2-E operators (the batch
   * equivalents used by the t2 oracle live in graft.ops.StreamingOps; the
@@ -115,6 +115,81 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(
         new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start_ms: Long, end_ms: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+
+  /** Event-time sessionization with explicit timers — the full
+    * transformWithState surface: ListState holding the OPEN sessions
+    * (plural: out-of-order events within the watermark can keep several
+    * alive and later bridge them), an event-time timer armed at the
+    * earliest (end + gap), and handleExpiredTimer emitting every session
+    * the watermark has passed. Semantics equal `session_window(ts, gap)`
+    * (pinned by a parity test): an event at exactly `end + gap` still
+    * joins; a session closes only once the watermark passes `end + gap`,
+    * at which point no admissible event can extend it.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var open: ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState(
+        "open_sessions", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    /** Sort by start and merge sessions within gap of each other. */
+    private def compact(ss: Seq[OpenSession]): Seq[OpenSession] =
+      ss.sortBy(_.start_ms).foldLeft(List.empty[OpenSession]) {
+        case (acc @ (prev :: rest), s) if s.start_ms <= prev.end_ms + gapMs =>
+          OpenSession(prev.start_ms, math.max(prev.end_ms, s.end_ms), prev.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    private def rearm(sessions: Seq[OpenSession]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty)
+        getHandle.registerTimer(sessions.map(_.end_ms).min + gapMs)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val merged = compact(
+        (if (open.exists()) open.get().toSeq else Nil) ++
+          rows.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L)))
+      open.put(merged.toArray)
+      rearm(merged)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = if (open.exists()) open.get().toSeq else Nil
+      val (closed, stillOpen) = all.partition(_.end_ms + gapMs <= wm)
+      if (stillOpen.isEmpty) open.clear() else open.put(stillOpen.toArray)
+      rearm(stillOpen)
+      closed.sortBy(_.start_ms).iterator
+        .map(s => ClosedSession(key, new java.sql.Timestamp(s.start_ms), s.n))
+    }
+  }
+
+  /** 30-minute-gap sessions per user, closed by event-time timers.
+    * Requires the RocksDB state store and a watermark on `ts`.
+    */
+  def sessionsTws(events: Dataset[TimedEvent], gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimerProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class SessionOut(user_id: Long, n_events: Long, closed: Boolean)

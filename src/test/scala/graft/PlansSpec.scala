@@ -204,6 +204,16 @@ class PlansSpec extends AnyFunSuite {
     assert(exec("llm_kmeans_step").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("rel_join_range_binned runs as a hash join on bins, never a nested loop") {
+    val df = Registry.byKey("rel_join_range_binned").query(spark, TestSpark.sf)
+    df.count()
+    val p = (GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }).toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("as-of join works on a fresh session (strategy self-registers)") {
     val s2 = spark.newSession()
     import s2.implicits._

@@ -148,6 +148,37 @@ class StreamingParitySpec extends AnyFunSuite {
       want.map(t => (t._1, t._2, math.round(t._3 * 1e6))))
   }
 
+  test("transformWithState event-time session timers == batch session_window") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = s2.sqlContext
+    import s2.implicits._
+    val events = mkEvents(120).map(e => Streams.TimedEvent(e.user_id, e.event_id, e.ts))
+    val mem = MemoryStream[Streams.TimedEvent]
+    mem.addData(events)
+    val name = s"sesstws_${System.nanoTime()}"
+    val q = Streams.sessionsTws(mem.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    // two far-future sentinel batches: the first advances the watermark,
+    // the second gives the timers a batch to fire in
+    mem.addData(Seq(Streams.TimedEvent(999L, 0L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))))
+    q.processAllAvailable()
+    mem.addData(Seq(Streams.TimedEvent(998L, 1L, java.sql.Timestamp.valueOf("2030-01-02 00:00:00"))))
+    q.processAllAvailable(); q.stop()
+
+    val got = s2.table(name).where("user_id < 900")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val want = events.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("tumbling window parity holds on the RocksDB state store") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
