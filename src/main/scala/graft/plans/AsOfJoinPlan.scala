@@ -117,12 +117,16 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(out, out)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
-      val joined = new JoinedRow
-      val nullPay = new GenericInternalRow(pay.length)
-      val rBuf = rIter.buffered
-
-      // tolerance needs a numeric view of the ts (µs for timestamps,
-      // days for dates, raw for integral sort keys)
+      // fast path: every timestamp-ish type is long/int-backed — compare
+      // primitives and skip the boxing of the generic ordering
+      val tsIsIntegral = tsType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+      // numeric view of the ts for primitive compares and tolerance
+      // (µs for timestamps, days for dates, raw for integral sort keys)
       def tsLong(v: Any): Long = v match {
         case l: java.lang.Long => l
         case i: java.lang.Integer => i.toLong
@@ -130,6 +134,13 @@ case class AsOfJoinExec(
         case b: java.lang.Byte => b.toLong
         case other => sys.error(s"as-of tolerance unsupported for $tsType value $other")
       }
+      def tsCmpLteq(a: Any, b: Any): Boolean =
+        if (tsIsIntegral) tsLong(a) <= tsLong(b) else tsOrd.lteq(a, b)
+      def tsCmpLt(a: Any, b: Any): Boolean =
+        if (tsIsIntegral) tsLong(a) < tsLong(b) else tsOrd.lt(a, b)
+      val joined = new JoinedRow
+      val nullPay = new GenericInternalRow(pay.length)
+      val rBuf = rIter.buffered
       def withinTol(early: Any, late: Any): Boolean = tol match {
         case None => true
         case Some(t) =>
@@ -152,6 +163,10 @@ case class AsOfJoinExec(
           // backward and nearest both consume rights with ts <= lt,
           // carrying the last as the backward candidate; nearest then
           // weighs that candidate against the (unconsumed) head.
+          // The payload must be copied per consumed match (BufferedIterator
+          // .head refills its slot from the same reused UnsafeRow), but the
+          // key needs copying only once per advance — it equals lk.
+          var consumedMatch = false
           while (advance && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
             val cmp = keyOrd.compare(rk, lk)
@@ -159,14 +174,15 @@ case class AsOfJoinExec(
             else if (cmp == 0) {
               val rt = rTsProj(rBuf.head).get(0, tsType)
               // null ts sorts (and matches) before everything: null <= any
-              if (rt == null || (lt != null && tsOrd.lteq(rt, lt))) {
-                matchPay = payProj(rBuf.head).copy()
-                matchKey = rk.copy()
+              if (rt == null || (lt != null && tsCmpLteq(rt, lt))) {
                 matchTs = rt
+                matchPay = payProj(rBuf.head).copy()
+                consumedMatch = true
                 rBuf.next()
               } else advance = false
             } else advance = false
           }
+          if (consumedMatch) matchKey = lk.copy()
           val backHit = matchPay != null && matchKey != null &&
             keyOrd.compare(matchKey, lk) == 0 && withinTol(matchTs, lt)
           val fwdCloser = nearest && rBuf.hasNext && {
@@ -195,7 +211,7 @@ case class AsOfJoinExec(
               val rtBeforeLt =
                 if (lt == null) false      // null lt is minimal: keep all
                 else if (rt == null) true  // null rt sorts first: useless
-                else tsOrd.lt(rt, lt)
+                else tsCmpLt(rt, lt)
               if (rtBeforeLt) rBuf.next() else advance = false
             } else advance = false
           }

@@ -32,8 +32,21 @@ object ScaleProbe {
         .withColumn("vec_id", col("vec_id") + col("copy") * 1000000L).drop("copy")
         .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     }
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      // 10x events with disjoint users per copy — grows both sides of the
+      // as-of join without changing per-key density
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val copies = spark.range(10).select(col("id").as("copy"))
+      ev.crossJoin(copies)
+        .withColumn("event_id", col("event_id") + col("copy") * 100000000L)
+        .withColumn("user_id", col("user_id") + col("copy") * 1000000L)
+        .drop("copy")
+        .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
+    }
     println("PROBE docs=" + spark.read.parquet(s"$big/documents.parquet").count() +
-      " emb=" + spark.read.parquet(s"$big/embeddings.parquet").count())
+      " emb=" + spark.read.parquet(s"$big/embeddings.parquet").count() +
+      " ev=" + spark.read.parquet(s"$big/events.parquet").count())
 
     val keys = if (args.nonEmpty) args.toSeq else Seq(
       "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_minhash", "llm_dedup_simhash",
