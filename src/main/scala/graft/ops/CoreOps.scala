@@ -36,15 +36,19 @@ object CoreOps {
       (s, d) => {
         val base = T.t(s, d, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        // price bump through DECIMAL — round(double, 2) diverges from
+        // DuckDB at .005 representation boundaries (seen at sf0.1)
         val updates = base.where("o_orderkey % 10 = 3")
-          .withColumn("o_totalprice", round(col("o_totalprice") * lit(1.1), 2))
+          .withColumn("o_totalprice",
+            expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE)"))
           .withColumn("o_orderstatus", lit("U"))
         base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
           .unionByName(updates)
           .orderBy("o_orderkey")
       },
       Some("WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders), " +
-        "updates AS (SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2) AS o_totalprice, " +
+        "updates AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) AS o_totalprice, " +
         "'U' AS o_orderstatus FROM base WHERE o_orderkey % 10 = 3) " +
         "SELECT * FROM base WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = base.o_orderkey) " +
         "UNION ALL SELECT * FROM updates ORDER BY o_orderkey")),
