@@ -286,6 +286,46 @@ object Relational {
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, rn")),
 
+    // nearest as-of through the custom operator: closer of the backward /
+    // forward match, ties backward. Oracle computes both window
+    // candidates and picks by µs distance.
+    Op("rel_join_asof_nearest",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        graft.plans.AsOf.join(clicks, buys, Seq("user_id"),
+            leftTs = "click_ts", rightTs = "buy_ts",
+            payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"),
+            direction = "nearest")
+          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+          .orderBy("click_id")
+      },
+      Some("SELECT click_id, user_id, click_ts, " +
+        "CASE WHEN fwd_ts IS NOT NULL AND (back_ts IS NULL OR " +
+        "(epoch_us(fwd_ts) - epoch_us(click_ts)) < (epoch_us(click_ts) - epoch_us(back_ts))) " +
+        "THEN fwd_id ELSE back_id END AS buy_id, " +
+        "CASE WHEN fwd_ts IS NOT NULL AND (back_ts IS NULL OR " +
+        "(epoch_us(fwd_ts) - epoch_us(click_ts)) < (epoch_us(click_ts) - epoch_us(back_ts))) " +
+        "THEN fwd_ts ELSE back_ts END AS buy_ts FROM (" +
+        "SELECT event_id AS click_id, user_id, ts AS click_ts, is_click, " +
+        "last_value(b_id IGNORE NULLS) OVER wb AS back_id, " +
+        "last_value(b_ts IGNORE NULLS) OVER wb AS back_ts, " +
+        "first_value(b_id IGNORE NULLS) OVER wf AS fwd_id, " +
+        "first_value(b_ts IGNORE NULLS) OVER wf AS fwd_ts " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click, " +
+        "CASE WHEN event_type = 'purchase' THEN event_id END AS b_id, " +
+        "CASE WHEN event_type = 'purchase' THEN ts END AS b_ts " +
+        "FROM events WHERE event_type IN ('click', 'purchase')) " +
+        "WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_click, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "WHERE is_click = 1 ORDER BY click_id")),
+
     // range join via binning: purchases within the 10 minutes before each
     // click, WITHOUT an equi key. The naive plan is a broadcast nested
     // loop (quadratic); binning rewrites it as a hash join — each
