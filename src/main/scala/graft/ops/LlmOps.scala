@@ -211,15 +211,20 @@ object LlmOps {
             .as("shingle"))
           .persist() // feeds the inverted-index self-join and the counts
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // pair generation runs on 64-bit shingle hashes: the self-join
+        // shuffles 8-byte keys instead of ~30-byte strings (the oracle
+        // keeps exact strings; a 64-bit collision would perturb one
+        // shared-count — ~2^-40 odds at millions of shingles).
+        val sid = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
         // posting-list cap: shingles shared by >256 docs are
         // non-discriminative and would make the inverted-index join
         // quadratic in the hottest list — drop them from pair GENERATION
         // only (denominators still count every shingle).
-        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df")).where("df <= 256")
-          .select("shingle")
-        val shRare = sh.join(rare, "shingle")
+        val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
+          .select("sid")
+        val shRare = sid.join(rare, "sid")
         val shared = shRare.as("x").join(shRare.as("y"),
-            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+            col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("shared"))
         shared

@@ -83,6 +83,25 @@ object Sources {
       jsonRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // schema evolution (snapflow's declared-vs-realized schema regime):
+    // an old block without `n_chars` and a new block with it live in the
+    // same dataset; mergeSchema reconciles, old rows surface NULL.
+    Op("src_schema_evolution",
+      (s, d) => {
+        val tmp = s"target/tmp/evo_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val docs = T.t(s, d, "documents")
+        docs.where("doc_id % 2 = 0").select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$tmp/block_a")
+        docs.where("doc_id % 2 = 1").select("doc_id", "lang", "n_chars")
+          .write.mode("overwrite").parquet(s"$tmp/block_b")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/block_a", s"$tmp/block_b")
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0 " +
+        "UNION ALL BY NAME SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1 " +
+        "ORDER BY doc_id")),
+
     // raw text-lines leg (one line per document; texts carry no newlines).
     Op("src_text_roundtrip",
       (s, d) => {
