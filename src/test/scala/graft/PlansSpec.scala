@@ -214,6 +214,56 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("as-of join supports composite keys") {
+    val left = Seq(
+      (1L, "a", 1, ts("2024-01-01 10:00:00")),
+      (2L, "a", 2, ts("2024-01-01 10:00:00")),
+      (3L, "b", 1, ts("2024-01-01 10:00:00"))
+    ).toDF("lid", "k1", "k2", "lts")
+    val right = Seq(
+      ("a", 1, 100L, ts("2024-01-01 09:00:00")),
+      ("a", 2, 200L, ts("2024-01-01 09:30:00")),
+      ("b", 2, 300L, ts("2024-01-01 09:00:00"))
+    ).toDF("k1", "k2", "rid", "rts")
+    val got = AsOf.join(left, right, Seq("k1", "k2"), "lts", "rts",
+        payload = Seq("rid"), tiebreak = Seq("rid"))
+      .orderBy("lid").select("lid", "rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 100L, 2L -> 200L, 3L -> -1L))
+  }
+
+  test("binned range join == naive range join on random event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val W = 600L * 1000000L
+    val gen = for {
+      n <- Gen.choose(2, 120)
+      rows <- Gen.listOfN(n, for {
+        off <- Gen.choose(0L, 3600L)
+        click <- Gen.oneOf(true, false)
+      } yield (off, click))
+    } yield rows.zipWithIndex.map { case ((off, c), i) => (i.toLong, off, c) }
+    (1 to 5).foreach { seed =>
+      val rows = gen.pureApply(org.scalacheck.Gen.Parameters.default, Seed(seed.toLong))
+      val clicks = rows.filter(_._3).map { case (id, off, _) => (id, off * 1000000L) }
+        .toDF("click_id", "c_us")
+      val buys = rows.filterNot(_._3).map { case (_, off, _) => off * 1000000L }
+        .toDF("p_us")
+      val binnedBuys = buys.withColumn("bin",
+        explode(expr(s"sequence(CAST(floor(p_us / $W) AS BIGINT), CAST(floor((p_us + $W) / $W) AS BIGINT))")))
+      val got = clicks.withColumn("bin", expr(s"CAST(floor(c_us / $W) AS BIGINT)"))
+        .join(binnedBuys, "bin")
+        .where(s"p_us <= c_us AND p_us >= c_us - $W")
+        .groupBy("click_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val naive = clicks.crossJoin(buys)
+        .where(s"p_us <= c_us AND p_us >= c_us - $W")
+        .groupBy("click_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive, s"seed $seed")
+    }
+  }
+
   test("as-of join works on a fresh session (strategy self-registers)") {
     val s2 = spark.newSession()
     import s2.implicits._
