@@ -590,6 +590,46 @@ object LlmOps {
         "CAST(least(start + 31, len(toks)) - start + 1 AS INTEGER) AS n_tokens " +
         "FROM s ORDER BY doc_id, chunk_start")),
 
+    // stopword-ratio quality signal with CORPUS-DERIVED stopwords (top-20
+    // most frequent tokens): the stopword list is a bounded aggregate ->
+    // broadcast back against the token stream; two shuffles total
+    // regardless of corpus size.
+    Op("llm_stopword_ratio",
+      (s, d) => {
+        val toks = T.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        val stop = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("tok")).limit(20).select("tok")
+        toks.join(broadcast(stop.withColumn("is_stop", lit(1))), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(coalesce(col("is_stop"), lit(0))).as("n_stop"))
+          .withColumn("stop_ratio",
+            round(col("n_stop") * 10000L / col("n_toks"), 0).cast("long"))
+          .select("doc_id", "n_toks", "n_stop", "stop_ratio")
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "stop AS (SELECT tok FROM (SELECT tok, count(*) AS tf FROM toks GROUP BY tok " +
+        "ORDER BY tf DESC, tok LIMIT 20)) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(SUM(CASE WHEN tok IN (SELECT tok FROM stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop, " +
+        "CAST(round(CAST(SUM(CASE WHEN tok IN (SELECT tok FROM stop) THEN 1 ELSE 0 END) AS BIGINT) * 10000 " +
+        "/ count(*), 0) AS BIGINT) AS stop_ratio " +
+        "FROM toks GROUP BY doc_id ORDER BY doc_id")),
+
+    // document-length histogram (50-char buckets) — the one-pass profile
+    // every corpus intake job runs first.
+    Op("llm_length_histogram",
+      (s, d) => T.t(s, d, "documents")
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket_lo"),
+      Some("SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo, count(*) AS n_docs, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+        "FROM documents GROUP BY 1 ORDER BY bucket_lo")),
+
     // end-to-end corpus cleaning as a declared DAG (snapflow's named-node
     // graph ergonomics via graft.Pipeline): language filter -> quality
     // gate -> exact dedup -> per-(lang, source) stats. Every stage is a
