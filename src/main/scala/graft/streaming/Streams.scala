@@ -214,6 +214,46 @@ object Streams {
       }
   }
 
+  /** Streaming CDC upsert sink via foreachBatch: each micro-batch merges
+    * into a parquet "table" keyed by `key` — latest record per key wins
+    * (batch rows override stored rows; within a batch the greatest
+    * `versionCol` wins). foreachBatch may redeliver a batch on recovery;
+    * the merge is idempotent so the sink stays exactly-once in effect.
+    * The rewrite-the-table form is the parquet-only stand-in for a real
+    * MERGE INTO target (Delta/Iceberg) on a cluster.
+    */
+  def upsertSink(
+      stream: DataFrame,
+      key: String,
+      versionCol: String,
+      tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(versionCol).desc)
+        val latestInBatch = batch
+          .withColumn("__rn", row_number().over(w)).where("__rn = 1").drop("__rn")
+        val dir = new java.io.File(tableDir)
+        val merged =
+          if (!dir.exists()) latestInBatch
+          else spark.read.parquet(tableDir)
+            .join(latestInBatch.select(key), Seq(key), "left_anti")
+            .unionByName(latestInBatch)
+        val tmp = tableDir + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        // swap: overwrite target from staging (read back first — the
+        // staging read is lazy and the target rewrite would race it)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .start()
+  }
+
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added
     * since the last run, tracked by the checkpoint — then returns.

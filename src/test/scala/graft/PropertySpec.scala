@@ -114,6 +114,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinHash estimate is calibrated against true trigram Jaccard on LSH candidates") {
+    val est = Registry.byKey("llm_dedup_minhash").query(spark, TestSpark.sf)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+    val truth = Registry.byKey("llm_ngram_jaccard").query(spark, TestSpark.sf)
+      .select(col("d1"), col("d2"), col("jaccard").as("true_jaccard"))
+    val joined = est.join(truth, Seq("d1", "d2"))
+      .select("est_jaccard", "true_jaccard")
+      .as[(Double, Double)].collect()
+    assert(joined.nonEmpty, "LSH candidates and true near-dups must overlap")
+    // 16-perm MinHash has std ~ sqrt(j(1-j)/16) <= 0.125; allow 4 sigma
+    assert(joined.forall { case (e, t) => math.abs(e - t) <= 0.5 },
+      joined.filter { case (e, t) => math.abs(e - t) > 0.5 }.take(5).toSeq.toString)
+    val meanErr = joined.map { case (e, t) => math.abs(e - t) }.sum / joined.length
+    assert(meanErr <= 0.2, s"mean |est-true| = $meanErr")
+  }
+
   test("cosine fold stays in [-1, 1] and sim(v, v) == 1") {
     val vecGen = Gen.listOfN(8, Gen.choose(-100, 100)).map(_.map(_.toFloat / 7f).toArray)
       .suchThat(v => v.exists(_ != 0f))

@@ -220,6 +220,29 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("foreachBatch upsert sink keeps latest record per key across restarts") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val base = s"target/tmp/upsert_sink_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, Long, String)]
+
+    def run(): Unit = {
+      val q = Streams.upsertSink(
+        mem.toDF().toDF("k", "version", "payload"),
+        key = "k", versionCol = "version",
+        tableDir = s"$base/table", checkpointDir = s"$base/ckpt")
+      q.awaitTermination()
+    }
+    mem.addData(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (1L, 2L, "a2")))
+    run() // within-batch: key 1 keeps version 2
+    mem.addData(Seq((2L, 5L, "b5"), (3L, 1L, "c1")))
+    run() // across-restart: key 2 overridden, key 3 inserted
+
+    val got = spark.read.parquet(s"$base/table")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "a2"), (2L, 5L, "b5"), (3L, 1L, "c1")))
+  }
+
   test("incremental consumption processes only new blocks per run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
