@@ -48,6 +48,41 @@ object LlmOps {
   private def oSim(a: String, b: String): String =
     s"${oDot(a, b)} / sqrt(${oDot(a, a)} * ${oDot(b, b)})"
 
+  /** Nearest-of-10-seed-centroids assignment (shared by llm_kmeans_step
+    * and llm_semdedup): bounded seed set broadcast against the vector
+    * stream, squared-L2 as a sequential fold, argmin via window with
+    * c_id tiebreak. Returns (vec_id, embedding, c_id).
+    */
+  private def kmeansAssign(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val emb = T.t(s, d, "embeddings")
+    val seeds = emb.where("vec_id < 10")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val d2 = "aggregate(zip_with(embedding, c_vec, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(d2))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .where("rn = 1")
+      .select("vec_id", "embedding", "c_id")
+  }
+
+  /** The kmeans-assignment CTE prefix shared by the kmeans/semdedup
+    * oracles (must stay textually in sync with [[kmeansAssign]]).
+    */
+  private val oKmeansAssign: String =
+    "WITH seeds AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 10), " +
+      "a AS (SELECT e.vec_id, e.embedding, s.c_id, " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, len(e.embedding) + 1), i -> " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)) * " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)))), " +
+      "(x, y) -> x + y) AS d2 FROM embeddings e, seeds s), " +
+      "b AS (SELECT vec_id, embedding, c_id, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a), " +
+      "m AS (SELECT vec_id, embedding, c_id FROM b WHERE rn = 1)"
+
   /** Deterministic 32-bit token hash for the MinHash/SimHash oracles:
     * first 8 hex digits of md5 — the Spark side computes the same value in
     * graft.functions.ShingleHashes.
@@ -670,17 +705,7 @@ object LlmOps {
     // cross-partition/engine accumulation is exact-integer.
     Op("llm_kmeans_step",
       (s, d) => {
-        val emb = T.t(s, d, "embeddings")
-        val seeds = emb.where("vec_id < 10")
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-        val d2 = "aggregate(zip_with(embedding, c_vec, (x, c) -> " +
-          "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), " +
-          "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        emb.crossJoin(broadcast(seeds))
-          .withColumn("d2", expr(d2))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-          .where("rn = 1")
+        kmeansAssign(s, d)
           .select(col("c_id"), posexplode(col("embedding")))
           .groupBy("c_id", "pos")
           .agg(
@@ -691,23 +716,45 @@ object LlmOps {
             round(col("c_fp") / (col("n") * 10000.0), 3).as("centroid"))
           .orderBy("c_id", "pos")
       },
-      Some("WITH seeds AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 10), " +
-        "a AS (SELECT e.vec_id, e.embedding, s.c_id, " +
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "list_transform(range(1, len(e.embedding) + 1), i -> " +
-        "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)) * " +
-        "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.c_vec[i] AS DOUBLE)))), " +
-        "(x, y) -> x + y) AS d2 FROM embeddings e, seeds s), " +
-        "b AS (SELECT vec_id, embedding, c_id, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a), " +
-        "c AS (SELECT c_id, embedding, unnest(range(1, len(embedding) + 1)) AS i " +
-        "FROM b WHERE rn = 1) " +
+      Some(oKmeansAssign +
+        ", c AS (SELECT c_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM m) " +
         "SELECT c_id, CAST(i - 1 AS INTEGER) AS pos, " +
         "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS c_fp, " +
         "count(*) AS n, " +
         "round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) " +
         "/ (count(*) * 10000.0), 3) AS centroid " +
         "FROM c GROUP BY c_id, i ORDER BY c_id, pos")),
+
+    // SemDeDup-style semantic dedup: cluster by nearest centroid, then
+    // pairwise cosine ONLY within a cluster — the quadratic term is
+    // per-cluster (at 100 TB: more centroids, same shape). Keeps the
+    // lowest vec_id of each similar pair; reports per-cluster totals.
+    Op("llm_semdedup",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val assigned = kmeansAssign(s, d)
+        val pairs = assigned.as("x").join(assigned.as("y"),
+            col("x.c_id") === col("y.c_id") && col("x.vec_id") < col("y.vec_id"))
+          .where("cosine_sim(x.embedding, y.embedding) >= 0.3")
+          .select(col("x.c_id").as("c_id"), col("y.vec_id").as("v2"))
+        val perCluster = assigned.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+        val dupAgg = pairs.groupBy("c_id")
+          .agg(count(lit(1)).as("n_pairs"), countDistinct("v2").as("n_dropped"))
+        perCluster.join(dupAgg, Seq("c_id"), "left")
+          .select(col("c_id"), col("n_vecs"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+          .orderBy("c_id")
+      },
+      Some(oKmeansAssign +
+        ", p AS (SELECT x.c_id AS c_id, y.vec_id AS v2 FROM m x JOIN m y " +
+        "ON x.c_id = y.c_id AND x.vec_id < y.vec_id " +
+        s"WHERE ${oSim("x.embedding", "y.embedding")} >= 0.3), " +
+        "pc AS (SELECT c_id, count(*) AS n_vecs FROM m GROUP BY c_id), " +
+        "da AS (SELECT c_id, count(*) AS n_pairs, count(DISTINCT v2) AS n_dropped FROM p GROUP BY c_id) " +
+        "SELECT pc.c_id, n_vecs, COALESCE(n_pairs, 0) AS n_pairs, " +
+        "COALESCE(n_dropped, 0) AS n_dropped " +
+        "FROM pc LEFT JOIN da USING (c_id) ORDER BY pc.c_id")),
 
     // symmetric int8 quantization of embeddings (4x memory cut for ANN
     // serving): per-vector scale = max|x|/127, elements floored to int8

@@ -264,6 +264,35 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of == window emulation on random data with ties and sparse keys") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nl <- Gen.choose(0, 40); nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+    } yield (ls, rs)
+    (1 to 4).foreach { seed =>
+      val (ls, rs) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val left = ls.zipWithIndex.map { case ((k, off), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t0 + off * 60000L)) }
+        .toDF("click_id", "user_id", "click_ts")
+      val right = rs.zipWithIndex.map { case ((k, off), i) =>
+        (k, 1000L + i, new java.sql.Timestamp(t0 + off * 60000L)) }
+        .toDF("user_id", "buy_id", "buy_ts")
+
+      val native = AsOf.join(left, right, Seq("user_id"), "click_ts", "buy_ts",
+          payload = Seq("buy_id"), tiebreak = Seq("buy_id"))
+        .select("click_id", "buy_id")
+      val emulated = ops.Joins.asofJoin(left, right, "user_id", "click_ts", "buy_ts",
+          payload = Seq("buy_id"), tiebreak = "buy_id")
+        .select(col("click_id"), col("__match.buy_id").as("buy_id"))
+      assert(native.exceptAll(emulated).isEmpty && emulated.exceptAll(native).isEmpty,
+        s"seed $seed")
+    }
+  }
+
   test("as-of join works on a fresh session (strategy self-registers)") {
     val s2 = spark.newSession()
     import s2.implicits._
