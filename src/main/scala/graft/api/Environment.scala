@@ -61,4 +61,33 @@ final class Environment(val spark: SparkSession) {
     produce(name).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Batch-incremental run (snapflow's DataBlockLog consumption
+    * accounting): produce `name`, keep only rows with `tsCol` past the
+    * watermark stored from the previous run, append them to `outDir`,
+    * and advance the stored watermark. Each call processes exactly the
+    * unconsumed rows; re-running with no new input appends nothing.
+    * The watermark is a single driver-side value (one tiny file) — the
+    * data path stays fully distributed.
+    */
+  def runIncremental(name: String, tsCol: String, stateDir: String, outDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val wmFile = new java.io.File(stateDir, s"$name.watermark")
+    val prev = if (wmFile.exists())
+      new String(java.nio.file.Files.readAllBytes(wmFile.toPath)).trim.toLong
+    else Long.MinValue
+    val fresh = produce(name)
+      .where(col(tsCol).cast("long") > prev)
+    val stats = fresh.agg(
+      max(col(tsCol).cast("long")).as("wm"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .head()
+    val n = stats.getLong(1)
+    if (n > 0) {
+      fresh.write.mode("append").parquet(outDir)
+      wmFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(wmFile.toPath, stats.getLong(0).toString.getBytes)
+    }
+    n
+  }
 }

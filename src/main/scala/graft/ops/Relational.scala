@@ -189,6 +189,22 @@ object Relational {
         .orderBy("event_type"),
       None),
 
+    // mergeable DataSketches HLL (Spark 4 native): per-group sketches
+    // UNIONED into a total — the re-aggregatable form a rollup layer
+    // stores (a plain approx_count_distinct cannot be merged later).
+    // Sketch bytes are engine-specific -> rows-only, no oracle.
+    Op("rel_agg_sketch_hll",
+      (s, d) => {
+        val perType = T.events(s, d).groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        perType
+          .select(lit("total").as("event_type"), expr("hll_union_agg(sk)").as("sk"))
+          .unionByName(perType)
+          .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+          .orderBy("event_type")
+      },
+      None),
+
     // rollup with a manually derived grouping id (identical CASE on both
     // sides; avoids engine-specific GROUPING_ID bit layouts).
     Op("rel_grouping_sets",

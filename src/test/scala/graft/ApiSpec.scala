@@ -99,6 +99,23 @@ class ApiSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"), s"expected bucketed scan in:\n${plan.take(2000)}")
   }
 
+  test("runIncremental processes exactly the unconsumed rows per run") {
+    val base = s"target/tmp/incr_env_${System.nanoTime()}"
+    var rows = Seq((1L, 10L, "a"), (2L, 20L, "b"))
+    val env = new graft.api.Environment(spark)
+      .addNode("src", Nil)(_ => rows.toDF("id", "ts", "v"))
+
+    assert(env.runIncremental("src", "ts", s"$base/state", s"$base/out") == 2L)
+    // nothing new: no rows processed, nothing appended
+    assert(env.runIncremental("src", "ts", s"$base/state", s"$base/out") == 0L)
+    rows = rows ++ Seq((3L, 30L, "c"))
+    assert(env.runIncremental("src", "ts", s"$base/state", s"$base/out") == 1L)
+
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 3)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("scalable as-of join equals the window-emulation on random data") {
     val rnd = new scala.util.Random(7)
     val lefts = (1 to 120).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000)))
