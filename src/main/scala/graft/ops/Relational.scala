@@ -189,6 +189,29 @@ object Relational {
         .orderBy("event_type"),
       None),
 
+    // semi-join reduction via a Bloom runtime filter built BY HAND: a
+    // bloom over the high-value orders' custkeys pre-filters customer
+    // before the exact join, so the join's probe side only carries rows
+    // that can match (false positives merely prune less — the final
+    // equi-join keeps results exact, which is why this CAN be
+    // oracle-checked, unlike the sketch values themselves).
+    Op("rel_join_bloom_prefilter",
+      (s, d) => {
+        graft.functions.BloomFunctions.register(s)
+        T.t(s, d, "orders").createOrReplaceTempView("orders")
+        T.t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql(
+          "WITH big AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000), " +
+          "bf AS (SELECT bloom_agg(xxhash64(o_custkey)) AS b FROM big), " +
+          "cand AS (SELECT c_custkey, c_name FROM customer " +
+          "WHERE bloom_might_contain((SELECT b FROM bf), xxhash64(c_custkey))) " +
+          "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM big " +
+          "JOIN cand ON o_custkey = c_custkey ORDER BY o_orderkey")
+      },
+      Some("SELECT o_orderkey, c_custkey, c_name, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice > 400000 ORDER BY o_orderkey")),
+
     // mergeable DataSketches HLL (Spark 4 native): per-group sketches
     // UNIONED into a total — the re-aggregatable form a rollup layer
     // stores (a plain approx_count_distinct cannot be merged later).
