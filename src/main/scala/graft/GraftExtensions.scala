@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(hashes) - 32-bit SimHash"),
       exprs => SimHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(k)) - mergeable BloomFilter sketch"),
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head)))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(bf, xxhash64(k)) - probe, no false negatives"),
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -53,6 +53,48 @@ object CoreOps {
         "SELECT * FROM base WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = base.o_orderkey) " +
         "UNION ALL SELECT * FROM updates ORDER BY o_orderkey")),
 
+    // snapshot diff (CDC changefeed between two immutable block versions):
+    // v2 = v1 with deterministic updates (%10=3 price bump), deletes
+    // (%100=7) and inserts (mirrored keys). Full-outer join on the key
+    // classifies every row; both versions shuffle once.
+    Op("core_snapshot_diff",
+      (s, d) => {
+        val v1 = T.t(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val v2 = v1.where("o_orderkey % 100 <> 7")
+          .withColumn("o_totalprice", expr(
+            "CASE WHEN o_orderkey % 10 = 3 THEN " +
+              "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
+              "ELSE o_totalprice END"))
+          .unionByName(v1.where("o_orderkey % 100 = 11")
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+        v1.as("a").join(v2.as("b"),
+            col("a.o_orderkey") === col("b.o_orderkey"), "full")
+          .select(
+            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+            when(col("a.o_orderkey").isNull, "insert")
+              .when(col("b.o_orderkey").isNull, "delete")
+              .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "update")
+              .otherwise("same").as("change_type"),
+            col("a.o_totalprice").as("old_price"),
+            col("b.o_totalprice").as("new_price"))
+          .where("change_type <> 'same'")
+          .orderBy("o_orderkey")
+      },
+      Some("WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders), " +
+        "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 3 THEN " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
+        "ELSE o_totalprice END AS o_totalprice FROM v1 WHERE o_orderkey % 100 <> 7 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM v1 WHERE o_orderkey % 100 = 11) " +
+        "SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN a.o_orderkey IS NULL THEN 'insert' WHEN b.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN a.o_totalprice <> b.o_totalprice THEN 'update' ELSE 'same' END AS change_type, " +
+        "a.o_totalprice AS old_price, b.o_totalprice AS new_price " +
+        "FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey " +
+        "WHERE CASE WHEN a.o_orderkey IS NULL THEN 'insert' WHEN b.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN a.o_totalprice <> b.o_totalprice THEN 'update' ELSE 'same' END <> 'same' " +
+        "ORDER BY o_orderkey")),
+
     // dedupe_keep_latest: collapse duplicates on the unique_on key keeping
     // the most recent record (tie-broken on event_id for determinism).
     Op("core_dedupe_keep_latest",

@@ -139,6 +139,20 @@ object Functions {
         "json_extract_string(props, '$.missing') IS NULL AS no_missing " +
         "FROM events ORDER BY event_id")),
 
+    // printf-style formatting (ints and strings only — float formatting
+    // rounds differently between Java's Formatter and C printf).
+    Op("fn_format",
+      (s, d) => T.t(s, d, "customer")
+        .select(col("c_custkey"),
+          format_string("%s-%05d", col("c_mktsegment"), col("c_custkey")).as("tag"),
+          format_string("[%10s]", col("c_name")).as("padded"),
+          concat_ws("/", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, printf('%s-%05d', c_mktsegment, c_custkey) AS tag, " +
+        "printf('[%10s]', c_name) AS padded, " +
+        "concat_ws('/', c_mktsegment, c_name) AS joined " +
+        "FROM customer ORDER BY c_custkey")),
+
     // hash family: md5 is the one digest both engines produce identically
     // (lowercase hex over UTF-8); xxhash64/sha2 are Spark-side only.
     Op("fn_hash",
