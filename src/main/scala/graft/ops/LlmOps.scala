@@ -725,6 +725,32 @@ object LlmOps {
         "/ (count(*) * 10000.0), 3) AS centroid " +
         "FROM c GROUP BY c_id, i ORDER BY c_id, pos")),
 
+    // edit-distance near-dup (record-linkage style): candidate pairs are
+    // blocked on (lang, exact n_chars) so the quadratic term — and the
+    // O(len^2) levenshtein — runs on tiny buckets only. Both engines
+    // implement the same DP distance, so values match exactly.
+    Op("llm_dedup_levenshtein",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+          .where("n_chars < 200")
+          .select("doc_id", "lang", "n_chars", "text")
+        docs.as("x").join(docs.as("y"),
+            col("x.lang") === col("y.lang") &&
+              col("x.n_chars") === col("y.n_chars") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
+          .where("dist <= CAST(x.n_chars AS INT) / 5")
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("dist").cast("int").as("dist"))
+          .orderBy("d1", "d2")
+      },
+      Some("SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist " +
+        "FROM (SELECT * FROM documents WHERE n_chars < 200) x " +
+        "JOIN (SELECT * FROM documents WHERE n_chars < 200) y " +
+        "ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id " +
+        "WHERE levenshtein(x.text, y.text) <= x.n_chars / 5 " +
+        "ORDER BY d1, d2")),
+
     // SemDeDup-style semantic dedup: cluster by nearest centroid, then
     // pairwise cosine ONLY within a cluster — the quadratic term is
     // per-cluster (at 100 TB: more centroids, same shape). Keeps the

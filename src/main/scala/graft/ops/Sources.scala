@@ -83,6 +83,23 @@ object Sources {
       jsonRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // generator source: deterministic synthetic rows from a range — the
+    // scale path for test-data generation (spark.range parallelizes the
+    // sequence across executors; no input files at all). The bucket hash
+    // is plain multiplicative arithmetic so the oracle reproduces it.
+    Op("src_generate_series",
+      (s, d) => s.range(0, 10000)
+        .select(col("id"),
+          pmod(col("id") * lit(2654435761L), lit(97)).cast("int").as("bucket"),
+          expr("CAST(timestamp_micros(CAST(1704067200000000 + id * 60000000 AS BIGINT)) AS TIMESTAMP_NTZ)").as("ts"),
+          concat(lit("row-"), col("id")).as("tag"))
+        .where("bucket < 10")
+        .orderBy("id"),
+      Some("SELECT id, CAST((id * 2654435761) % 97 AS INTEGER) AS bucket, " +
+        "make_timestamp(1704067200000000 + id * 60000000) AS ts, " +
+        "concat('row-', id) AS tag " +
+        "FROM range(0, 10000) t(id) WHERE (id * 2654435761) % 97 < 10 ORDER BY id")),
+
     // schema evolution (snapflow's declared-vs-realized schema regime):
     // an old block without `n_chars` and a new block with it live in the
     // same dataset; mergeSchema reconciles, old rows surface NULL.

@@ -110,6 +110,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == groups)
   }
 
+  test("levenshtein blocking finds constructed near-dups and rejects far pairs") {
+    // the real corpus has no near-identical docs (llm_dedup_levenshtein
+    // correctly returns 0 rows there) — pin the logic on literal data
+    val docs = Seq(
+      (1L, "en", 20L, "the quick brown fox!"),
+      (2L, "en", 20L, "the quick brown fox?"), // dist 1 <= 20/5 -> pair
+      (3L, "en", 20L, "a totally other text"), // same length, far -> no
+      (4L, "de", 20L, "the quick brown fox!")  // other lang block -> no
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.n_chars") === col("y.n_chars") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
+      .where("dist <= CAST(x.n_chars AS INT) / 5")
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("GraftExtensions registers the native functions in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // ensure base session exists first
