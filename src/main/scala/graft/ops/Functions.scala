@@ -139,6 +139,26 @@ object Functions {
         "json_extract_string(props, '$.missing') IS NULL AS no_missing " +
         "FROM events ORDER BY event_id")),
 
+    // calendar constructors/navigation: make_date, last_day, day-of-year,
+    // ISO week, quarter (DATE results cast to TIMESTAMP_NTZ — parity
+    // rule 3).
+    Op("fn_date_calendar",
+      (s, d) => T.t(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS TIMESTAMP_NTZ)").as("month_end"),
+          expr("CAST(CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS TIMESTAMP) AS TIMESTAMP_NTZ)").as("month_start"),
+          dayofyear(col("o_orderdate")).cast("int").as("doy"),
+          weekofyear(col("o_orderdate")).cast("int").as("iso_week"),
+          quarter(col("o_orderdate")).cast("int").as("q"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, " +
+        "CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end, " +
+        "CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS TIMESTAMP) AS month_start, " +
+        "CAST(dayofyear(o_orderdate) AS INTEGER) AS doy, " +
+        "CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week, " +
+        "CAST(quarter(o_orderdate) AS INTEGER) AS q " +
+        "FROM orders ORDER BY o_orderkey")),
+
     // printf-style formatting (ints and strings only — float formatting
     // rounds differently between Java's Formatter and C printf).
     Op("fn_format",

@@ -426,6 +426,30 @@ object Relational {
         "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
         "WHERE is_click = 1 ORDER BY click_id")),
 
+    // IGNORE NULLS navigation windows (gap-filling / last-observation-
+    // carried-forward): same semantics both engines, opposite syntax
+    // placement (after the call in Spark, inside the parens in DuckDB).
+    Op("rel_window_ignore_nulls",
+      (s, d) => {
+        T.events(s, d).createOrReplaceTempView("events")
+        s.sql("SELECT event_id, user_id, " +
+          "last_value(v) IGNORE NULLS OVER w AS locf, " +
+          "first_value(v) IGNORE NULLS OVER w AS first_seen " +
+          "FROM (SELECT event_id, user_id, ts, " +
+          "CASE WHEN event_type = 'purchase' THEN value END AS v FROM events) " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "ORDER BY event_id")
+      },
+      Some("SELECT event_id, user_id, " +
+        "last_value(v IGNORE NULLS) OVER w AS locf, " +
+        "first_value(v IGNORE NULLS) OVER w AS first_seen " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'purchase' THEN value END AS v FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id")),
+
     // distribution window functions: ntile buckets, percent_rank and
     // cume_dist — pure rank/count arithmetic (no float accumulation), so
     // the doubles are bit-identical across engines given the same total
