@@ -53,7 +53,8 @@ object ScaleProbe {
       "llm_ngram_jaccard", "llm_tfidf", "llm_lang_id", "llm_similarity_topk",
       "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified",
       "llm_doc_chunk", "llm_contamination_check", "llm_embedding_quantize",
-      "llm_kmeans_step", "llm_clean_pipeline")
+      "llm_kmeans_step", "llm_clean_pipeline", "llm_semdedup",
+      "llm_dedup_levenshtein", "llm_stopword_ratio", "llm_length_histogram")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
