@@ -713,7 +713,11 @@ object LlmOps {
             count(lit(1)).as("n"))
           .select(col("c_id"), col("pos").cast("int").as("pos"),
             col("c_fp"), col("n"),
-            round(col("c_fp") / (col("n") * 10000.0), 3).as("centroid"))
+            // exact-integer / exact-integer double division (rule 12):
+            // bit-identical in both engines. round(double, 3) here sat on
+            // .0005 boundaries and diverged in the driver's DuckDB build
+            // (CORRECTNESS_r01 hash_match=false) — never reintroduce it.
+            (col("c_fp") / (col("n") * lit(10000L))).as("centroid"))
           .orderBy("c_id", "pos")
       },
       Some(oKmeansAssign +
@@ -721,8 +725,8 @@ object LlmOps {
         "SELECT c_id, CAST(i - 1 AS INTEGER) AS pos, " +
         "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS c_fp, " +
         "count(*) AS n, " +
-        "round(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) " +
-        "/ (count(*) * 10000.0), 3) AS centroid " +
+        "CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) " +
+        "/ (count(*) * 10000) AS centroid " +
         "FROM c GROUP BY c_id, i ORDER BY c_id, pos")),
 
     // edit-distance near-dup (record-linkage style): candidate pairs are
