@@ -9,6 +9,7 @@ tables, and compares: columns sorted by name, row order as produced, values
 exactly (NaN==NaN), dtypes loosely (warn on mismatch).
 """
 import json
+import math
 import sys
 
 import duckdb
@@ -30,6 +31,12 @@ def cell_eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if np.isnan(a) and np.isnan(b):
             return True
+        # the driver hashes value representations, which distinguish
+        # -0.0 from 0.0 (CORRECTNESS_r01 llm_kmeans_step: DuckDB round()
+        # yields -0.0 on tiny negatives, Spark's BigDecimal round +0.0);
+        # plain == hides that, so compare the sign bit too.
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     try:
         if pd.isna(a) and pd.isna(b):
