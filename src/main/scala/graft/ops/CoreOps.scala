@@ -11,6 +11,34 @@ import org.apache.spark.sql.types._
   */
 object CoreOps {
 
+  /** Shared by core_snapshot_diff (emits the feed) and
+    * core_apply_changefeed (applies it): full-outer classify of two
+    * snapshot versions of `orders` into insert/update/delete rows.
+    */
+  private def snapshotDiff(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val v1 = T.t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val v2 = v1.where("o_orderkey % 100 <> 7")
+      .withColumn("o_totalprice", expr(
+        "CASE WHEN o_orderkey % 10 = 3 THEN " +
+          "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
+          "ELSE o_totalprice END"))
+      .unionByName(v1.where("o_orderkey % 100 = 11")
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+    v1.as("a").join(v2.as("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, "insert")
+          .when(col("b.o_orderkey").isNull, "delete")
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "update")
+          .otherwise("same").as("change_type"),
+        col("a.o_totalprice").as("old_price"),
+        col("b.o_totalprice").as("new_price"))
+      .where("change_type <> 'same'")
+      .orderBy("o_orderkey")
+  }
+
   val ops: Seq[Op] = Seq(
 
     // accumulator: append-accumulate all blocks of a stream into one table.
@@ -58,29 +86,7 @@ object CoreOps {
     // (%100=7) and inserts (mirrored keys). Full-outer join on the key
     // classifies every row; both versions shuffle once.
     Op("core_snapshot_diff",
-      (s, d) => {
-        val v1 = T.t(s, d, "orders")
-          .select("o_orderkey", "o_totalprice")
-        val v2 = v1.where("o_orderkey % 100 <> 7")
-          .withColumn("o_totalprice", expr(
-            "CASE WHEN o_orderkey % 10 = 3 THEN " +
-              "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
-              "ELSE o_totalprice END"))
-          .unionByName(v1.where("o_orderkey % 100 = 11")
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
-        v1.as("a").join(v2.as("b"),
-            col("a.o_orderkey") === col("b.o_orderkey"), "full")
-          .select(
-            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
-            when(col("a.o_orderkey").isNull, "insert")
-              .when(col("b.o_orderkey").isNull, "delete")
-              .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "update")
-              .otherwise("same").as("change_type"),
-            col("a.o_totalprice").as("old_price"),
-            col("b.o_totalprice").as("new_price"))
-          .where("change_type <> 'same'")
-          .orderBy("o_orderkey")
-      },
+      (s, d) => snapshotDiff(s, d),
       Some("WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders), " +
         "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 3 THEN " +
         "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
@@ -166,5 +172,54 @@ object CoreOps {
         "TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num, " +
         "TRY_CAST(o_orderstatus AS INTEGER) AS status_num, " +
         "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate FROM orders ORDER BY o_orderkey")),
+
+    // SCD type-2 history build: per user, collapse the event stream to
+    // state-change rows (event_type as the tracked attribute), each with
+    // [valid_from, valid_to) and an is_current flag. Two windows, both on
+    // the same (user_id, ts) partitioning — one shuffle total; at scale
+    // the state table is partitioned by key and the windows stay local.
+    Op("core_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = T.events(s, d)
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where("prev_type IS NULL OR prev_type <> event_type")
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("event_id"))
+        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        changes
+          .withColumn("valid_to", lead("valid_from", 1).over(w2))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some("WITH o AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_type, valid_from, event_id, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current " +
+        "FROM c ORDER BY user_id, valid_from, event_id")),
+
+    // apply a CDC changefeed (the core_snapshot_diff output shape) onto the
+    // old snapshot and reproduce the new one: deletes/updates leave via an
+    // anti-join, inserts/updates re-enter with their new values. The oracle
+    // is the new snapshot itself — the round-trip is the check. Both the
+    // anti-join and the union shuffle once on the key; a real feed is small
+    // relative to the snapshot, so the anti-join side broadcasts at scale.
+    Op("core_apply_changefeed",
+      (s, d) => {
+        val v1 = T.t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        val feed = snapshotDiff(s, d)
+        v1.join(feed.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(feed.where("change_type IN ('insert', 'update')")
+            .select(col("o_orderkey"), col("new_price").as("o_totalprice")))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 3 THEN " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE) " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 100 <> 7 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 100 = 11 " +
+        "ORDER BY o_orderkey")),
   )
 }

@@ -186,5 +186,35 @@ object Functions {
         "CAST(length(md5(c_name)) AS INTEGER) AS h_len, " +
         "substr(md5(concat_ws('|', c_name, c_mktsegment)), 1, 8) AS h_compound " +
         "FROM customer ORDER BY c_custkey")),
+
+    // trig family. Inputs are shifted into [0.3, 1.2] so every output is
+    // strictly positive — round(double, n) of a tiny NEGATIVE result
+    // yields -0.0 in DuckDB but +0.0 in Spark (parity rule 13), so the
+    // domain is chosen to keep zero unreachable. 6-dp rounding absorbs
+    // any 1-ulp libm drift between java.lang.Math and libm.
+    Op("fn_trig",
+      (s, d) => T.t(s, d, "lineitem")
+        .where("l_orderkey <= 2000")
+        .withColumn("x", expr("l_discount + 0.3"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("round(sin(x), 6)").as("sin_x"),
+          expr("round(cos(x), 6)").as("cos_x"),
+          expr("round(tan(x), 6)").as("tan_x"),
+          expr("round(asin(x), 6)").as("asin_x"),
+          expr("round(atan(x), 6)").as("atan_x"),
+          expr("round(atan2(x, 2.0), 6)").as("atan2_x"),
+          expr("round(degrees(x), 6)").as("deg_x"),
+          expr("round(radians(x), 6)").as("rad_x"),
+          expr("round(cot(x), 6)").as("cot_x"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "round(sin(x), 6) AS sin_x, round(cos(x), 6) AS cos_x, " +
+        "round(tan(x), 6) AS tan_x, round(asin(x), 6) AS asin_x, " +
+        "round(atan(x), 6) AS atan_x, round(atan2(x, 2.0), 6) AS atan2_x, " +
+        "round(degrees(x), 6) AS deg_x, round(radians(x), 6) AS rad_x, " +
+        "round(cot(x), 6) AS cot_x " +
+        "FROM (SELECT l_orderkey, l_linenumber, l_discount + 0.3 AS x " +
+        "FROM lineitem WHERE l_orderkey <= 2000) " +
+        "ORDER BY l_orderkey, l_linenumber")),
   )
 }

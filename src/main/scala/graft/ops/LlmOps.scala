@@ -83,6 +83,58 @@ object LlmOps {
       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a), " +
       "m AS (SELECT vec_id, embedding, c_id FROM b WHERE rn = 1)"
 
+  /** Trigram-shingle Jaccard near-dup pairs (tau = 0.2), shared by
+    * llm_ngram_jaccard (emits the pairs) and llm_dedup_cluster (connected
+    * components over them). Inverted-index self-join on 64-bit shingle
+    * hashes (8-byte shuffle keys; the oracle keeps exact strings — a
+    * collision would perturb one shared-count at ~2^-40 odds), with a
+    * posting-list cap: shingles in >256 docs are non-discriminative and
+    * would make the hottest list quadratic, so they're dropped from pair
+    * GENERATION only (denominators still count every shingle).
+    * Returns (d1, d2, jaccard).
+    */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sh = T.spread(T.t(s, d, "documents"))
+      .withColumn("toks", split(lower(col("text")), " "))
+      .where("size(toks) >= 3")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+        .as("shingle"))
+      .persist() // feeds the inverted-index self-join and the counts
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sid = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+    val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
+      .select("sid")
+    val shRare = sid.join(rare, "sid")
+    val shared = shRare.as("x").join(shRare.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
+      .where("jaccard >= 0.2")
+  }
+
+  /** DuckDB CTE list matching [[jaccardPairs]]; terminal CTE is
+    * `pairs(d1, d2, jaccard)`. Callers prepend WITH / WITH RECURSIVE.
+    */
+  private val oJaccardPairs: String =
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+      "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+      "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
+      "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
+      "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM shrare x JOIN shrare y " +
+      "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id), " +
+      "pairs AS (SELECT d1, d2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard " +
+      "FROM shared JOIN (SELECT doc_id AS d1, n_sh AS n1 FROM counts) c1 USING (d1) " +
+      "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2) " +
+      "WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2)"
+
   /** Deterministic 32-bit token hash for the MinHash/SimHash oracles:
     * first 8 hex digits of md5 — the Spark side computes the same value in
     * graft.functions.ShingleHashes.
@@ -236,52 +288,54 @@ object LlmOps {
         "WHERE bit_count(xor(x.simhash, y.simhash)) <= 8 ORDER BY d1, d2")),
 
     Op("llm_ngram_jaccard",
+      (s, d) => jaccardPairs(s, d)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2"),
+      Some("WITH " + oJaccardPairs +
+        " SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2")),
+
+    // near-dup clustering: connected components over the jaccard pair
+    // graph — the step that turns pairwise near-dup hits into dedup
+    // groups (keep min-id per component, drop the rest). Bounded
+    // min-label propagation: each round every node takes the smallest
+    // label in its neighborhood, converging in <= diameter rounds (near-
+    // dup graphs are near-cliques, so 2-3 rounds in practice; the loop
+    // stops early on a fixed point). At 100 TB this is the same
+    // alternating large-star/small-star shape — per-round cost is one
+    // shuffle of the edge list, and the label frame is persisted so
+    // lineage stays flat. Oracle: DuckDB recursive CTE over the same
+    // pair CTE, min reachable label per node.
+    Op("llm_dedup_cluster",
       (s, d) => {
-        val sh = T.spread(T.t(s, d, "documents"))
-          .withColumn("toks", split(lower(col("text")), " "))
-          .where("size(toks) >= 3")
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-            .as("shingle"))
-          .persist() // feeds the inverted-index self-join and the counts
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        // pair generation runs on 64-bit shingle hashes: the self-join
-        // shuffles 8-byte keys instead of ~30-byte strings (the oracle
-        // keeps exact strings; a 64-bit collision would perturb one
-        // shared-count — ~2^-40 odds at millions of shingles).
-        val sid = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
-        // posting-list cap: shingles shared by >256 docs are
-        // non-discriminative and would make the inverted-index join
-        // quadratic in the hottest list — drop them from pair GENERATION
-        // only (denominators still count every shingle).
-        val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
-          .select("sid")
-        val shRare = sid.join(rare, "sid")
-        val shared = shRare.as("x").join(shRare.as("y"),
-            col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .agg(count(lit(1)).as("shared"))
-        shared
-          .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-          .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
-          .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
-          .where("jaccard >= 0.2")
-          .select("d1", "d2", "jaccard")
-          .orderBy("d1", "d2")
+        val pairs = jaccardPairs(s, d).select("d1", "d2").persist()
+        val edges = pairs.unionByName(
+          pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        var labels = edges.select(col("d1").as("id"), col("d1").as("lbl"))
+          .distinct().persist()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 16) {
+          val next = edges
+            .join(labels.withColumnRenamed("id", "d2"), "d2")
+            .groupBy(col("d1").as("id")).agg(min("lbl").as("nbr"))
+            .join(labels, "id")
+            .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+            .persist()
+          converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .where("lbl < old").isEmpty
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+          .orderBy("doc_id")
       },
-      Some("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
-        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
-        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
-        "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
-        "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
-        "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM shrare x JOIN shrare y " +
-        "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
-        "SELECT d1, d2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard " +
-        "FROM shared JOIN (SELECT doc_id AS d1, n_sh AS n1 FROM counts) c1 USING (d1) " +
-        "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2) " +
-        "WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2 ORDER BY d1, d2")),
+      Some("WITH RECURSIVE " + oJaccardPairs + ", " +
+        "edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+        "nodes AS (SELECT DISTINCT d1 AS id FROM edges), " +
+        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY doc_id")),
 
     Op("llm_embedding_neardup",
       (s, d) => {
@@ -843,5 +897,89 @@ object LlmOps {
         "SELECT d.doc_id, probe_id, phrase FROM documents d, probes " +
         "WHERE d.doc_id <> probe_id AND strpos(d.text, phrase) > 0 " +
         "ORDER BY d.doc_id, probe_id")),
+
+    // deterministic train/val/test assignment: md5-bucket each doc_id into
+    // 100 buckets, split 90/5/5. Hash-based (not random) so the split is
+    // stable under re-runs, additions, and re-partitioning — the property
+    // a training pipeline actually needs. Pure map stage + tiny agg.
+    Op("llm_train_split",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split"),
+      Some("WITH b AS (SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket " +
+        "FROM documents) " +
+        "SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id " +
+        "FROM b GROUP BY 1 ORDER BY split")),
+
+    // Gopher-style repetition filter: fraction of repeated words and of
+    // repeated word-bigrams per document; docs over threshold are flagged
+    // for removal. All ratios are exact int/int double divisions (rule 12)
+    // — no rounding, no drift. Pure per-row map stage at any scale.
+    Op("llm_repetition_filter",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .where("size(toks) >= 2")
+        .withColumn("bigrams", expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("rep_toks"),
+          expr("CAST(size(toks) - size(array_distinct(toks)) AS BIGINT) / size(toks)").as("rep_tok_ratio"),
+          expr("CAST(size(bigrams) - size(array_distinct(bigrams)) AS BIGINT) / size(bigrams)").as("rep_bigram_ratio"))
+        .withColumn("flagged",
+          col("rep_tok_ratio") > 0.3 || col("rep_bigram_ratio") > 0.15)
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, " +
+        "CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS rep_toks, " +
+        "CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) / len(toks) AS rep_tok_ratio, " +
+        "CAST(len(bigrams) - len(list_distinct(bigrams)) AS BIGINT) / len(bigrams) AS rep_bigram_ratio, " +
+        "(CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) / len(toks) > 0.3 OR " +
+        "CAST(len(bigrams) - len(list_distinct(bigrams)) AS BIGINT) / len(bigrams) > 0.15) AS flagged " +
+        "FROM (SELECT doc_id, toks, list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1])) AS bigrams " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 2) ORDER BY doc_id")),
+
+    // unigram-LM negative log-likelihood per doc (the CCNet-style quality
+    // proxy, with corpus frequencies standing in for the external LM):
+    // nll = -avg_t ln(freq(t)/total). Per-token ln goes through
+    // floor(x*1e6) fixed point so the per-doc sum is an exact-integer
+    // aggregation (order-independent across partitions AND engines);
+    // the final division is exact-int/exact-int (rule 12). Corpus freq
+    // table is a groupBy; the doc join shuffles on the token.
+    Op("llm_perplexity_proxy",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        val total = toks.count()
+        toks.join(freq, "tok")
+          .withColumn("nll_fp", expr(
+            s"CAST(floor(-ln(CAST(freq AS DOUBLE) / $total) * 1000000) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum("nll_fp").as("nll_fp"))
+          .select(col("doc_id"), col("n_toks"),
+            (col("nll_fp") / (col("n_toks") * lit(1000000L))).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok), " +
+        "total AS (SELECT count(*) AS n FROM toks), " +
+        "per AS (SELECT doc_id, " +
+        "CAST(floor(-ln(CAST(freq AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll_fp " +
+        "FROM toks JOIN freq USING (tok), total) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(SUM(nll_fp) AS BIGINT) / (count(*) * 1000000) AS nll " +
+        "FROM per GROUP BY doc_id ORDER BY doc_id")),
   )
 }

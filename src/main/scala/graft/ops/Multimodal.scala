@@ -106,5 +106,23 @@ object Multimodal {
           .orderBy("asset_id")
       },
       None),
+
+    // binary-payload metadata extraction — the oracle-checkable half of
+    // the multimodal path: Spark works on a real BinaryType column
+    // (octet_length / md5 / first byte of the payload); DuckDB computes
+    // the same values from the source text, whose UTF-8 bytes ARE the
+    // payload. Pure per-row map stage over the binary column.
+    Op("llm_binary_stats",
+      (s, d) => assets(s, d).toDF()
+        .select(col("asset_id"), col("kind"),
+          expr("octet_length(payload)").cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          expr("ascii(decode(substring(payload, 1, 1), 'UTF-8'))").as("first_byte"))
+        .orderBy("asset_id"),
+      Some("SELECT doc_id AS asset_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
+        "ascii(text) AS first_byte " +
+        "FROM documents ORDER BY asset_id")),
   )
 }

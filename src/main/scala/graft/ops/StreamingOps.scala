@@ -119,5 +119,32 @@ object StreamingOps {
       Some("SELECT event_type, count(*) AS n_new, max(ts) AS latest_ts FROM events " +
         "WHERE ts > TIMESTAMP '2024-01-15 00:00:00' " +
         "GROUP BY event_type ORDER BY event_type")),
+
+    // stream-stream interval join (view -> purchase attribution within
+    // 1 hour, per user). Batch equivalent of the watermarked streaming
+    // join in graft.streaming.Streams.clickPurchaseJoin, which is
+    // parity-pinned to this in the test suite. Equi key (user_id) plus a
+    // range residual — Spark plans a hash/merge join on user_id, never a
+    // nested loop; in streaming both sides carry watermarks so state for
+    // expired intervals is dropped.
+    Op("strm_interval_join",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val views = ev.where("event_type = 'view'")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            col("ts").as("buy_ts"), col("value"))
+        views.join(buys, Seq("user_id"))
+          .where("buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR")
+          .select("user_id", "view_id", "buy_id", "view_ts", "buy_ts", "value")
+          .orderBy("user_id", "view_id", "buy_id")
+      },
+      Some("SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id, " +
+        "v.ts AS view_ts, b.ts AS buy_ts, b.value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b " +
+        "ON v.user_id = b.user_id AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR " +
+        "ORDER BY v.user_id, view_id, buy_id")),
   )
 }

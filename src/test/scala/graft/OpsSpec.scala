@@ -193,4 +193,27 @@ class OpsSpec extends AnyFunSuite {
     val resized = Multimodal.resize(a, 4)
     assert(resized.select(expr("size(features)")).distinct().as[Int].collect().toSeq == Seq(4))
   }
+
+  test("llm_dedup_cluster merges transitively-linked docs into one component") {
+    // three docs in a sliding 12-token window: 1~2 and 2~3 overlap enough
+    // (jaccard 6/14 ≈ 0.43) but 1~3 share only 2 of 18 trigrams (≈ 0.11
+    // < τ) — so doc 3 joins doc 1's cluster ONLY via label propagation
+    // through doc 2, which is exactly the transitivity being pinned.
+    val toks = (1 to 20).map(i => s"t$i")
+    def text(from: Int) = toks.slice(from - 1, from - 1 + 12).mkString(" ")
+    val dir = "target/tmp/cc_docs"
+    Seq(
+      (1L, text(1), "en", "src0", 12L),
+      (2L, text(5), "en", "src0", 12L),
+      (3L, text(9), "en", "src0", 12L),
+      (4L, "completely different tokens here with no overlap at all whatsoever", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Registry.byKey("llm_ngram_jaccard").query(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    val clusters = Registry.byKey("llm_dedup_cluster").query(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
