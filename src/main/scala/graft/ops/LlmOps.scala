@@ -94,16 +94,20 @@ object LlmOps {
     * Returns (d1, d2, jaccard).
     */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = T.spread(T.t(s, d, "documents"))
+    // hash each distinct trigram shingle to 64 bits BEFORE the persist:
+    // the cached frame and every downstream shuffle carry 8-byte keys
+    // instead of ~30-byte strings (the oracle keeps exact strings; a
+    // collision would perturb one shared-count at ~2^-40 odds).
+    val sid = T.spread(T.t(s, d, "documents"))
       .withColumn("toks", split(lower(col("text")), " "))
       .where("size(toks) >= 3")
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-        .as("shingle"))
+        "transform(array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))), " +
+          "sh -> xxhash64(sh))"))
+        .as("sid"))
       .persist() // feeds the inverted-index self-join and the counts
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sid = sh.select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+    val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
       .select("sid")
     val shRare = sid.join(rare, "sid")
