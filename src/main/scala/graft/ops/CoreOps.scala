@@ -221,5 +221,35 @@ object CoreOps {
         "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 100 <> 7 " +
         "UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 100 = 11 " +
         "ORDER BY o_orderkey")),
+
+    // record validation with quarantine: every record is checked against
+    // declared rules (value range, closed enum, parseable props field);
+    // failing rows leave the pipeline tagged with ALL the reasons they
+    // failed (comma-joined in rule order). One narrow map + filter — no
+    // shuffle except the output sort, so validation cost at 100 TB is a
+    // single codegen'd pass over the scan. The snapflow analogue is the
+    // soft-cast path of schema casting (bad records quarantined, not
+    // crashed).
+    Op("core_validate_quarantine",
+      (s, d) => T.events(s, d)
+        .withColumn("reasons", concat_ws(",",
+          when(col("value") < lit(0.05), lit("low_value")),
+          when(col("event_type") === "error", lit("error_type")),
+          when(expr("try_cast(get_json_object(props, '$.k') AS INT)").isNull
+            || expr("try_cast(get_json_object(props, '$.k') AS INT)") > 90,
+            lit("bad_props"))))
+        .where("reasons <> ''")
+        .select("event_id", "user_id", "event_type", "reasons")
+        .orderBy("event_id"),
+      Some("SELECT event_id, user_id, event_type, " +
+        "concat_ws(',', CASE WHEN value < 0.05 THEN 'low_value' END, " +
+        "CASE WHEN event_type = 'error' THEN 'error_type' END, " +
+        "CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL " +
+        "OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 90 THEN 'bad_props' END) AS reasons " +
+        "FROM events " +
+        "WHERE value < 0.05 OR event_type = 'error' " +
+        "OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL " +
+        "OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 90 " +
+        "ORDER BY event_id")),
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Op, Tables => T}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType}
 
 /** SURVEY.md §2-D — scalar function families, one combined query per family.
   * Return types are aligned with DuckDB explicitly (DuckDB length/year/rank
@@ -216,5 +217,42 @@ object Functions {
         "FROM (SELECT l_orderkey, l_linenumber, l_discount + 0.3 AS x " +
         "FROM lineitem WHERE l_orderkey <= 2000) " +
         "ORDER BY l_orderkey, l_linenumber")),
+
+    // binary encoding family: base64 / hex over UTF-8 bytes plus a
+    // decode round-trip (unbase64 → string). Both engines emit RFC-4648
+    // base64 and uppercase hex.
+    Op("fn_encode",
+      (s, d) => T.t(s, d, "part").select(
+          col("p_partkey"),
+          base64(col("p_name").cast(BinaryType)).as("b64"),
+          hex(col("p_name")).as("hx"),
+          unbase64(base64(col("p_name").cast(BinaryType))).cast(StringType).as("rt"),
+          length(col("p_name").cast(BinaryType)).cast(IntegerType).as("n_bytes"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, base64(encode(p_name)) AS b64, hex(p_name) AS hx, " +
+        "decode(from_base64(base64(encode(p_name)))) AS rt, " +
+        "CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes " +
+        "FROM part ORDER BY p_partkey")),
+
+    // URL parsing: documents get a deterministic synthetic URL, Spark
+    // dissects it with parse_url (HOST / PATH / QUERY / single query
+    // param); the oracle re-derives the same pieces with POSIX regexes —
+    // independent implementations of the same spec.
+    Op("fn_url",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/d/"), col("doc_id"), lit("?lang="), col("lang"), lit("&v=2")))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, url, regexp_extract(url, 'https://([^/]+)', 1) AS host, " +
+        "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, '\\?(.*)$', 1) AS query, " +
+        "regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang " +
+        "FROM (SELECT doc_id, concat('https://', source, '.example.com/d/', doc_id, " +
+        "'?lang=', lang, '&v=2') AS url FROM documents) ORDER BY doc_id")),
   )
 }

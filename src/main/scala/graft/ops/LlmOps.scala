@@ -139,6 +139,29 @@ object LlmOps {
       "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2) " +
       "WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2)"
 
+  /** Contiguous token-budget shard packing (per language, doc_id order,
+    * ~2000-token shards via a cumulative-sum window) — shared by
+    * llm_pack_shards (per-doc assignment) and llm_shard_manifest (the
+    * shard-level summary a training loader consumes).
+    */
+  private def packShards(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.t(s, d, "documents")
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
+      .select("doc_id", "lang", "n_tokens", "shard_id")
+  }
+
+  /** DuckDB equivalent of [[packShards]] as a CTE named `packed`. */
+  private val oPackShards: String =
+    "packed AS (SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard_id FROM (" +
+      "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+      "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+      "FROM documents))"
+
   /** Deterministic 32-bit token hash for the MinHash/SimHash oracles:
     * first 8 hex digits of md5 — the Spark side computes the same value in
     * graft.functions.ShingleHashes.
@@ -627,21 +650,9 @@ object LlmOps {
     // by lang so the window parallelizes; at 100 TB the partition key
     // would be a range-bucketed shard group.
     Op("llm_pack_shards",
-      (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T.t(s, d, "documents")
-          .withColumn("n_tokens", expr("size(split(text, ' '))"))
-          .withColumn("cum", sum("n_tokens").over(w))
-          .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
-          .select("doc_id", "lang", "n_tokens", "shard_id")
-          .orderBy("doc_id")
-      },
-      Some("SELECT doc_id, lang, n_tokens, CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard_id FROM (" +
-        "SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
-        "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
-        "FROM documents) ORDER BY doc_id")),
+      (s, d) => packShards(s, d).orderBy("doc_id"),
+      Some("WITH " + oPackShards +
+        " SELECT doc_id, lang, n_tokens, shard_id FROM packed ORDER BY doc_id")),
 
     // ---- multimodal ----------------------------------------------------
 
@@ -985,5 +996,83 @@ object LlmOps {
         "SELECT doc_id, count(*) AS n_toks, " +
         "CAST(SUM(nll_fp) AS BIGINT) / (count(*) * 1000000) AS nll " +
         "FROM per GROUP BY doc_id ORDER BY doc_id")),
+
+    // shard manifest: the summary a training loader reads instead of
+    // listing files — doc count, token total and doc-id range per
+    // (lang, shard). One partial-aggregated shuffle over the packing
+    // output; at 100 TB the manifest is millions of rows describing
+    // billions, which is the point.
+    Op("llm_shard_manifest",
+      (s, d) => packShards(s, d)
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "shard_id"),
+      Some("WITH " + oPackShards + " SELECT lang, shard_id, count(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM packed GROUP BY lang, shard_id ORDER BY lang, shard_id")),
+
+    // source-mix rebalancing: per-source sampling weights that steer the
+    // corpus toward a uniform target mix (weight > 1 ⇒ upsample, < 1 ⇒
+    // downsample), plus the post-cap kept-doc count. The counts shuffle
+    // is one partial-agg pass; the total is a broadcast scalar — the
+    // standard first step of training-mix curation at any scale.
+    Op("llm_domain_rebalance",
+      (s, d) => {
+        val counts = T.t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val total = counts.agg(sum("n_docs").as("total"))
+        val nSrc = counts.agg(count(lit(1)).as("n_sources"))
+        counts.crossJoin(total).crossJoin(nSrc)
+          .withColumn("share", expr("round(CAST(n_docs AS DOUBLE) / total, 6)"))
+          .withColumn("weight", expr(
+            "round((CAST(total AS DOUBLE) / n_sources) / n_docs, 6)"))
+          .withColumn("n_keep", expr(
+            "CAST(least(CAST(n_docs AS DOUBLE), floor(n_docs * ((CAST(total AS DOUBLE) / n_sources) / n_docs))) AS BIGINT)"))
+          .select("source", "n_docs", "share", "weight", "n_keep")
+          .orderBy("source")
+      },
+      Some("WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, count(*) AS n_sources FROM counts) " +
+        "SELECT source, n_docs, round(CAST(n_docs AS DOUBLE) / total, 6) AS share, " +
+        "round((CAST(total AS DOUBLE) / n_sources) / n_docs, 6) AS weight, " +
+        "CAST(least(CAST(n_docs AS DOUBLE), floor(n_docs * ((CAST(total AS DOUBLE) / n_sources) / n_docs))) AS BIGINT) AS n_keep " +
+        "FROM counts, t ORDER BY source")),
+
+    // quality-gate audit: per-rule rejection counts and rates across the
+    // corpus — the report a data-curation run emits BEFORE anyone drops a
+    // row. Single aggregation pass computing every rule at once (sum of
+    // flags), unpivoted to one row per rule; no per-rule rescans.
+    Op("llm_quality_gate_report",
+      (s, d) => {
+        val flagged = T.t(s, d, "documents").select(
+          expr("CASE WHEN n_chars < 150 THEN 1 ELSE 0 END").as("f_short"),
+          expr("CASE WHEN n_chars > 450 THEN 1 ELSE 0 END").as("f_long"),
+          expr("CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) > 0.05 THEN 1 ELSE 0 END").as("f_digit"),
+          expr("CASE WHEN CAST(size(array_distinct(split(lower(text), ' '))) AS DOUBLE) / size(split(text, ' ')) < 0.5 THEN 1 ELSE 0 END").as("f_repeat"))
+        val agg = flagged.agg(
+          sum("f_short").as("too_short"), sum("f_long").as("too_long"),
+          sum("f_digit").as("digit_heavy"), sum("f_repeat").as("repetitive"),
+          count(lit(1)).as("n_total"))
+        agg.select(expr(
+            "stack(4, 'digit_heavy', digit_heavy, 'repetitive', repetitive, " +
+            "'too_long', too_long, 'too_short', too_short) AS (rule, n_fail)"),
+            col("n_total"))
+          .withColumn("fail_rate", expr("round(CAST(n_fail AS DOUBLE) / n_total, 6)"))
+          .select("rule", "n_fail", "fail_rate")
+          .orderBy("rule")
+      },
+      Some("WITH f AS (SELECT " +
+        "CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS too_short, " +
+        "CAST(SUM(CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS BIGINT) AS too_long, " +
+        "CAST(SUM(CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS digit_heavy, " +
+        "CAST(SUM(CASE WHEN CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(text, ' ')) < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive, " +
+        "count(*) AS n_total FROM documents) " +
+        "SELECT rule, n_fail, round(CAST(n_fail AS DOUBLE) / n_total, 6) AS fail_rate FROM (" +
+        "SELECT 'digit_heavy' AS rule, digit_heavy AS n_fail, n_total FROM f " +
+        "UNION ALL SELECT 'repetitive', repetitive, n_total FROM f " +
+        "UNION ALL SELECT 'too_long', too_long, n_total FROM f " +
+        "UNION ALL SELECT 'too_short', too_short, n_total FROM f) ORDER BY rule")),
   )
 }

@@ -680,5 +680,106 @@ object Relational {
         s"${T.oSum("l_extendedprice")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // correlated LATERAL subquery: top-2 customers by balance per nation.
+    // Catalyst decorrelates the per-row subquery into a ranked join (no
+    // driver loop, no nested-loop re-execution per outer row) — the shape
+    // that survives 100 TB. Tiebreak on c_custkey makes the LIMIT edge
+    // deterministic across engines.
+    Op("rel_join_lateral",
+      (s, d) => {
+        T.t(s, d, "nation").createOrReplaceTempView("nation")
+        T.t(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql("SELECT n_nationkey, n_name, t.c_custkey, t.c_acctbal " +
+          "FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer " +
+          "WHERE c_nationkey = n_nationkey " +
+          "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+          "ORDER BY n_nationkey, t.c_custkey")
+      },
+      Some("SELECT n_nationkey, n_name, t.c_custkey, t.c_acctbal " +
+        "FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer " +
+        "WHERE c_nationkey = n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t " +
+        "ORDER BY n_nationkey, t.c_custkey")),
+
+    // full CUBE lattice over (status, priority) with grouping flags;
+    // subtotal rows are keyed by COALESCE'd sentinels so the output
+    // carries no NULL sort keys (Spark sorts NULLS FIRST, DuckDB NULLS
+    // LAST — sentinels dodge the divergence entirely).
+    Op("rel_cube",
+      (s, d) => T.t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_pri"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"), col("g_status"), col("g_pri"))
+        .orderBy("status", "priority"),
+      Some("SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
+        "COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n, " +
+        s"${T.oSum("o_totalprice")} AS sum_price, " +
+        "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
+        "CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY status, priority")),
+
+    // argmin/argmax aggregation (min_by/max_by ↔ arg_min/arg_max). Both
+    // engines pick an ARBITRARY row on ties, so the ordering argument is
+    // an injective encoding (price cents · 10^7 + orderkey) — ties are
+    // impossible by construction and the answer is deterministic.
+    Op("rel_agg_arg_minmax",
+      (s, d) => T.t(s, d, "orders")
+        .withColumn("enc",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("max_by(o_orderkey, enc)").as("top_order"),
+          expr("max_by(o_custkey, enc)").as("top_cust"),
+          max("o_totalprice").as("top_price"),
+          expr("min_by(o_orderkey, enc)").as("bottom_order"),
+          min("o_totalprice").as("bottom_price"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, arg_max(o_orderkey, enc) AS top_order, " +
+        "arg_max(o_custkey, enc) AS top_cust, max(o_totalprice) AS top_price, " +
+        "arg_min(o_orderkey, enc) AS bottom_order, min(o_totalprice) AS bottom_price " +
+        "FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS enc " +
+        "FROM orders) GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    // tolerance-bounded as-of: latest purchase AT MOST 30 minutes before
+    // each click, through the custom Catalyst operator (tolerance is a
+    // merge-time bound in the exec — stale carries are rejected without
+    // re-scanning). Oracle: the same window carry-forward emulation with
+    // the staleness test applied afterwards; both sides keep the match
+    // iff click_ts - buy_ts <= 30 min (boundary inclusive).
+    Op("rel_join_asof_tolerance",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.where("event_type = 'click'")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val buys = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        graft.plans.AsOf.join(clicks, buys, Seq("user_id"),
+            leftTs = "click_ts", rightTs = "buy_ts",
+            payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"),
+            tolerance = Some(30L * 60 * 1000 * 1000)) // 30 min in µs
+          .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
+          .orderBy("click_id")
+      },
+      Some("SELECT click_id, user_id, click_ts, " +
+        "CASE WHEN buy_ts >= click_ts - INTERVAL 30 MINUTE THEN buy_id END AS buy_id, " +
+        "CASE WHEN buy_ts >= click_ts - INTERVAL 30 MINUTE THEN buy_ts END AS buy_ts FROM (" +
+        "SELECT event_id AS click_id, user_id, ts AS click_ts, is_click, " +
+        "last_value(b_id IGNORE NULLS) OVER w AS buy_id, " +
+        "last_value(b_ts IGNORE NULLS) OVER w AS buy_ts " +
+        "FROM (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click, " +
+        "CASE WHEN event_type = 'purchase' THEN event_id END AS b_id, " +
+        "CASE WHEN event_type = 'purchase' THEN ts END AS b_ts " +
+        "FROM events WHERE event_type IN ('click', 'purchase')) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "WHERE is_click = 1 ORDER BY click_id")),
   )
 }

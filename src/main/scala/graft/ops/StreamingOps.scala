@@ -146,5 +146,24 @@ object StreamingOps {
         "JOIN (SELECT * FROM events WHERE event_type = 'purchase') b " +
         "ON v.user_id = b.user_id AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR " +
         "ORDER BY v.user_id, view_id, buy_id")),
+
+    // stream-static join: the purchase stream enriched with the customer
+    // dimension (batch equivalent of Streams.enrichPurchases, parity-
+    // pinned in the test suite). The dim side broadcasts — the stream
+    // never shuffles, which is the only shape that works when the stream
+    // is unbounded and the dim is a bounded snapshot.
+    Op("strm_join_stream_static",
+      (s, d) => {
+        val buys = T.events(s, d).where("event_type = 'purchase'")
+        graft.streaming.Streams.enrichPurchases(buys, T.t(s, d, "customer"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_buys"), T.dsum(col("value")).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS n_buys, " +
+        s"${T.oSum("value")} AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "WHERE event_type = 'purchase' " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )
 }

@@ -259,6 +259,7 @@ object AsOf {
       tolerance: Option[Long] = None): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
+    GraftSqlBridge.addOptimization(spark, AsOfPushdownRule)
     val lPlan = GraftSqlBridge.analyzed(left)
     // Re-alias every right column so the right subtree carries fresh
     // exprIds: with a shared lineage (self-as-of) the analyzer's

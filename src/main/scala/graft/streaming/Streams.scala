@@ -60,6 +60,18 @@ object Streams {
       .select("click_id", "user_id", "click_ts", "buy_id", "buy_ts")
   }
 
+  /** stream-static enrichment join: a purchase stream decorated with the
+    * (bounded, broadcastable) customer dimension. The static side is
+    * re-resolved per micro-batch, so a slowly-changing dim picks up new
+    * snapshots without restarting the query; no watermark is needed
+    * because the static side holds no streaming state.
+    */
+  def enrichPurchases(purchases: DataFrame, customer: DataFrame): DataFrame =
+    purchases
+      .join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("c_name"), col("c_mktsegment"))
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -28,4 +28,16 @@ object GraftSqlBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently append an optimizer rule to the session
+    * (`ExperimentalMethods.extraOptimizations` — runs as a late batch, so
+    * a rule registered this way still reorders operators but cannot chain
+    * into the main pushdown batch; sessions built with GraftExtensions
+    * get the same rule inside the operator-optimization fixed point).
+    */
+  def addOptimization(spark: SparkSession, r: catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

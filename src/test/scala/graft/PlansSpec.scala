@@ -143,6 +143,44 @@ class PlansSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected exactly 2 shuffles (one per side), got $shuffles:\n$plan")
   }
 
+  test("left-only predicates push through the as-of join (AsOfPushdownRule)") {
+    val clicks = Tables.events(spark, TestSpark.sf).where("event_type = 'click'")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val buys = Tables.events(spark, TestSpark.sf).where("event_type = 'purchase'")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+    val joined = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+      payload = Seq("buy_id"), tiebreak = Seq("buy_id"))
+    // composed AFTER the join: left-only conjunct + payload conjunct
+    val df = joined.where("click_id % 2 = 0 AND buy_id IS NOT NULL")
+    df.count()
+
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asof = plan.collect { case n: AsOfJoinExec => n }
+    assert(asof.nonEmpty, s"AsOfJoinExec missing:\n$plan")
+    // the click_id filter must have moved BELOW the join — after the stock
+    // rules chain it through the alias (click_id = event_id) it lands in
+    // the left scan's data filters, before the shuffle
+    val leftFilters = asof.head.left.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.dataFilters.map(_.sql).mkString(",")
+    }
+    assert(leftFilters.exists(s => s.contains("% 2")),
+      s"click_id predicate not pushed below the as-of join:\n$plan")
+    val aboveFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.collect { case a: AsOfJoinExec => a }.nonEmpty => f
+    }
+    assert(!aboveFilters.exists(_.condition.references.exists(_.name == "click_id")),
+      s"click_id predicate still above the join:\n$plan")
+    // semantics unchanged: same rows as filtering the emulation result
+    assert(df.count() ==
+      joined.where("buy_id IS NOT NULL").where("click_id % 2 = 0").count())
+  }
+
   test("snk_partitioned_prune scan reads only the matching partition (PartitionFilters)") {
     val df = Registry.byKey("snk_partitioned_prune").query(spark, TestSpark.sf)
     val plan = GraftSqlBridge.executedPlan(df) match {

@@ -103,6 +103,25 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static enrichment join: stream == batch broadcast join") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(120).map(e => e.copy(event_type = "purchase"))
+    val dim = Seq((0L, "alice", "AUTO"), (1L, "bob", "BUILDING"),
+        (2L, "carol", "AUTO"), (3L, "dave", "HOUSEHOLD"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val name = s"enrich_${System.nanoTime()}"
+    val q = Streams.enrichPurchases(mem.toDF(), dim)
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("event_id", "c_name")
+      .as[(Long, String)].collect().toSet
+    val want = Streams.enrichPurchases(events.toDF(), dim)
+      .select("event_id", "c_name").as[(Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals == batch aggregation") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
