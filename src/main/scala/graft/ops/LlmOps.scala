@@ -1074,5 +1074,54 @@ object LlmOps {
         "UNION ALL SELECT 'repetitive', repetitive, n_total FROM f " +
         "UNION ALL SELECT 'too_long', too_long, n_total FROM f " +
         "UNION ALL SELECT 'too_short', too_short, n_total FROM f) ORDER BY rule")),
+
+    // frequency-ranked tokenizer vocabulary: top-1024 tokens with dense
+    // ids and cumulative corpus coverage — the deterministic skeleton of
+    // vocab construction (a real BPE adds merges on top; the counting
+    // and ranking shape is identical). floor() for the coverage share
+    // (parity rule: round() is unsafe on exact rationals).
+    Op("llm_tokenizer_vocab",
+      (s, d) => {
+        val freq = T.t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        val total = freq.agg(sum("freq").as("total"))
+        freq.crossJoin(total)
+          .withColumn("id", row_number().over(Window.orderBy(desc("freq"), col("token"))))
+          .withColumn("cum_share", expr(
+            "floor(CAST(" +
+              "sum(freq) OVER (ORDER BY freq DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+              "AS DOUBLE) / total * 1000000) / 1000000"))
+          .where("id <= 1024")
+          .select("id", "token", "freq", "cum_share")
+          .orderBy("id")
+      },
+      Some("WITH freq AS (SELECT token, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) GROUP BY token), " +
+        "t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq) " +
+        "SELECT id, token, freq, cum_share FROM (" +
+        "SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS id, token, freq, " +
+        "floor(CAST(SUM(freq) OVER (ORDER BY freq DESC, token " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total * 1000000) / 1000000 AS cum_share " +
+        "FROM freq, t) WHERE id <= 1024 ORDER BY id")),
+
+    // curriculum ordering: phase docs easy -> hard by length band, with a
+    // deterministic in-phase shuffle (md5 of the text as the sort key) so
+    // every run and every engine produces the same training order. At
+    // scale the output is range-partitioned by (phase, ord) so shard N
+    // of the curriculum is one partition — no global sort at read time.
+    Op("llm_curriculum_order",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("phase", expr(
+          "CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END"))
+        .withColumn("ord", row_number().over(
+          Window.partitionBy("phase").orderBy(md5(col("text")), col("doc_id"))))
+        .select("doc_id", "phase", "ord")
+        .orderBy("phase", "ord"),
+      Some("SELECT doc_id, phase, CAST(row_number() OVER " +
+        "(PARTITION BY phase ORDER BY md5(text), doc_id) AS INTEGER) AS ord " +
+        "FROM (SELECT doc_id, text, CASE WHEN n_chars < 250 THEN 0 " +
+        "WHEN n_chars < 400 THEN 1 ELSE 2 END AS phase FROM documents) " +
+        "ORDER BY phase, ord")),
   )
 }

@@ -781,5 +781,32 @@ object Relational {
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "WHERE is_click = 1 ORDER BY click_id")),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine of
+    // the order-date domain recursively, then LEFT JOIN per-month counts —
+    // the gap-filling calendar-spine idiom (months with zero orders appear
+    // as 0, which a plain GROUP BY can never produce). The recursion is
+    // driver-cheap (one row per month); the join against it broadcasts.
+    Op("rel_recursive_cte",
+      (s, d) => {
+        T.t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("WITH RECURSIVE months(m) AS (" +
+          "SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00' " +
+          "UNION ALL SELECT m + INTERVAL 1 MONTH FROM months " +
+          "WHERE m < TIMESTAMP_NTZ '2001-08-01 00:00:00') " +
+          "SELECT m, count(o_orderkey) AS n_orders, " +
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs " +
+          "FROM months LEFT JOIN orders " +
+          "ON CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP_NTZ) = m " +
+          "GROUP BY m ORDER BY m")
+      },
+      Some("WITH RECURSIVE months(m) AS (" +
+        "SELECT TIMESTAMP '1995-01-01 00:00:00' " +
+        "UNION ALL SELECT m + INTERVAL 1 MONTH FROM months " +
+        "WHERE m < TIMESTAMP '2001-08-01 00:00:00') " +
+        "SELECT m, count(o_orderkey) AS n_orders, " +
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs " +
+        "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m " +
+        "GROUP BY m ORDER BY m")),
   )
 }
