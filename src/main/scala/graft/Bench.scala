@@ -37,7 +37,10 @@ object Bench {
     "llm_ngram_jaccard", "llm_corpus_dedupe", "llm_semdedup",
     "llm_kmeans_step", "llm_similarity_topk", "llm_knn_join",
     "llm_ann_ivf", "llm_ann_lsh", "llm_tfidf", "llm_lang_id",
-    "llm_quality_score", "llm_clean_pipeline", "llm_pack_shards")
+    "llm_quality_score", "llm_clean_pipeline", "llm_pack_shards",
+    // round 2
+    "rel_join_lateral", "rel_recursive_cte", "rel_join_asof_tolerance",
+    "llm_dedup_cluster", "llm_tokenizer_vocab", "core_validate_quarantine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -335,23 +335,32 @@ object LlmOps {
     Op("llm_dedup_cluster",
       (s, d) => {
         val pairs = jaccardPairs(s, d).select("d1", "d2").persist()
-        val edges = pairs.unionByName(
-          pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        var labels = edges.select(col("d1").as("id"), col("d1").as("lbl"))
-          .distinct().persist()
+        // undirected edge list WITH self-loops: each round is then ONE
+        // join + ONE aggregate (the self-loop carries the node's own
+        // label into the same min, and doubles as the `old` value for
+        // the fixed-point test) instead of two joins per round.
+        val nodes = pairs.select(col("d1")).unionByName(pairs.select(col("d2").as("d1")))
+          .distinct()
+        val edges = pairs
+          .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
+          .persist()
+        var labels = nodes.select(col("d1").as("id"), col("d1").as("lbl")).persist()
+        var cached = labels // the frame actually holding the cache
         var converged = false
         var rounds = 0
         while (!converged && rounds < 16) {
           val next = edges
             .join(labels.withColumnRenamed("id", "d2"), "d2")
-            .groupBy(col("d1").as("id")).agg(min("lbl").as("nbr"))
-            .join(labels, "id")
-            .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+            .groupBy(col("d1").as("id"))
+            .agg(min("lbl").as("lbl"),
+              min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
+            .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
             .persist()
-          converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-            .where("lbl < old").isEmpty
-          labels.unpersist()
-          labels = next
+          converged = next.where("changed").isEmpty
+          cached.unpersist()
+          cached = next
+          labels = next.select("id", "lbl")
           rounds += 1
         }
         labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))

@@ -168,7 +168,15 @@ object Sources {
       (s, d) => {
         val tmp = s"target/tmp/part_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         val src = T.t(s, d, "orders")
-        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        // cluster rows by (partition column, bounded salt) before the
+        // write: without this every task writes a file into every status
+        // directory (tasks × values small files — metadata poison at any
+        // scale); clustering by status alone caps write parallelism at
+        // the value count. The salt keeps ≤ 8 well-sized files per
+        // directory while all cores compress.
+        src.repartition(col("o_orderstatus"),
+            pmod(xxhash64(col("o_orderkey")), lit(8)))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
         // explicit schema: an all-empty input writes no partition dirs,
         // which would otherwise fail inference
         s.read.schema(src.schema).parquet(tmp).where("o_orderstatus = 'F'")
