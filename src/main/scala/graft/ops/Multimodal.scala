@@ -124,5 +124,29 @@ object Multimodal {
         "CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest, " +
         "ascii(text) AS first_byte " +
         "FROM documents ORDER BY asset_id")),
+
+    // frame sampling over the binary payload: every 4th 64-byte frame
+    // (byte offsets 0, 256, 512, …) with a per-frame digest — the video
+    // frame-extraction access pattern as pure Spark plumbing
+    // (sequence + explode + binary substring stays in codegen; a real
+    // codec replaces the digest step). Oracle-checkable because the
+    // payload IS the doc text's UTF-8 bytes and the corpus is pure ASCII
+    // (strlen == length for every row), so DuckDB's char slices equal
+    // the byte slices.
+    Op("llm_frame_sample",
+      (s, d) => assets(s, d).toDF()
+        .select(col("asset_id"),
+          col("payload"),
+          explode(expr("sequence(0, octet_length(payload) - 1, 256)")).as("off"))
+        .select(col("asset_id"),
+          expr("CAST(off div 64 AS INT)").as("frame_idx"),
+          expr("octet_length(substring(payload, off + 1, 64))").cast("int").as("n_bytes"),
+          md5(expr("substring(payload, off + 1, 64)")).as("digest"))
+        .orderBy("asset_id", "frame_idx"),
+      Some("SELECT doc_id AS asset_id, CAST(off // 64 AS INTEGER) AS frame_idx, " +
+        "CAST(strlen(substr(text, off + 1, 64)) AS INTEGER) AS n_bytes, " +
+        "md5(substr(text, off + 1, 64)) AS digest " +
+        "FROM (SELECT doc_id, text, unnest(range(0, strlen(text), 256)) AS off FROM documents) " +
+        "ORDER BY asset_id, frame_idx")),
   )
 }
