@@ -93,19 +93,21 @@ object LlmOps {
     * GENERATION only (denominators still count every shingle).
     * Returns (d1, d2, jaccard).
     */
+  /** Distinct trigram shingles of `toks`, hashed to 64 bits in-place:
+    * the cached frames and every downstream shuffle carry 8-byte keys
+    * instead of ~30-byte strings (the oracle keeps exact strings; a
+    * collision would perturb one shared-count at ~2^-40 odds).
+    */
+  private val shingleHashExpr: String =
+    "transform(array_distinct(transform(sequence(1, size(toks) - 2), " +
+      "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))), " +
+      "sh -> xxhash64(sh))"
+
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // hash each distinct trigram shingle to 64 bits BEFORE the persist:
-    // the cached frame and every downstream shuffle carry 8-byte keys
-    // instead of ~30-byte strings (the oracle keeps exact strings; a
-    // collision would perturb one shared-count at ~2^-40 odds).
     val sid = T.spread(T.t(s, d, "documents"))
       .withColumn("toks", split(lower(col("text")), " "))
       .where("size(toks) >= 3")
-      .select(col("doc_id"), explode(expr(
-        "transform(array_distinct(transform(sequence(1, size(toks) - 2), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))), " +
-          "sh -> xxhash64(sh))"))
-        .as("sid"))
+      .select(col("doc_id"), explode(expr(shingleHashExpr)).as("sid"))
       .persist() // feeds the inverted-index self-join and the counts
     val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
@@ -323,24 +325,75 @@ object LlmOps {
 
     // near-dup clustering: connected components over the jaccard pair
     // graph — the step that turns pairwise near-dup hits into dedup
-    // groups (keep min-id per component, drop the rest). Bounded
-    // min-label propagation: each round every node takes the smallest
-    // label in its neighborhood, converging in <= diameter rounds (near-
-    // dup graphs are near-cliques, so 2-3 rounds in practice; the loop
-    // stops early on a fixed point). At 100 TB this is the same
-    // alternating large-star/small-star shape — per-round cost is one
-    // shuffle of the edge list, and the label frame is persisted so
-    // lineage stays flat. Oracle: DuckDB recursive CTE over the same
-    // pair CTE, min reachable label per node.
+    // groups (keep min-id per component, drop the rest).
+    //
+    // EXACT-DEDUP-FIRST: pair generation runs on one representative per
+    // identical-(lowered-)text group, with each shingle's document
+    // frequency weighted by group size so the rare-shingle cap sees the
+    // FULL corpus df. Identical texts have identical shingle sets, so the
+    // representative graph is the exact quotient of the full pair graph:
+    // connectivity — and therefore the min-id component labels — are
+    // unchanged (the oracle recursive CTE still runs over ALL docs). On
+    // duplicate-heavy corpora this collapses the quadratic candidate
+    // term before it exists: the 20x-duplicated scale probe drops from
+    // 389 s to seconds. A group joins the graph on its own (no external
+    // pair) iff its identical copies near-dup EACH OTHER under the same
+    // τ: jaccard(A, A') = r/(2n - r) ≥ 0.2 ⟺ 3r ≥ n, where r of the
+    // n shingles survive the rare cap — the integer form is exact.
+    //
+    // Bounded min-label propagation on the representative graph: each
+    // round every node takes the smallest label in its neighborhood
+    // (one join + one aggregate per round; self-loops carry the own
+    // label and the fixed-point signal), converging in <= diameter
+    // rounds. At 100 TB this is the alternating large-star/small-star
+    // shape; labels persist so lineage stays flat.
     Op("llm_dedup_cluster",
       (s, d) => {
-        val pairs = jaccardPairs(s, d).select("d1", "d2").persist()
+        // ONE aggregation both collapses the groups and elects the
+        // representative (min doc_id) — `first(ltext)` is deterministic
+        // in value because every member of a gid group has the same
+        // lowered text. n_dup rides along into the shingle frame so the
+        // weighted df needs no join at all.
+        val gl = T.t(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("ltext"))
+          .withColumn("gid", xxhash64(col("ltext")))
+        val gidRep = gl.groupBy("gid")
+          .agg(min("doc_id").as("doc_id"), first("ltext").as("ltext"),
+            count(lit(1)).as("n_dup"))
+          .persist()
+        val sid = T.spread(gidRep)
+          .withColumn("toks", split(col("ltext"), " "))
+          .where("size(toks) >= 3")
+          .select(col("doc_id"), col("n_dup"), explode(expr(shingleHashExpr)).as("sid"))
+          .persist()
+        val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // full-corpus df = multiplicity-weighted rep df
+        val rare = sid.groupBy("sid").agg(sum("n_dup").as("df"))
+          .where("df <= 256").select("sid")
+        // persisted: feeds both sides of the pair self-join AND the
+        // rare-count aggregate
+        val shRare = sid.join(rare, "sid").select("doc_id", "sid").persist()
+        val rareCounts = shRare.groupBy("doc_id").agg(count(lit(1)).as("r_sh"))
+        val pairs = shRare.as("x").join(shRare.as("y"),
+            col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+          .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+          .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+          .where("CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2")
+          .select("d1", "d2").persist()
+        // self-connected multi-doc groups (identical copies near-dup
+        // each other) are nodes even without an external pair
+        val selfGroups = gidRep.where("n_dup >= 2").select("doc_id")
+          .join(counts, "doc_id").join(rareCounts, "doc_id")
+          .where("3 * r_sh >= n_sh")
+          .select(col("doc_id").as("d1"))
+        val nodes = pairs.select(col("d1")).unionByName(pairs.select(col("d2").as("d1")))
+          .unionByName(selfGroups).distinct()
         // undirected edge list WITH self-loops: each round is then ONE
         // join + ONE aggregate (the self-loop carries the node's own
         // label into the same min, and doubles as the `old` value for
         // the fixed-point test) instead of two joins per round.
-        val nodes = pairs.select(col("d1")).unionByName(pairs.select(col("d2").as("d1")))
-          .distinct()
         val edges = pairs
           .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
@@ -363,7 +416,11 @@ object LlmOps {
           labels = next.select("id", "lbl")
           rounds += 1
         }
-        labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        // expand representative labels back to every member of the group
+        gl.select("doc_id", "gid")
+          .join(gidRep.select(col("gid"), col("doc_id").as("rep")), "gid")
+          .join(labels.withColumnRenamed("id", "rep"), "rep")
+          .select(col("doc_id"), col("lbl").as("cluster"))
           .orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + oJaccardPairs + ", " +

@@ -54,7 +54,14 @@ object ScaleProbe {
       "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified",
       "llm_doc_chunk", "llm_contamination_check", "llm_embedding_quantize",
       "llm_kmeans_step", "llm_clean_pipeline", "llm_semdedup",
-      "llm_dedup_levenshtein", "llm_stopword_ratio", "llm_length_histogram")
+      "llm_dedup_levenshtein", "llm_stopword_ratio", "llm_length_histogram",
+      // round 2: the all-duplicate corpus is the worst case for the
+      // near-dup graph (every doc pairs with its 19 copies), and the 10x
+      // events stress the tolerance as-of and interval joins
+      "llm_dedup_cluster", "llm_tokenizer_vocab", "llm_curriculum_order",
+      "llm_quality_gate_report", "llm_domain_rebalance", "llm_shard_manifest",
+      "llm_frame_sample", "rel_join_asof_tolerance", "strm_interval_join",
+      "core_validate_quarantine")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
