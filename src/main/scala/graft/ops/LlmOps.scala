@@ -1189,5 +1189,23 @@ object LlmOps {
         "FROM (SELECT doc_id, text, CASE WHEN n_chars < 250 THEN 0 " +
         "WHEN n_chars < 400 THEN 1 ELSE 2 END AS phase FROM documents) " +
         "ORDER BY phase, ord")),
+
+    // exact-k per-stratum reservoir sample, derandomized: rank docs
+    // inside each language by a content hash and keep the first 20 —
+    // the reproducible equivalent of reservoir sampling (same sample on
+    // every run and every engine). The window form shuffles each
+    // stratum; at 100 TB swap in the bounded TopKAggregator so the
+    // shuffle carries only k rows per stratum per mapper.
+    Op("llm_reservoir_sample",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))))
+        .where("rk <= 20")
+        .select("lang", "rk", "doc_id", "source")
+        .orderBy("lang", "rk"),
+      Some("SELECT lang, rk, doc_id, source FROM (" +
+        "SELECT lang, doc_id, source, CAST(row_number() OVER " +
+        "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +
+        "FROM documents) WHERE rk <= 20 ORDER BY lang, rk")),
   )
 }

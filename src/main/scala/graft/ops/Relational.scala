@@ -808,5 +808,81 @@ object Relational {
         "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs " +
         "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m " +
         "GROUP BY m ORDER BY m")),
+
+    // existence join: the flag form of semi-join (every left row kept,
+    // plus a boolean) — Catalyst plans the SELECT-list EXISTS as an
+    // ExistenceJoin, one hash join, no row duplication from multiple
+    // matches (which a LEFT JOIN + CASE would have to dedup).
+    Op("rel_join_existence",
+      (s, d) => {
+        T.t(s, d, "customer").createOrReplaceTempView("customer")
+        T.t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("SELECT c_custkey, c_name, " +
+          "EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+          "AND o_totalprice > 300000) AS has_big " +
+          "FROM customer ORDER BY c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, " +
+        "EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000) AS has_big " +
+        "FROM customer ORDER BY c_custkey")),
+
+    // gap-filled hourly series with linear interpolation: per event type,
+    // hours with no events get prev + (next - prev) · elapsed-fraction
+    // (NULL outside the observed range). Spine = sequence between the
+    // type's min/max hour; carries are IGNORE NULLS window passes, so
+    // the whole op is two window scans over the (type, hour) frame — no
+    // per-gap probing. The interpolation arithmetic runs in the same
+    // IEEE order on both engines.
+    Op("rel_gap_fill_interpolate",
+      (s, d) => {
+        T.events(s, d).createOrReplaceTempView("events")
+        s.sql(
+          "WITH hourly AS (SELECT event_type, " +
+          "CAST(date_trunc('HOUR', ts) AS TIMESTAMP_NTZ) AS h, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v " +
+          "FROM events GROUP BY 1, 2), " +
+          "spine AS (SELECT event_type, explode(sequence(min(h), max(h), INTERVAL 1 HOUR)) AS h " +
+          "FROM hourly GROUP BY event_type), " +
+          "joined AS (SELECT s.event_type, s.h, hourly.v FROM spine s " +
+          "LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h), " +
+          "carried AS (SELECT event_type, h, v, " +
+          "last_value(v) IGNORE NULLS OVER wb AS pv, " +
+          "last_value(CASE WHEN v IS NOT NULL THEN h END) IGNORE NULLS OVER wb AS ph, " +
+          "first_value(v) IGNORE NULLS OVER wf AS nv, " +
+          "first_value(CASE WHEN v IS NOT NULL THEN h END) IGNORE NULLS OVER wf AS nh " +
+          "FROM joined " +
+          "WINDOW wb AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+          "wf AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+          "SELECT event_type, h, " +
+          "CASE WHEN v IS NOT NULL THEN v " +
+          "WHEN pv IS NULL OR nv IS NULL THEN NULL " +
+          "ELSE pv + (nv - pv) * (CAST(unix_timestamp(h) AS DOUBLE) - unix_timestamp(ph)) " +
+          "/ (CAST(unix_timestamp(nh) AS DOUBLE) - unix_timestamp(ph)) END AS v_filled, " +
+          "(v IS NULL) AS interpolated " +
+          "FROM carried ORDER BY event_type, h")
+      },
+      Some("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "spine AS (SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h " +
+        "FROM hourly GROUP BY event_type), " +
+        "joined AS (SELECT s.event_type, s.h, hourly.v FROM spine s " +
+        "LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h), " +
+        "carried AS (SELECT event_type, h, v, " +
+        "last_value(v IGNORE NULLS) OVER wb AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS ph, " +
+        "first_value(v IGNORE NULLS) OVER wf AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh " +
+        "FROM joined " +
+        "WINDOW wb AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, h, " +
+        "CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pv IS NULL OR nv IS NULL THEN NULL " +
+        "ELSE pv + (nv - pv) * (CAST(epoch(h) AS DOUBLE) - epoch(ph)) " +
+        "/ (CAST(epoch(nh) AS DOUBLE) - epoch(ph)) END AS v_filled, " +
+        "(v IS NULL) AS interpolated " +
+        "FROM carried ORDER BY event_type, h")),
   )
 }
