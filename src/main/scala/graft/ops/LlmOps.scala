@@ -1207,5 +1207,40 @@ object LlmOps {
         "SELECT lang, doc_id, source, CAST(row_number() OVER " +
         "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk")),
+
+    // exact-substring dedup (the \"deduplicating training data\" op): doc
+    // pairs sharing ANY run of 20 identical consecutive tokens, found by
+    // hashing every 20-token window and inverted-index self-joining the
+    // window hashes — the scalable stand-in for a suffix array, with the
+    // same df cap as the jaccard pairs so a boilerplate window shared by
+    // thousands of docs can't go quadratic. Spark joins on 8-byte window
+    // hashes; the oracle joins the literal window strings.
+    Op("llm_dedup_substring",
+      (s, d) => {
+        val win = T.spread(T.t(s, d, "documents"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 20")
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 19), " +
+              "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))")).as("w"))
+          .persist()
+        val rare = win.groupBy("w").agg(count(lit(1)).as("df"))
+          .where("df <= 256").select("w")
+        val wr = win.join(rare, "w")
+        wr.as("x").join(wr.as("y"),
+            col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("d1", "d2")
+      },
+      Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 20), " +
+        "rare AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 256), " +
+        "wr AS (SELECT doc_id, w FROM w JOIN rare USING (w)) " +
+        "SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared " +
+        "FROM wr x JOIN wr y ON x.w = y.w AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }
