@@ -531,6 +531,43 @@ object LlmOps {
         s"SELECT vec_id, bsig, ${oSim("embedding", "p_emb")} AS sim " +
         "FROM s, p WHERE bsig = p_sig AND vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")),
 
+    // two-stage ANN: multi-probe LSH (the probe's bucket PLUS the 8
+    // buckets at Hamming distance 1 — recall recovered without widening
+    // any single bucket) -> exact cosine re-rank of the candidate union
+    // -> top-5. Each vector lands in exactly one candidate bucket, so the
+    // union needs no dedup; at 100 TB the candidate scan stays one
+    // bucket-pruned lookup per probe bucket and the quadratic term never
+    // appears.
+    Op("llm_ann_refine",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val sigExpr =
+          "aggregate(sequence(0, 7), 0, (acc, i) -> acc + CASE WHEN " +
+            "aggregate(transform(sequence(0, 63), j -> CAST(element_at(embedding, j + 1) AS DOUBLE) * " +
+            "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 " +
+            "THEN shiftleft(1, i) ELSE 0 END)"
+        val withSig = T.spread(T.t(s, d, "embeddings")).withColumn("bsig", expr(sigExpr))
+        val probes = withSig.where("vec_id = 0")
+          .select(col("embedding").as("p_emb"),
+            explode(expr("array_union(array(bsig), transform(sequence(0, 7), i -> bsig ^ shiftleft(1, i)))"))
+              .as("cand_sig"))
+        withSig.join(broadcast(probes), col("bsig") === col("cand_sig") && col("vec_id") =!= 0)
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .select("vec_id", "bsig", "sim")
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+      },
+      Some("WITH s AS (SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 8), i -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, 64), j -> CAST(embedding[j + 1] AS DOUBLE) * " +
+        "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE))), (a, v) -> a + v) > 0 " +
+        "THEN (1 << i) ELSE 0 END)) AS INTEGER) AS bsig FROM embeddings), " +
+        "p AS (SELECT embedding AS p_emb, unnest(list_prepend(bsig, " +
+        "list_transform(range(0, 8), i -> xor(bsig, 1 << i)))) AS cand_sig " +
+        "FROM s WHERE vec_id = 0) " +
+        s"SELECT vec_id, bsig, ${oSim("embedding", "p_emb")} AS sim " +
+        "FROM s, p WHERE bsig = cand_sig AND vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 5")),
+
     // ---- text analysis -------------------------------------------------
 
     Op("llm_text_stats",
