@@ -181,6 +181,20 @@ class PlansSpec extends AnyFunSuite {
       joined.where("buy_id IS NOT NULL").where("click_id % 2 = 0").count())
   }
 
+  test("rel_join_lateral decorrelates to a ranked join with partial WindowGroupLimit (no per-row subquery)") {
+    val df = Registry.byKey("rel_join_lateral").query(spark, TestSpark.sf)
+    df.count()
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("WindowGroupLimit"),
+      s"expected partial top-k (WindowGroupLimit) in the decorrelated lateral plan:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"lateral subquery fell back to a nested loop:\n$s")
+  }
+
   test("snk_partitioned_prune scan reads only the matching partition (PartitionFilters)") {
     val df = Registry.byKey("snk_partitioned_prune").query(spark, TestSpark.sf)
     val plan = GraftSqlBridge.executedPlan(df) match {
