@@ -143,4 +143,30 @@ class PropertySpec extends AnyFunSuite {
       assert(sims.filter(t => t._1 == t._2).forall(t => math.abs(t._3 - 1.0) < 1e-9))
     }
   }
+
+  test("tolerance as-of == per-row scan reference on random data") {
+    val pairGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+      Gen.zip(eventsGen, eventsGen)
+    forSamples(pairGen, n = 4) { case (lRows, rRows) =>
+      val tolMin = 45L
+      val left = toDf(lRows).toDF("user_id", "click_id", "click_ts")
+      val right = toDf(rRows).toDF("user_id", "buy_id", "buy_ts")
+      val got = graft.plans.AsOf.join(left, right, Seq("user_id"),
+          leftTs = "click_ts", rightTs = "buy_ts",
+          payload = Seq("buy_id"), tiebreak = Seq("buy_id"),
+          tolerance = Some(tolMin * 60L * 1000000L))
+        .select("click_id", "buy_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      // reference: brute-force latest-within-tolerance per left row
+      val rIdx = rRows.map { case (u, id, off) => (u, id, off) }
+      val want = lRows.map { case (u, id, off) =>
+        val cands = rIdx.filter(r =>
+          r._1 == u && r._3 <= off && off - r._3 <= tolMin)
+        id -> (if (cands.isEmpty) -1L
+               else cands.maxBy(r => (r._3, r._2))._2)
+      }.toMap
+      assert(got == want, s"left=$lRows right=$rRows")
+    }
+  }
 }
