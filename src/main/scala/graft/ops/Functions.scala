@@ -234,6 +234,29 @@ object Functions {
         "CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes " +
         "FROM part ORDER BY p_partkey")),
 
+    // second string family: translate/repeat/reverse/left/right/locate/
+    // initcap (DuckDB 1.0 lacks initcap — the oracle rebuilds it from
+    // per-word upper+substr, independent implementations of the same
+    // spec).
+    Op("fn_string_extra",
+      (s, d) => T.t(s, d, "customer").select(
+          col("c_custkey"),
+          translate(col("c_name"), "aeiou", "AEIOU").as("tr"),
+          expr("repeat(c_mktsegment, 2)").as("rep"),
+          reverse(col("c_name")).as("rev"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 4)").as("r4"),
+          expr("CAST(locate('1', c_name) AS BIGINT)").as("pos1"),
+          initcap(lower(col("c_mktsegment"))).as("cap"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, translate(c_name, 'aeiou', 'AEIOU') AS tr, " +
+        "repeat(c_mktsegment, 2) AS rep, reverse(c_name) AS rev, " +
+        "left(c_name, 4) AS l4, right(c_name, 4) AS r4, " +
+        "CAST(position('1' IN c_name) AS BIGINT) AS pos1, " +
+        "array_to_string(list_transform(string_split(lower(c_mktsegment), ' '), " +
+        "w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ') AS cap " +
+        "FROM customer ORDER BY c_custkey")),
+
     // URL parsing: documents get a deterministic synthetic URL, Spark
     // dissects it with parse_url (HOST / PATH / QUERY / single query
     // param); the oracle re-derives the same pieces with POSIX regexes —

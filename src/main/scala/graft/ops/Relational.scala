@@ -809,6 +809,26 @@ object Relational {
         "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m " +
         "GROUP BY m ORDER BY m")),
 
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinality (a customer with three qualifying orders appears three
+    // times) — the bag semantics a distinct-flavored set op silently
+    // destroys. Catalyst plans both as aggregating joins on (value,
+    // replica count), one shuffle each.
+    Op("rel_set_ops_all",
+      (s, d) => {
+        val o = T.t(s, d, "orders")
+        val a = o.where("o_totalprice > 200000").select("o_custkey")
+        val b = o.where("o_orderpriority LIKE '1%'").select("o_custkey")
+        a.intersectAll(b).withColumn("tag", lit("both"))
+          .unionByName(a.exceptAll(b).withColumn("tag", lit("high_only")))
+          .orderBy("o_custkey", "tag")
+      },
+      Some("WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000), " +
+        "b AS (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%') " +
+        "SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) " +
+        "UNION ALL SELECT o_custkey, 'high_only' AS tag FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) " +
+        "ORDER BY o_custkey, tag")),
+
     // existence join: the flag form of semi-join (every left row kept,
     // plus a boolean) — Catalyst plans the SELECT-list EXISTS as an
     // ExistenceJoin, one hash join, no row duplication from multiple
