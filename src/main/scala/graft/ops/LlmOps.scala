@@ -1295,16 +1295,24 @@ object LlmOps {
     // exact-k per-stratum reservoir sample, derandomized: rank docs
     // inside each language by a content hash and keep the first 20 —
     // the reproducible equivalent of reservoir sampling (same sample on
-    // every run and every engine). The window form shuffles each
-    // stratum; at 100 TB swap in the bounded TopKAggregator so the
-    // shuffle carries only k rows per stratum per mapper.
+    // every run and every engine). Runs on the bounded MinKByKeyAggregator
+    // (map-side partial top-k over the FULL md5 key, identical to the
+    // window formulation), so the shuffle carries ≤ 20 rows per stratum
+    // per mapper — never the stratum itself. The tiny winner set then
+    // broadcasts back against the corpus to fetch payload columns.
     Op("llm_reservoir_sample",
-      (s, d) => T.t(s, d, "documents")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))))
-        .where("rk <= 20")
-        .select("lang", "rk", "doc_id", "source")
-        .orderBy("lang", "rk"),
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val winners = docs
+          .groupBy("lang")
+          .agg(graft.functions.MinKByKeyAggregator.minKByKey(20)(
+            md5(col("text")), col("doc_id")).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "e")))
+          .select(expr("CAST(pos + 1 AS INT)").as("rk"), col("e.id").as("doc_id"))
+        docs.join(broadcast(winners), "doc_id")
+          .select("lang", "rk", "doc_id", "source")
+          .orderBy("lang", "rk")
+      },
       Some("SELECT lang, rk, doc_id, source FROM (" +
         "SELECT lang, doc_id, source, CAST(row_number() OVER " +
         "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +

@@ -114,6 +114,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinKByKeyAggregator == sorted take(k) by string key for any partitioning") {
+    import graft.functions.{KeyedId, MinKByKeyAggregator}
+    val rowsGen = for {
+      n <- Gen.choose(0, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 4L)
+        key <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      } yield (g, key))
+    } yield rows.zipWithIndex.map { case ((g, k), i) => (g, k, i.toLong) }
+    forSamples(rowsGen) { rows =>
+      val k = 3
+      val mink = MinKByKeyAggregator.minKByKey(k)
+      val df = rows.toDF("g", "key", "id").repartition(7)
+      val got = df.groupBy("g")
+        .agg(mink(col("key"), col("id")).as("top"))
+        .as[(Long, Seq[(String, Long)])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sortBy(identity).take(k)
+      }
+      assert(got.view.mapValues(_.toList).toMap == want.view.mapValues(_.toList).toMap)
+      val agg = new MinKByKeyAggregator(k)
+      val merged = agg.merge(
+        Seq(KeyedId("aa", 5), KeyedId("cc", 2)),
+        Seq(KeyedId("aa", 1), KeyedId("bb", 9), KeyedId("dd", 3)))
+      assert(merged == Seq(KeyedId("aa", 1), KeyedId("aa", 5), KeyedId("bb", 9)))
+    }
+  }
+
   test("MinHash estimate is calibrated against true trigram Jaccard on LSH candidates") {
     val est = Registry.byKey("llm_dedup_minhash").query(spark, TestSpark.sf)
       .select(col("d1"), col("d2"), col("est_jaccard"))
