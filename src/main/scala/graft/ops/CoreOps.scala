@@ -251,5 +251,33 @@ object CoreOps {
         "OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL " +
         "OR TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 90 " +
         "ORDER BY event_id")),
+
+    // observed metrics (Spark Observation API): data-quality counters
+    // collected DURING a query's own pass — no second scan. A pipeline
+    // materializing events gets row/low-value/null-props counts for free
+    // as executor-side accumulators; here the observed query is drained
+    // and the metrics row itself is the result. At 100 TB this replaces
+    // a whole auditing re-read of the output.
+    Op("core_observe_metrics",
+      (s, d) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation()
+        T.events(s, d)
+          .observe(obs, // distinct aggregates are not observable
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value") < 0.05, 1L).otherwise(0L)).as("n_low_value"),
+            sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+            max(col("user_id")).as("max_user"))
+          .write.mode("overwrite").format("noop").save()
+        val m = obs.get
+        def optL(k: String): Option[Long] = Option(m(k)).map(_.asInstanceOf[Long])
+        Seq((m("n_rows").asInstanceOf[Long], optL("n_low_value"),
+          optL("n_null_props"), optL("max_user")))
+          .toDF("n_rows", "n_low_value", "n_null_props", "max_user")
+      },
+      Some("SELECT count(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN value < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_value, " +
+        "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props, " +
+        "max(user_id) AS max_user FROM events")),
   )
 }

@@ -75,6 +75,20 @@ object Sources {
       parquetSink,
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // codec control on the sink: zstd-compressed parquet round-trip
+    // (values identical to the source; only the file bytes differ).
+    // At 100 TB codec choice is a first-order cost knob — zstd trades
+    // ~10-20% more write CPU for materially smaller cold storage than
+    // snappy, and the scan stays vectorized either way.
+    Op("snk_parquet_zstd",
+      (s, d) => {
+        val tmp = s"target/tmp/zstd_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        T.t(s, d, "supplier").write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp)
+        s.read.parquet(tmp).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     Op("src_orc_roundtrip",
       orcRoundtrip,
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
