@@ -181,6 +181,27 @@ class PlansSpec extends AnyFunSuite {
       joined.where("buy_id IS NOT NULL").where("click_id % 2 = 0").count())
   }
 
+  test("hot-path queries run inside WholeStageCodegen (no interpreted gaps in scan->agg)") {
+    for (key <- Seq("rel_agg_hash", "rel_project_filter", "llm_quality_score")) {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      // collect() drives THIS dataset's QueryExecution, so the adaptive
+      // plan materializes its stages (count() would plan a different one)
+      df.collect()
+      val plan = GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // AQE hides codegen spans inside materialized query stages —
+      // recurse through QueryStageExec.plan to see them
+      def spans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => Seq("ws")
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => spans(q.plan)
+        }.flatten
+      assert(spans(plan).nonEmpty, s"$key has no WholeStageCodegen span:\n$plan")
+    }
+  }
+
   test("rel_join_lateral decorrelates to a ranked join with partial WindowGroupLimit (no per-row subquery)") {
     val df = Registry.byKey("rel_join_lateral").query(spark, TestSpark.sf)
     df.count()
