@@ -173,6 +173,58 @@ object Sources {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
 
+    // dynamic partition overwrite: refresh ONE partition of a
+    // partitioned table in place (the incremental-materialization
+    // pattern — recompute yesterday's partition, leave the rest
+    // untouched). partitionOverwriteMode=dynamic replaces only the
+    // partitions present in the incoming frame; a static overwrite
+    // would wipe the whole table. Verified by reading the final state:
+    // F rows carry the refreshed price, O/P rows the original.
+    Op("snk_dynamic_partition_overwrite",
+      (s, d) => {
+        val tmp = s"target/tmp/dyn_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val src = T.t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        src.where("o_orderstatus = 'F'")
+          .withColumn("o_totalprice", expr(
+            "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2) AS DOUBLE)"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderstatus").parquet(tmp)
+        s.read.schema(src.schema).parquet(tmp).orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderstatus = 'F' THEN " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2) AS DOUBLE) " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // binaryFile source: the real multimodal ingestion path — opaque
+    // files arrive as (path, modificationTime, length, content) rows.
+    // Twenty docs are materialized as .bin files and read back through
+    // the format; the oracle checks the content-derived columns (id
+    // from the file name, byte length, digest) against the source text.
+    Op("src_binary_file",
+      (s, d) => {
+        val dir = new java.io.File(s"target/tmp/binf_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        dir.mkdirs()
+        T.t(s, d, "documents").where("doc_id < 20")
+          .select("doc_id", "text").collect().foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(dir, s"doc_${r.getLong(0)}.bin").toPath,
+              r.getString(1).getBytes("UTF-8"))
+          }
+        s.read.format("binaryFile").load(dir.getPath)
+          .select(
+            expr("CAST(regexp_extract(path, 'doc_([0-9]+)\\\\.bin', 1) AS BIGINT)").as("doc_id"),
+            col("length"),
+            md5(col("content")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length, md5(text) AS digest " +
+        "FROM documents WHERE doc_id < 20 ORDER BY doc_id")),
+
     // Hive-style partitioned layout + partition pruning: write orders
     // partitioned by status, read back with a partition predicate — the
     // scan must touch only the o_orderstatus=F directory (PartitionFilters
