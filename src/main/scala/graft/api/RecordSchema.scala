@@ -55,6 +55,29 @@ final case class RecordSchema(
     df.withColumn("__rn", row_number().over(w)).where("__rn = 1").drop("__rn")
   }
 
+  /** Schema drift report against a realized frame: which declared
+    * columns are missing, which realized columns are undeclared, and
+    * which exist with a different type — the decision input for
+    * soft-conform vs hard-fail on block ingestion.
+    */
+  def diff(df: DataFrame): Seq[RecordSchema.Drift] = {
+    val realized = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val declared = struct.fields.map(f => f.name -> f.dataType).toMap
+    val missing = struct.fields.collect {
+      case f if !realized.contains(f.name) =>
+        RecordSchema.Drift(f.name, "missing", f.dataType.sql, "")
+    }
+    val extra = df.schema.fields.collect {
+      case f if !declared.contains(f.name) =>
+        RecordSchema.Drift(f.name, "undeclared", "", f.dataType.sql)
+    }
+    val changed = struct.fields.collect {
+      case f if realized.get(f.name).exists(_ != f.dataType) =>
+        RecordSchema.Drift(f.name, "type_changed", f.dataType.sql, realized(f.name).sql)
+    }
+    (missing ++ extra ++ changed).sortBy(d => (d.column, d.kind))
+  }
+
   /** Rows violating declared nullability, plus duplicate-key rows. */
   def violations(df: DataFrame): DataFrame = {
     val nullViolation = struct.fields.filterNot(_.nullable)
@@ -70,4 +93,9 @@ final case class RecordSchema(
     keyed.withColumn("__nullbad", nullViolation)
       .where(col("__dup") || col("__nullbad"))
   }
+}
+
+object RecordSchema {
+  /** One drift finding from [[RecordSchema.diff]]. */
+  final case class Drift(column: String, kind: String, declared: String, realized: String)
 }

@@ -234,6 +234,44 @@ object Functions {
         "CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes " +
         "FROM part ORDER BY p_partkey")),
 
+    // second array family: flatten / position / remove / overlap /
+    // repeat — built over a deterministic per-part token array.
+    Op("fn_array_extra",
+      (s, d) => T.t(s, d, "part")
+        .withColumn("toks", split(col("p_type"), " "))
+        .select(
+          col("p_partkey"),
+          flatten(array(col("toks"), array(col("p_brand")))).as("flat"),
+          expr("CAST(array_position(toks, 'BRUSHED') AS BIGINT)").as("pos_brushed"),
+          expr("array_remove(toks, 'ANODIZED')").as("no_anodized"),
+          expr("arrays_overlap(toks, array('STEEL', 'COPPER'))").as("has_metal"),
+          expr("array_repeat(p_brand, 2)").as("brand2"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, flatten([toks, [p_brand]]) AS flat, " +
+        // Spark's array_position yields 0 when absent, DuckDB NULL
+        "COALESCE(CAST(list_position(toks, 'BRUSHED') AS BIGINT), 0) AS pos_brushed, " +
+        "list_filter(toks, x -> x <> 'ANODIZED') AS no_anodized, " +
+        "len(list_intersect(toks, ['STEEL', 'COPPER'])) > 0 AS has_metal, " +
+        "[p_brand, p_brand] AS brand2 " +
+        "FROM (SELECT p_partkey, p_brand, string_split(p_type, ' ') AS toks FROM part) " +
+        "ORDER BY p_partkey")),
+
+    // conditional family: greatest/least/ifnull/nullif-guarded division
+    // (try_divide semantics) over order amounts.
+    Op("fn_conditional",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(250000.0)).as("hi"),
+          least(col("o_totalprice"), lit(250000.0)).as("lo"),
+          expr("ifnull(nullif(o_orderstatus, 'O'), 'open')").as("status_or_open"),
+          expr("try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE))").as("risky_div"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, greatest(o_totalprice, 250000.0) AS hi, " +
+        "least(o_totalprice, 250000.0) AS lo, " +
+        "ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_or_open, " +
+        "o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS risky_div " +
+        "FROM orders ORDER BY o_orderkey")),
+
     // second string family: translate/repeat/reverse/left/right/locate/
     // initcap (DuckDB 1.0 lacks initcap — the oracle rebuilds it from
     // per-word upper+substr, independent implementations of the same

@@ -56,6 +56,18 @@ class ApiSpec extends AnyFunSuite {
     assert(bad.count() == 2) // the duplicate id=1 pair
   }
 
+  test("RecordSchema: diff reports missing, undeclared, and type-changed columns") {
+    import org.apache.spark.sql.types._
+    val schema = graft.api.RecordSchema(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType))))
+    val realized = Seq((1, "a", "x")).toDF("id", "name", "extra")
+    val drifts = schema.diff(realized)
+    assert(drifts.map(d => (d.column, d.kind)) == Seq(
+      ("extra", "undeclared"), ("id", "type_changed"), ("price", "missing")))
+    assert(schema.diff(Seq((1L, "a", 2.0)).toDF("id", "name", "price")).isEmpty)
+  }
+
   test("CoreModule: accumulate/merge/latest/sinceWatermark") {
     import graft.api.CoreModule
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
