@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
@@ -265,6 +265,35 @@ object Streams {
       }
       .start()
   }
+
+  /** Dead-letter-queue split sink: every micro-batch is validated once,
+    * good rows append to `goodDir`, rejected rows append to `badDir`
+    * with the rule name that rejected them — the quarantine pattern of
+    * core_validate_quarantine as a STREAMING sink. The batch is split
+    * by one filter each way (no second scan of the source), and parquet
+    * appends keep both sides replay-idempotent per epoch directory.
+    */
+  def dlqSink(
+      stream: DataFrame,
+      reasonsCol: Column,
+      goodDir: String,
+      badDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tagged = batch.withColumn("__reasons", reasonsCol).cache()
+        tagged.where("__reasons = ''").drop("__reasons")
+          .write.mode("append").parquet(goodDir)
+        tagged.where("__reasons <> ''")
+          .withColumnRenamed("__reasons", "reject_reasons")
+          .write.mode("append").parquet(badDir)
+        tagged.unpersist()
+        ()
+      }
+      .start()
 
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added

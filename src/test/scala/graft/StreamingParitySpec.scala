@@ -122,6 +122,46 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark keeps one row per key on a bounded-lateness stream") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(100)
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val name = s"ddww_${System.nanoTime()}"
+    val q = mem.toDF()
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("user_id", "event_type")
+      .as[(Long, String)].collect().toList
+    // all event ts fall inside one watermark window here, so the result
+    // is exactly one row per (user_id, event_type)
+    assert(got.toSet == events.map(e => (e.user_id, e.event_type)).toSet)
+    assert(got.size == got.toSet.size)
+  }
+
+  test("DLQ split sink routes rows by validation and loses none") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(80)
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val base = s"target/tmp/dlq_${System.nanoTime()}"
+    val q = Streams.dlqSink(mem.toDF(),
+      concat_ws(",",
+        when(col("value") < 5.0, lit("low_value")),
+        when(col("event_type") === "click", lit("click_type"))),
+      s"$base/good", s"$base/bad", s"$base/ckpt")
+    q.awaitTermination()
+    val good = spark.read.parquet(s"$base/good")
+    val bad = spark.read.parquet(s"$base/bad")
+    val nExpectBad = events.count(e => e.value < 5.0 || e.event_type == "click")
+    assert(bad.count() == nExpectBad)
+    assert(good.count() == events.size - nExpectBad)
+    assert(bad.where("reject_reasons = ''").isEmpty)
+    assert(!good.columns.contains("reject_reasons"))
+  }
+
   test("mapGroupsWithState running totals == batch aggregation") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
