@@ -40,7 +40,10 @@ object Bench {
     "llm_quality_score", "llm_clean_pipeline", "llm_pack_shards",
     // round 2
     "rel_join_lateral", "rel_recursive_cte", "rel_join_asof_tolerance",
-    "llm_dedup_cluster", "llm_tokenizer_vocab", "core_validate_quarantine")
+    "llm_dedup_cluster", "llm_tokenizer_vocab", "core_validate_quarantine",
+    "llm_kmeans_train", "llm_dedup_substring", "llm_ann_refine",
+    "llm_reservoir_sample", "rel_gap_fill_interpolate",
+    "snk_dynamic_partition_overwrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
