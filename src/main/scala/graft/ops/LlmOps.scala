@@ -1318,6 +1318,61 @@ object LlmOps {
         "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk")),
 
+    // bigram language-model estimation: for every token, its most likely
+    // successor with count and conditional probability — the counting
+    // core of n-gram LM training. Two partial-aggregated shuffles
+    // (bigram counts, then per-head argmax via window); probabilities
+    // are exact integer ratios so the doubles agree across engines.
+    Op("llm_bigram_lm",
+      (s, d) => {
+        val bi = T.spread(T.t(s, d, "documents"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 2")
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val heads = bi.groupBy("w1").agg(sum("c12").as("c1"))
+        bi.join(heads, "w1")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w1").orderBy(desc("c12"), col("w2"))))
+          .where("rn = 1")
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("CAST(c1 AS BIGINT)").as("c1"),
+            expr("CAST(c12 AS DOUBLE) / c1").as("p"))
+          .orderBy("w1")
+      },
+      Some("WITH bi AS (SELECT w1, w2, count(*) AS c12 FROM (" +
+        "SELECT toks[i] AS w1, toks[i + 1] AS w2 " +
+        "FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents) , " +
+        "unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2) GROUP BY w1, w2), " +
+        "heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1) " +
+        "SELECT w1, w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS p FROM (" +
+        "SELECT bi.w1, w2, c12, c1, row_number() OVER " +
+        "(PARTITION BY bi.w1 ORDER BY c12 DESC, w2) AS rn FROM bi JOIN heads ON bi.w1 = heads.w1) " +
+        "WHERE rn = 1 ORDER BY w1")),
+
+    // dataset card: the one-row corpus summary a published dataset ships
+    // with — doc/token/vocab sizes, language and source spread, exact-dup
+    // rate, mean length. One aggregation pass; ratios are exact integer
+    // quotients (floor-scaled where they can sit on rounding boundaries).
+    Op("llm_dataset_card",
+      (s, d) => T.t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          expr("CAST(SUM(size(split(text, ' '))) AS BIGINT)").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          expr("floor((1 - CAST(count(DISTINCT lower(trim(text))) AS DOUBLE) / count(1)) * 1000000) / 1000000")
+            .as("dup_rate"),
+          expr("CAST(SUM(n_chars) AS DOUBLE) / count(1)").as("avg_chars")),
+      Some("SELECT count(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+        "count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources, " +
+        "floor((1 - CAST(count(DISTINCT lower(trim(text))) AS DOUBLE) / count(*)) * 1000000) / 1000000 AS dup_rate, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM documents")),
+
     // exact-substring dedup (the \"deduplicating training data\" op): doc
     // pairs sharing ANY run of 20 identical consecutive tokens, found by
     // hashing every 20-token window and inverted-index self-joining the
