@@ -398,7 +398,13 @@ object LlmOps {
           .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
           .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
           .persist()
-        var labels = nodes.select(col("d1").as("id"), col("d1").as("lbl")).persist()
+        // seed with the neighborhood minimum: labels start as own-id, so
+        // round 1's neighborhood-min-of-labels is just min-neighbor-id —
+        // one aggregate over the self-looped edge list, no join. Cliques
+        // (the common near-dup shape) then converge in the single
+        // confirming loop round.
+        var labels = edges.groupBy(col("d1").as("id")).agg(min("d2").as("lbl"))
+          .persist()
         var cached = labels // the frame actually holding the cache
         var converged = false
         var rounds = 0
