@@ -61,7 +61,9 @@ object ScaleProbe {
       "llm_dedup_cluster", "llm_tokenizer_vocab", "llm_curriculum_order",
       "llm_quality_gate_report", "llm_domain_rebalance", "llm_shard_manifest",
       "llm_frame_sample", "rel_join_asof_tolerance", "strm_interval_join",
-      "core_validate_quarantine")
+      "core_validate_quarantine", "llm_dedup_substring", "llm_kmeans_train",
+      "llm_reservoir_sample", "llm_ann_refine", "llm_bigram_lm",
+      "llm_dataset_card")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
