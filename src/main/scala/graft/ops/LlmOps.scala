@@ -1324,6 +1324,37 @@ object LlmOps {
         "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk")),
 
+    // hard-negative mining for retrieval training: for each probe
+    // vector, the top-3 most similar vectors with a DIFFERENT label —
+    // near-misses that teach an embedding model the decision boundary.
+    // Probes broadcast; the corpus is scanned once; per-probe top-k via
+    // window (bounded: 3 probes). The filter is label-based, so the
+    // candidate set never includes same-class vectors.
+    Op("llm_hard_negatives",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val emb = T.t(s, d, "embeddings")
+        val probes = emb.where("vec_id < 3")
+          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+            col("label").as("p_label"))
+        emb.crossJoin(broadcast(probes))
+          .where("label <> p_label")
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))))
+          .where("rn <= 3")
+          .select(col("p_id"), expr("CAST(rn AS INT)").as("rn"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"), col("sim"))
+          .orderBy("p_id", "rn")
+      },
+      Some("WITH p AS (SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label " +
+        "FROM embeddings WHERE vec_id < 3) " +
+        "SELECT p_id, CAST(rn AS INTEGER) AS rn, neg_id, neg_label, sim FROM (" +
+        s"SELECT p_id, e.vec_id AS neg_id, e.label AS neg_label, ${oSim("e.embedding", "p_emb")} AS sim, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY " +
+        s"${oSim("e.embedding", "p_emb")} DESC, e.vec_id) AS rn " +
+        "FROM embeddings e, p WHERE e.label <> p.p_label) WHERE rn <= 3 ORDER BY p_id, rn")),
+
     // bigram language-model estimation: for every token, its most likely
     // successor with count and conditional probability — the counting
     // core of n-gram LM training. Two partial-aggregated shuffles

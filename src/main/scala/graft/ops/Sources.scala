@@ -173,6 +173,26 @@ object Sources {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
 
+    // small-file compaction: a directory fragmented into 64 shards is
+    // rewritten as 4 right-sized files and read back — the table
+    // maintenance every long-lived ingest needs (small files poison
+    // scan parallelism bookkeeping and the file-listing path; at 100 TB
+    // compaction targets spark.sql.files.maxPartitionBytes-sized
+    // outputs and runs per partition directory). Values are proven
+    // identical through the oracle; the file counts are the point.
+    Op("core_compact_files",
+      (s, d) => {
+        val frag = s"target/tmp/frag_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val compact = s"target/tmp/compact_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        val src = T.t(s, d, "orders")
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+        s.read.schema(src.schema).parquet(compact)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey")),
+
     // dynamic partition overwrite: refresh ONE partition of a
     // partitioned table in place (the incremental-materialization
     // pattern — recompute yesterday's partition, leave the rest
