@@ -1324,6 +1324,62 @@ object LlmOps {
         "(PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 20 ORDER BY lang, rk")),
 
+    // length-bucketed batching: docs grouped into batches of similar
+    // token length (bucket = n_tokens div 50, batch = 8 docs per bucket
+    // in doc_id order) so training batches waste minimal padding — the
+    // standard seq-len bucketing pass. Padding waste per batch is
+    // reported as max_len·8 − sum_len, all integers.
+    Op("llm_length_bucket_pack",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("bucket", expr("CAST(n_tokens div 50 AS INT)"))
+          .withColumn("seq", row_number().over(
+            Window.partitionBy("bucket").orderBy("doc_id")))
+          .withColumn("batch_id", expr("CAST((seq - 1) div 8 AS INT)"))
+        docs.groupBy("bucket", "batch_id")
+          .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_len"),
+            sum("n_tokens").as("sum_len"))
+          .withColumn("padding_waste", expr("CAST(max_len * n_docs - sum_len AS BIGINT)"))
+          .orderBy("bucket", "batch_id")
+      },
+      Some("SELECT bucket, batch_id, count(*) AS n_docs, max(n_tokens) AS max_len, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS sum_len, " +
+        "CAST(max(n_tokens) * count(*) - SUM(n_tokens) AS BIGINT) AS padding_waste " +
+        "FROM (SELECT bucket, CAST((seq - 1) // 8 AS INTEGER) AS batch_id, n_tokens FROM (" +
+        "SELECT n_tokens, bucket, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS seq " +
+        "FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(len(string_split(text, ' ')) // 50 AS INTEGER) AS bucket FROM documents))) " +
+        "GROUP BY bucket, batch_id ORDER BY bucket, batch_id")),
+
+    // span-corruption prep (T5-style denoising, derandomized): token
+    // spans of length 2 starting at positions ≡ 1 (mod 7) are replaced
+    // by sentinels; the op reports per-doc corruption stats (masked
+    // token count, sentinel count, corrupted-text digest). A pure
+    // codegen map stage — the shape of masking at 100 TB is a narrow
+    // pass whose output partitioning follows the input.
+    Op("llm_span_corrupt",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("masked", expr(
+          "transform(toks, (t, i) -> CASE WHEN i % 7 = 0 THEN '<extra_id>' " +
+            "WHEN i % 7 = 1 THEN NULL ELSE t END)"))
+        .select(
+          col("doc_id"),
+          expr("size(toks)").as("n_tokens"),
+          expr("size(filter(masked, t -> t IS NULL)) + size(filter(masked, t -> t = '<extra_id>'))")
+            .as("n_masked"),
+          expr("size(filter(masked, t -> t = '<extra_id>'))").as("n_sentinels"),
+          md5(expr("concat_ws(' ', filter(masked, t -> t IS NOT NULL))")).as("digest"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, " +
+        "CAST(len(list_filter(masked, t -> t IS NULL)) + len(list_filter(masked, t -> t = '<extra_id>')) AS INTEGER) AS n_masked, " +
+        "CAST(len(list_filter(masked, t -> t = '<extra_id>')) AS INTEGER) AS n_sentinels, " +
+        "md5(array_to_string(list_filter(masked, t -> t IS NOT NULL), ' ')) AS digest " +
+        "FROM (SELECT doc_id, toks, list_transform(range(1, len(toks) + 1), " +
+        "i -> CASE WHEN (i - 1) % 7 = 0 THEN '<extra_id>' WHEN (i - 1) % 7 = 1 THEN NULL ELSE toks[i] END) AS masked " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)) ORDER BY doc_id")),
+
     // hard-negative mining for retrieval training: for each probe
     // vector, the top-3 most similar vectors with a DIFFERENT label —
     // near-misses that teach an embedding model the decision boundary.
