@@ -260,6 +260,7 @@ object AsOf {
     val spark: SparkSession = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftSqlBridge.addOptimization(spark, AsOfPushdownRule)
+    GraftSqlBridge.addOptimization(spark, AsOfPruningRule)
     val lPlan = GraftSqlBridge.analyzed(left)
     // Re-alias every right column so the right subtree carries fresh
     // exprIds: with a shared lineage (self-as-of) the analyzer's

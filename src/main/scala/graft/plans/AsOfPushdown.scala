@@ -31,3 +31,45 @@ object AsOfPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 }
+
+/** Column pruning THROUGH the custom as-of join.
+  *
+  * Catalyst's ColumnPruning only understands its built-in operators, so a
+  * `Project` above [[AsOfJoin]] leaves both children producing every
+  * column — at 100 TB that is scan width and shuffle bytes for data the
+  * query never reads. Driven by the Project above the join:
+  *
+  *  - unreferenced payload columns leave the node's `payload` list;
+  *  - the left child narrows to (referenced left columns ∪ keys ∪ ts);
+  *  - the right child narrows to (keys ∪ ts ∪ tiebreak ∪ kept payload).
+  *
+  * The inserted child Projects are then fair game for the stock rules,
+  * which carry the narrowing into the scans (ReadSchema). Fires only
+  * when something actually narrows, so the fixed point terminates.
+  */
+object AsOfPruningRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val refs = p.references
+      val keptPayload = j.payload.filter(a => refs.contains(a))
+      val leftNeeded = AttributeSet(
+        j.left.output.filter(refs.contains) ++ j.leftKeys :+ j.leftTs)
+      val rightNeeded = AttributeSet(
+        j.rightKeys ++ Seq(j.rightTs) ++ j.rightTiebreak ++ keptPayload)
+      val narrowLeft = leftNeeded.size < j.left.output.size
+      val narrowRight = rightNeeded.size < j.right.output.size
+      if (keptPayload.size == j.payload.size && !narrowLeft && !narrowRight) p
+      else {
+        val newLeft =
+          if (narrowLeft) Project(j.left.output.filter(leftNeeded.contains), j.left)
+          else j.left
+        val newRight =
+          if (narrowRight) Project(j.right.output.filter(rightNeeded.contains), j.right)
+          else j.right
+        p.copy(child = j.copy(left = newLeft, right = newRight, payload = keptPayload))
+      }
+  }
+}

@@ -216,6 +216,35 @@ class PlansSpec extends AnyFunSuite {
       s"lateral subquery fell back to a nested loop:\n$s")
   }
 
+  test("unused columns prune through the as-of join into both scans (AsOfPruningRule)") {
+    // WIDE inputs: no manual projection — value/props/event_type ride along
+    val ev = Tables.events(spark, TestSpark.sf)
+    val clicks = ev.where("event_type = 'click'")
+      .withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "click_ts")
+    val buys = ev.where("event_type = 'purchase'")
+      .withColumnRenamed("event_id", "buy_id").withColumnRenamed("ts", "buy_ts")
+    val df = AsOf.join(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id", "buy_ts"), tiebreak = Seq("buy_id"))
+      .select("click_id", "buy_id")
+    df.collect()
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scanSchemas(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f.requiredSchema.fieldNames.mkString(","))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scanSchemas(q.plan)
+      }.flatten
+    val schemas = scanSchemas(plan)
+    assert(schemas.nonEmpty, s"no file scans found:\n$plan")
+    assert(schemas.forall(s => !s.contains("value") && !s.contains("props")),
+      s"unused columns not pruned from the as-of scans: $schemas\n$plan")
+    // semantics unchanged vs the hand-projected form
+    assert(df.count() > 0)
+  }
+
   test("snk_partitioned_prune scan reads only the matching partition (PartitionFilters)") {
     val df = Registry.byKey("snk_partitioned_prune").query(spark, TestSpark.sf)
     val plan = GraftSqlBridge.executedPlan(df) match {
