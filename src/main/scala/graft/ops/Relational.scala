@@ -809,6 +809,24 @@ object Relational {
         "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m " +
         "GROUP BY m ORDER BY m")),
 
+    // join-strategy hints: the same equi-join forced to shuffle-merge
+    // (`hint("merge")`) — the explicit control an engineer reaches for
+    // when a hash build side would not fit or AQE mis-sizes a stage.
+    // Results are strategy-independent (the oracle proves it); the plan
+    // shape (SortMergeJoin, no broadcast) is pinned in PlansSpec.
+    Op("rel_join_hint_merge",
+      (s, d) => {
+        val o = T.t(s, d, "orders"); val c = T.t(s, d, "customer")
+        o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), T.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("SELECT c_mktsegment, count(*) AS n, " +
+        s"${T.oSum("o_totalprice")} AS sum_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
     // multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     // cardinality (a customer with three qualifying orders appears three
     // times) — the bag semantics a distinct-flavored set op silently

@@ -173,6 +173,38 @@ object Sources {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
 
+    // malformed-input handling: PERMISSIVE CSV parse with a corrupt-
+    // record column — bad lines survive as raw text with NULL fields
+    // instead of killing the job (DROPMALFORMED/FAILFAST are the other
+    // modes; a 100 TB ingest ALWAYS sees some garbage). The file is
+    // written with two deliberately broken lines; the oracle states the
+    // expected parse outcome row by row.
+    Op("src_csv_malformed",
+      (s, d) => {
+        val dir = new java.io.File(s"target/tmp/csvm_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+        dir.mkdirs()
+        val rows = T.t(s, d, "region").select("r_regionkey", "r_name")
+          .orderBy("r_regionkey").collect()
+          .map(r => s"${r.getInt(0)},${r.getString(1)}")
+        val lines = (rows :+ "not_an_int,BROKEN" :+ "9").mkString("\n")
+        java.nio.file.Files.write(
+          new java.io.File(dir, "data.csv").toPath, lines.getBytes("UTF-8"))
+        s.read
+          .schema("r_regionkey INT, r_name STRING, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir.getPath)
+          .select(col("r_regionkey"), col("r_name"),
+            col("_corrupt").isNotNull.as("is_corrupt"))
+          .orderBy(col("r_regionkey").asc_nulls_last, col("r_name").asc_nulls_last)
+      },
+      // observed PERMISSIVE contract: a short row parses its present
+      // fields but IS flagged corrupt; a type-failing row keeps the
+      // fields that do parse ('BROKEN') and is flagged corrupt
+      Some("SELECT r_regionkey, r_name, false AS is_corrupt FROM region " +
+        "UNION ALL VALUES (9, NULL, true), (NULL, 'BROKEN', true) " +
+        "ORDER BY r_regionkey ASC NULLS LAST, r_name ASC NULLS LAST")),
+
     // small-file compaction: a directory fragmented into 64 shards is
     // rewritten as 4 right-sized files and read back — the table
     // maintenance every long-lived ingest needs (small files poison

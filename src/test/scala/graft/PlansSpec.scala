@@ -245,6 +245,24 @@ class PlansSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("rel_join_hint_merge plans a SortMergeJoin, not a broadcast") {
+    val df = Registry.byKey("rel_join_hint_merge").query(spark, TestSpark.sf)
+    df.collect()
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq("smj")
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => Seq("bhj")
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+      }.flatten
+    val found = nodes(plan)
+    assert(found.contains("smj") && !found.contains("bhj"),
+      s"merge hint not honored (found $found):\n$plan")
+  }
+
   test("snk_partitioned_prune scan reads only the matching partition (PartitionFilters)") {
     val df = Registry.byKey("snk_partitioned_prune").query(spark, TestSpark.sf)
     val plan = GraftSqlBridge.executedPlan(df) match {
