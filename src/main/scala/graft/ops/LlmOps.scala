@@ -1279,6 +1279,34 @@ object LlmOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total * 1000000) / 1000000 AS cum_share " +
         "FROM freq, t) WHERE id <= 1024 ORDER BY id")),
 
+    // out-of-vocabulary rate: per-doc fraction of token OCCURRENCES not
+    // covered by the top-16 corpus vocabulary — the coverage check run
+    // after building any tokenizer vocab (a high OOV tail is how you
+    // catch domains the vocab under-serves). The vocab is bounded and
+    // broadcast; the rate is an exact integer ratio.
+    Op("llm_vocab_oov_rate",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+          .withColumn("id", row_number().over(Window.orderBy(desc("freq"), col("token"))))
+          .where("id <= 16").select("token")
+        toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("token"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", expr("CAST(n_oov AS DOUBLE) / n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents), " +
+        "vocab AS (SELECT token FROM (SELECT token, row_number() OVER " +
+        "(ORDER BY count(*) DESC, token) AS id FROM toks GROUP BY token) WHERE id <= 16) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate " +
+        "FROM toks t LEFT JOIN vocab v ON t.token = v.token " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+
     // curriculum ordering: phase docs easy -> hard by length band, with a
     // deterministic in-phase shuffle (md5 of the text as the sort key) so
     // every run and every engine produces the same training order. At
