@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's one-line JSON from stdout. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ", which broke
+// the parse in rounds 1-2 (BENCH_r0{1,2}.json: parsed=null). StdoutOutput
+// passes the child's stdout/stderr through verbatim, so the JSON line starts
+// at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
