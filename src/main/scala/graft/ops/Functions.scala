@@ -235,24 +235,27 @@ object Functions {
         "FROM part ORDER BY p_partkey")),
 
     // second array family: flatten / position / remove / overlap /
-    // repeat — built over a deterministic per-part token array.
+    // repeat — built over a deterministic per-part token array. Array
+    // results are rendered as '|'-joined strings: the driver's compare
+    // canonicalizes rows with a pandas sort, which cannot hash raw
+    // list/ndarray cells (CORRECTNESS_r02 fn_array_extra checker crash).
     Op("fn_array_extra",
       (s, d) => T.t(s, d, "part")
         .withColumn("toks", split(col("p_type"), " "))
         .select(
           col("p_partkey"),
-          flatten(array(col("toks"), array(col("p_brand")))).as("flat"),
+          array_join(flatten(array(col("toks"), array(col("p_brand")))), "|").as("flat"),
           expr("CAST(array_position(toks, 'BRUSHED') AS BIGINT)").as("pos_brushed"),
-          expr("array_remove(toks, 'ANODIZED')").as("no_anodized"),
+          expr("array_join(array_remove(toks, 'ANODIZED'), '|')").as("no_anodized"),
           expr("arrays_overlap(toks, array('STEEL', 'COPPER'))").as("has_metal"),
-          expr("array_repeat(p_brand, 2)").as("brand2"))
+          expr("array_join(array_repeat(p_brand, 2), '|')").as("brand2"))
         .orderBy("p_partkey"),
-      Some("SELECT p_partkey, flatten([toks, [p_brand]]) AS flat, " +
+      Some("SELECT p_partkey, array_to_string(flatten([toks, [p_brand]]), '|') AS flat, " +
         // Spark's array_position yields 0 when absent, DuckDB NULL
         "COALESCE(CAST(list_position(toks, 'BRUSHED') AS BIGINT), 0) AS pos_brushed, " +
-        "list_filter(toks, x -> x <> 'ANODIZED') AS no_anodized, " +
+        "array_to_string(list_filter(toks, x -> x <> 'ANODIZED'), '|') AS no_anodized, " +
         "len(list_intersect(toks, ['STEEL', 'COPPER'])) > 0 AS has_metal, " +
-        "[p_brand, p_brand] AS brand2 " +
+        "array_to_string([p_brand, p_brand], '|') AS brand2 " +
         "FROM (SELECT p_partkey, p_brand, string_split(p_type, ' ') AS toks FROM part) " +
         "ORDER BY p_partkey")),
 

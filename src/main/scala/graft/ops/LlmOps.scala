@@ -117,11 +117,17 @@ object LlmOps {
         col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
       .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
       .where("jaccard >= 0.2")
+      // pairs are tiny (near-dup survivors); pinning them here lets the
+      // big sid cache be released immediately instead of leaking one
+      // copy per invocation (bench loops, scale probes, repeated tests).
+      .localCheckpoint()
+    sid.unpersist()
+    pairs
   }
 
   /** DuckDB CTE list matching [[jaccardPairs]]; terminal CTE is
@@ -409,12 +415,20 @@ object LlmOps {
         var converged = false
         var rounds = 0
         while (!converged && rounds < 16) {
-          val next = edges
+          val prop = edges
             .join(labels.withColumnRenamed("id", "d2"), "d2")
             .groupBy(col("d1").as("id"))
             .agg(min("lbl").as("lbl"),
               min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
-            .select(col("id"), col("lbl"), (col("lbl") < col("old")).as("changed"))
+          // pointer-jump (pointer doubling): follow each node's new label
+          // to THAT node's new label before the next round. Labels only
+          // ever point at node ids, so the self-join is total; chain
+          // depth halves per round and convergence is O(log diameter) —
+          // the 16-round cap then covers any graph this side of 2^16
+          // hops, instead of silently truncating a >16-diameter chain.
+          val next = prop.as("c")
+            .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
+            .select(col("id"), col("lbl2").as("lbl"), (col("lbl2") < col("old")).as("changed"))
             .persist()
           converged = next.where("changed").isEmpty
           cached.unpersist()
@@ -422,10 +436,23 @@ object LlmOps {
           labels = next.select("id", "lbl")
           rounds += 1
         }
+        if (!converged)
+          throw new IllegalStateException(
+            s"llm_dedup_cluster: min-label propagation not converged after $rounds rounds " +
+              "(component diameter > 2^16?) — refusing to return truncated cluster ids")
+        // pin the converged labels (small: one row per representative
+        // node), then release every intermediate cache — without this,
+        // each invocation leaked sid/shRare/pairs/edges partitions.
+        val finalLabels = labels.localCheckpoint()
+        cached.unpersist()
+        Seq(sid, shRare, pairs, edges, gidRep).foreach(_.unpersist())
         // expand representative labels back to every member of the group
+        // (gidRep is recomputed here — one scan+agg — now that its cache
+        // is gone; the expensive pair/propagation work is all behind the
+        // checkpoint)
         gl.select("doc_id", "gid")
           .join(gidRep.select(col("gid"), col("doc_id").as("rep")), "gid")
-          .join(labels.withColumnRenamed("id", "rep"), "rep")
+          .join(finalLabels.withColumnRenamed("id", "rep"), "rep")
           .select(col("doc_id"), col("lbl").as("cluster"))
           .orderBy("doc_id")
       },
@@ -1153,8 +1180,13 @@ object LlmOps {
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
         val total = toks.count()
         toks.join(freq, "tok")
+          // +1e-6 epsilon before the floor: a 1-ulp JVM-vs-libm ln()
+          // difference exactly at a fixed-point boundary would otherwise
+          // flip the integer on one engine only (nudging by 1e-6 of a
+          // fixed-point unit moves values off the knife edge while never
+          // crossing a boundary legitimately).
           .withColumn("nll_fp", expr(
-            s"CAST(floor(-ln(CAST(freq AS DOUBLE) / $total) * 1000000) AS BIGINT)"))
+            s"CAST(floor(-ln(CAST(freq AS DOUBLE) / $total) * 1000000 + 0.000001) AS BIGINT)"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_toks"), sum("nll_fp").as("nll_fp"))
           .select(col("doc_id"), col("n_toks"),
@@ -1165,7 +1197,7 @@ object LlmOps {
         "freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok), " +
         "total AS (SELECT count(*) AS n FROM toks), " +
         "per AS (SELECT doc_id, " +
-        "CAST(floor(-ln(CAST(freq AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll_fp " +
+        "CAST(floor(-ln(CAST(freq AS DOUBLE) / n) * 1000000 + 0.000001) AS BIGINT) AS nll_fp " +
         "FROM toks JOIN freq USING (tok), total) " +
         "SELECT doc_id, count(*) AS n_toks, " +
         "CAST(SUM(nll_fp) AS BIGINT) / (count(*) * 1000000) AS nll " +

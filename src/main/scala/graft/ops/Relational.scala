@@ -729,10 +729,15 @@ object Relational {
     // engines pick an ARBITRARY row on ties, so the ordering argument is
     // an injective encoding (price cents · 10^7 + orderkey) — ties are
     // impossible by construction and the answer is deterministic.
+    // Tie-break encoding must stay injective at scale: cents(price) tops
+    // out below 6e7 for TPC-H totalprice, so cents * 10^11 + orderkey
+    // stays under Long.Max while leaving room for orderkeys up to 10^11
+    // (TPC-H SF ~ 16000); the previous 10^7 multiplier collided once
+    // orderkeys passed 10^7 (~SF 2).
     Op("rel_agg_arg_minmax",
       (s, d) => T.t(s, d, "orders")
         .withColumn("enc",
-          expr("CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey"))
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) * 100000000000 + o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(
           expr("max_by(o_orderkey, enc)").as("top_order"),
@@ -744,7 +749,7 @@ object Relational {
       Some("SELECT o_orderstatus, arg_max(o_orderkey, enc) AS top_order, " +
         "arg_max(o_custkey, enc) AS top_cust, max(o_totalprice) AS top_price, " +
         "arg_min(o_orderkey, enc) AS bottom_order, min(o_totalprice) AS bottom_price " +
-        "FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS enc " +
+        "FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000000 + o_orderkey AS enc " +
         "FROM orders) GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
     // tolerance-bounded as-of: latest purchase AT MOST 30 minutes before

@@ -54,6 +54,21 @@ def cell_eq(a, b):
 def compare(name, spark_df, duck_df):
     s, d = norm(spark_df), norm(duck_df)
     problems = []
+    # The DRIVER's checker canonicalizes row order with a pandas sort,
+    # which crashes on list/ndarray cells (CORRECTNESS_r02
+    # fn_array_extra: "unhashable type: numpy.ndarray"). Our compare
+    # walks rows in produced order so it would silently pass — flag raw
+    # array columns as hard failures so the local gate matches the
+    # driver: render arrays as joined strings / JSON in the op instead.
+    for c in s.columns:
+        col = s[c]
+        if col.dtype == object:
+            probe = col.dropna().head(5)
+            if any(isinstance(v, (list, np.ndarray)) for v in probe):
+                problems.append(
+                    f"col {c}: raw list/array cells (driver's sort cannot hash these; "
+                    "emit array_join/to_json strings instead)")
+                return problems
     if list(s.columns) != list(d.columns):
         problems.append(f"columns spark={list(s.columns)} duck={list(d.columns)}")
         return problems
