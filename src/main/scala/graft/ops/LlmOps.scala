@@ -420,38 +420,46 @@ object LlmOps {
             .groupBy(col("d1").as("id"))
             .agg(min("lbl").as("lbl"),
               min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
-          // pointer-jump (pointer doubling): follow each node's new label
-          // to THAT node's new label before the next round. Labels only
-          // ever point at node ids, so the self-join is total; chain
-          // depth halves per round and convergence is O(log diameter) —
-          // the 16-round cap then covers any graph this side of 2^16
-          // hops, instead of silently truncating a >16-diameter chain.
-          val next = prop.as("c")
-            .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
-            .select(col("id"), col("lbl2").as("lbl"), (col("lbl2") < col("old")).as("changed"))
             .persist()
-          converged = next.where("changed").isEmpty
+          converged = prop.where("lbl < old").isEmpty
           cached.unpersist()
-          cached = next
-          labels = next.select("id", "lbl")
+          if (converged) {
+            cached = prop
+            labels = prop.select("id", "lbl")
+          } else {
+            // pointer-jump (pointer doubling) before the next round:
+            // follow each node's new label to THAT node's new label.
+            // Labels only ever point at node ids, so the self-join is
+            // total; chain depth halves per round and convergence is
+            // O(log diameter) — the 16-round cap then covers any graph
+            // this side of 2^16 hops instead of silently truncating a
+            // >16-diameter chain. Cliques (the common near-dup shape)
+            // converge on the first propagation and never pay this join.
+            val jumped = prop.as("c")
+              .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
+              .select(col("id"), col("lbl2").as("lbl"))
+              .persist()
+            prop.unpersist()
+            cached = jumped
+            labels = jumped
+          }
           rounds += 1
         }
         if (!converged)
           throw new IllegalStateException(
             s"llm_dedup_cluster: min-label propagation not converged after $rounds rounds " +
               "(component diameter > 2^16?) — refusing to return truncated cluster ids")
-        // pin the converged labels (small: one row per representative
-        // node), then release every intermediate cache — without this,
-        // each invocation leaked sid/shRare/pairs/edges partitions.
+        // pin the converged labels and the gid->representative map (both
+        // small: one row per node / per distinct text, no payload), then
+        // release every intermediate cache — without this, each
+        // invocation leaked sid/shRare/pairs/edges partitions.
         val finalLabels = labels.localCheckpoint()
+        val gidMap = gidRep.select(col("gid"), col("doc_id").as("rep")).localCheckpoint()
         cached.unpersist()
         Seq(sid, shRare, pairs, edges, gidRep).foreach(_.unpersist())
         // expand representative labels back to every member of the group
-        // (gidRep is recomputed here — one scan+agg — now that its cache
-        // is gone; the expensive pair/propagation work is all behind the
-        // checkpoint)
         gl.select("doc_id", "gid")
-          .join(gidRep.select(col("gid"), col("doc_id").as("rep")), "gid")
+          .join(gidMap, "gid")
           .join(finalLabels.withColumnRenamed("id", "rep"), "rep")
           .select(col("doc_id"), col("lbl").as("cluster"))
           .orderBy("doc_id")
