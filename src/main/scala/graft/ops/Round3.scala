@@ -1,0 +1,368 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Round-3 operator additions (SURVEY.md §2 F2 continuation).
+  *
+  * Relational: null-safe join, multi-distinct aggregation, deterministic
+  * median/mode, inline VALUES block, explicit NULL-ordering semantics.
+  * Functions: regex family extension, edit distance, interval arithmetic.
+  * LLM pipeline: prefix dedup, one BPE merge step, per-doc token entropy,
+  * Zipf slope fit, importance resampling.
+  * Streaming batch-equivalents: per-key running totals, windowed top-k.
+  *
+  * Parity notes follow NOTES_R1/R2 rules: fixed-point floors carry the
+  * +1e-6 epsilon guard, doubles aggregate through DECIMAL, ranks are
+  * tie-broken injectively, timestamps stay TIMESTAMP_NTZ.
+  */
+object Round3 {
+
+  private val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+
+  val ops: Seq[Op] = Seq(
+
+    // ---- relational ---------------------------------------------------
+
+    // Null-safe equi join: <=> matches NULL keys to each other instead of
+    // dropping them (IS NOT DISTINCT FROM). Aggregated so the null-block
+    // cross product stays bounded in the output.
+    Op("rel_join_null_safe",
+      (s, d) => {
+        val n1 = T.t(s, d, "nation")
+          .select(col("n_nationkey").as("k1"), expr("nullif(n_nationkey % 5, 0)").as("jk"))
+        val n2 = T.t(s, d, "nation")
+          .select(col("n_nationkey").as("k2"), expr("nullif(n_nationkey % 5, 0)").as("jk2"))
+        n1.join(n2, col("jk") <=> col("jk2"), "inner")
+          .groupBy("k1")
+          .agg(count(lit(1)).as("n_matches"), min("k2").as("min_match"))
+          .orderBy("k1")
+      },
+      Some("WITH n1 AS (SELECT n_nationkey AS k1, nullif(n_nationkey % 5, 0) AS jk FROM nation), " +
+        "n2 AS (SELECT n_nationkey AS k2, nullif(n_nationkey % 5, 0) AS jk2 FROM nation) " +
+        "SELECT k1, count(*) AS n_matches, min(k2) AS min_match " +
+        "FROM n1 JOIN n2 ON jk IS NOT DISTINCT FROM jk2 GROUP BY k1 ORDER BY k1")),
+
+    // Several COUNT(DISTINCT ...) in one aggregation — Catalyst plans one
+    // Expand + single shuffle rather than N self-joins.
+    Op("rel_agg_multi_distinct",
+      (s, d) => T.t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(expr("year(o_orderdate)")).as("n_years"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, " +
+        "count(DISTINCT year(o_orderdate)) AS n_years, " +
+        "count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_rows " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    // Exact interpolated median plus a deterministic mode: both engines
+    // pick ARBITRARY rows on modal ties, so the mode is computed as
+    // highest-count-then-smallest-value — tie-free by construction
+    // (parity rule 18 applied to mode).
+    Op("rel_agg_median_mode",
+      (s, d) => {
+        val part = T.t(s, d, "part")
+        val counts = part.groupBy("p_size", "p_brand").agg(count(lit(1)).as("cnt"))
+        val mode = counts
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p_size").orderBy(desc("cnt"), col("p_brand"))))
+          .where("rn = 1")
+          .select(col("p_size"), col("p_brand").as("modal_brand"), col("cnt").as("modal_cnt"))
+        val med = part.groupBy("p_size")
+          .agg(expr("median(p_retailprice)").as("median_price"), count(lit(1)).as("n"))
+        mode.join(med, "p_size").orderBy("p_size")
+      },
+      Some("WITH c AS (SELECT p_size, p_brand, count(*) AS cnt FROM part GROUP BY p_size, p_brand), " +
+        "m AS (SELECT p_size, p_brand AS modal_brand, cnt AS modal_cnt FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY p_size ORDER BY cnt DESC, p_brand) AS rn FROM c) " +
+        "WHERE rn = 1), " +
+        "md AS (SELECT p_size, median(p_retailprice) AS median_price, count(*) AS n FROM part GROUP BY p_size) " +
+        "SELECT p_size, modal_brand, modal_cnt, median_price, n FROM m JOIN md USING (p_size) ORDER BY p_size")),
+
+    // Inline VALUES relation (snapflow static DataBlock): a literal
+    // lookup table joined broadcast against a source table.
+    Op("rel_values_inline",
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("AMERICA", "west"), ("ASIA", "east"), ("EUROPE", "west"),
+          ("AFRICA", "south"), ("MIDDLE EAST", "south")).toDF("r_name", "tier")
+        T.t(s, d, "region").join(broadcast(tiers), Seq("r_name"), "left")
+          .select("r_regionkey", "r_name", "tier")
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name, tier FROM region LEFT JOIN " +
+        "(VALUES ('AMERICA', 'west'), ('ASIA', 'east'), ('EUROPE', 'west'), " +
+        "('AFRICA', 'south'), ('MIDDLE EAST', 'south')) AS t(r_name, tier) " +
+        "USING (r_name) ORDER BY r_regionkey")),
+
+    // Explicit NULLS FIRST / NULLS LAST semantics: Spark defaults
+    // NULLS-FIRST-on-ASC, DuckDB NULLS-LAST — both sides spell the
+    // ordering out so the contract is pinned, in the window AND the
+    // final total order.
+    Op("rel_order_nulls",
+      (s, d) => T.t(s, d, "customer")
+        .withColumn("nk", expr("nullif(c_nationkey % 6, 0)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("nk").desc_nulls_last, col("c_custkey"))))
+        .select("c_custkey", "c_mktsegment", "nk", "rn")
+        .orderBy(col("nk").asc_nulls_first, col("c_custkey")),
+      Some("SELECT c_custkey, c_mktsegment, nullif(c_nationkey % 6, 0) AS nk, " +
+        "CAST(row_number() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY nullif(c_nationkey % 6, 0) DESC NULLS LAST, c_custkey) AS INTEGER) AS rn " +
+        "FROM customer ORDER BY nk ASC NULLS FIRST, c_custkey")),
+
+    // ---- scalar functions ---------------------------------------------
+
+    // Regex family extension: extract-all, global replace, split_part,
+    // regexp_like. Array results render as joined strings (driver's
+    // checker cannot hash raw list cells).
+    Op("fn_regex_extra",
+      (s, d) => T.t(s, d, "part").select(
+          col("p_partkey"),
+          expr("array_join(regexp_extract_all(p_name, '[a-z]+', 0), '|')").as("words"),
+          expr("CAST(size(regexp_extract_all(p_name, '[a-z]+', 0)) AS INT)").as("n_words"),
+          expr("regexp_replace(p_name, '[aeiou]', '*')").as("starred"),
+          expr("split_part(p_type, ' ', 2)").as("type_mid"),
+          expr("regexp_like(p_name, '^[a-z]')").as("starts_lower"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, " +
+        "array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words, " +
+        "CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER) AS n_words, " +
+        "regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred, " +
+        "split_part(p_type, ' ', 2) AS type_mid, " +
+        "regexp_matches(p_name, '^[a-z]') AS starts_lower " +
+        "FROM part ORDER BY p_partkey")),
+
+    // Edit distance between consecutive part names within a brand (lag
+    // window gives bounded deterministic pairs without a self-join).
+    Op("fn_levenshtein",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+        T.t(s, d, "part")
+          .withColumn("prev_name", lag("p_name", 1).over(w))
+          .where(col("prev_name").isNotNull)
+          .select(col("p_partkey"), col("p_brand"),
+            expr("CAST(levenshtein(p_name, prev_name) AS INT)").as("lev"),
+            expr("CAST(levenshtein(substring(p_name, 1, 10), substring(prev_name, 1, 10)) AS INT)").as("lev10"))
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_brand, " +
+        "CAST(levenshtein(p_name, prev_name) AS INTEGER) AS lev, " +
+        "CAST(levenshtein(substring(p_name, 1, 10), substring(prev_name, 1, 10)) AS INTEGER) AS lev10 " +
+        "FROM (SELECT p_partkey, p_brand, p_name, " +
+        "lag(p_name, 1) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS prev_name FROM part) " +
+        "WHERE prev_name IS NOT NULL ORDER BY p_partkey")),
+
+    // INTERVAL arithmetic family over TIMESTAMP_NTZ order dates (all
+    // midnight-aligned, so boundary-counting date_diff and complete-unit
+    // timestampdiff agree; month addition clamps to month end in both).
+    Op("fn_interval",
+      (s, d) => T.t(s, d, "orders").select(
+          col("o_orderkey"),
+          expr("CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP_NTZ)").as("plus3d"),
+          expr("CAST(o_orderdate - INTERVAL 90 MINUTE AS TIMESTAMP_NTZ)").as("minus90m"),
+          expr("CAST(o_orderdate + INTERVAL 2 HOUR + INTERVAL 45 SECOND AS TIMESTAMP_NTZ)").as("plus2h45s"),
+          expr("CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP_NTZ)").as("plus2mo"),
+          expr("timestampdiff(HOUR, o_orderdate, TIMESTAMP_NTZ '2002-01-01 00:00:00')").as("hours_to_2002"),
+          expr("timestampdiff(DAY, o_orderdate, TIMESTAMP_NTZ '2002-01-01 00:00:00')").as("days_left"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderdate + INTERVAL 3 DAY AS plus3d, " +
+        "o_orderdate - INTERVAL 90 MINUTE AS minus90m, " +
+        "o_orderdate + INTERVAL 2 HOUR + INTERVAL 45 SECOND AS plus2h45s, " +
+        "o_orderdate + INTERVAL 2 MONTH AS plus2mo, " +
+        "date_diff('hour', o_orderdate, TIMESTAMP '2002-01-01') AS hours_to_2002, " +
+        "date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_left " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // ---- llm pipeline -------------------------------------------------
+
+    // Prefix dedup: documents sharing their first 16 (lowered) tokens —
+    // catches boilerplate-leading near-copies that exact dedup misses
+    // when tails differ. Group on the prefix, emit members of multi-doc
+    // groups with their representative.
+    Op("llm_prefix_dedup",
+      (s, d) => {
+        val p = T.t(s, d, "documents")
+          .withColumn("prefix", expr("array_join(slice(split(lower(text), ' '), 1, 16), ' ')"))
+        val g = p.groupBy("prefix")
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"))
+          .where("n_docs >= 2")
+        p.join(g, "prefix")
+          .select("doc_id", "rep", "n_docs")
+          .orderBy("doc_id")
+      },
+      Some("WITH p AS (SELECT doc_id, " +
+        "array_to_string(list_slice(string_split(lower(text), ' '), 1, 16), ' ') AS prefix FROM documents), " +
+        "g AS (SELECT prefix, min(doc_id) AS rep, count(*) AS n_docs FROM p " +
+        "GROUP BY prefix HAVING count(*) >= 2) " +
+        "SELECT doc_id, rep, n_docs FROM p JOIN g USING (prefix) ORDER BY doc_id")),
+
+    // One BPE-style merge step at word level: find the globally most
+    // frequent adjacent token pair (tie-broken lexicographically), then
+    // merge its occurrences in every document. replace() is left-to-right
+    // non-overlapping in both engines, so the merge is bit-identical.
+    Op("llm_bpe_merge_step",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        val top = toks
+          .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pair")).limit(1)
+        // two replace passes = greedy left-to-right BPE: pass 1 merges
+        // every other occurrence in a run (the shared boundary space is
+        // consumed), pass 2 catches the now-isolated remainder.
+        toks.crossJoin(broadcast(top))
+          .withColumn("padded", concat(lit(" "), array_join(col("toks"), " "), lit(" ")))
+          .withColumn("merged",
+            expr("replace(replace(padded, concat(' ', pair, ' '), concat(' ', replace(pair, ' ', '_'), ' ')), " +
+              "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', '_'), ' '))"))
+          .select(col("doc_id"), col("pair").as("top_pair"),
+            // each merge collapses two tokens into one
+            expr("CAST(size(toks) - size(split(trim(merged), ' ')) AS INT)").as("n_merges"),
+            expr("md5(trim(merged))").as("merged_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "pairs AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))) AS pair FROM toks), " +
+        "top AS (SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 1), " +
+        "m AS (SELECT doc_id, pair, len(toks) AS n_toks, " +
+        "replace(replace(concat(' ', array_to_string(toks, ' '), ' '), " +
+        "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', '_'), ' ')), " +
+        "concat(' ', pair, ' '), concat(' ', replace(pair, ' ', '_'), ' ')) AS merged FROM toks, top) " +
+        "SELECT doc_id, pair AS top_pair, " +
+        "CAST(n_toks - len(string_split(trim(merged), ' ')) AS INTEGER) AS n_merges, " +
+        "md5(trim(merged)) AS merged_md5 " +
+        "FROM m ORDER BY doc_id")),
+
+    // Per-document unigram entropy (repetition/diversity quality signal):
+    // H = ln(n) - sum(c*ln c)/n over within-doc token counts. The inner
+    // sum goes through per-term fixed-point BIGINTs so partition order
+    // cannot drift the total (rule 4 for transcendentals).
+    Op("llm_token_entropy",
+      (s, d) => T.spread(T.t(s, d, "documents"))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_toks"),
+          sum(expr("CAST(floor(c * ln(c) * 1000000 + 0.000001) AS BIGINT)")).as("s_fp"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("CAST(floor(ln(n_toks) * 1000000 + 0.000001) AS BIGINT) - s_fp div n_toks").as("ent_fp"))
+        .withColumn("entropy", expr("CAST(ent_fp AS DOUBLE) / 1000000"))
+        .orderBy("doc_id"),
+      Some("WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY doc_id, tok), " +
+        "agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks, " +
+        "CAST(SUM(CAST(floor(c * ln(c) * 1000000 + 0.000001) AS BIGINT)) AS BIGINT) AS s_fp " +
+        "FROM tc GROUP BY doc_id) " +
+        "SELECT doc_id, n_toks, " +
+        "CAST(floor(ln(n_toks) * 1000000 + 0.000001) AS BIGINT) - s_fp // n_toks AS ent_fp, " +
+        "CAST(CAST(floor(ln(n_toks) * 1000000 + 0.000001) AS BIGINT) - s_fp // n_toks AS DOUBLE) / 1000000 AS entropy " +
+        "FROM agg ORDER BY doc_id")),
+
+    // Zipf slope of the corpus rank-frequency curve via least squares on
+    // (ln rank, ln freq) — the classic corpus-health diagnostic. All four
+    // regression sums are exact BIGINTs over 1e3 fixed-point logs, so the
+    // final slope is one exact rational division (identical doubles).
+    Op("llm_zipf_fit",
+      (s, d) => {
+        val freq = T.spread(T.t(s, d, "documents"))
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        // global window is over the vocabulary (bounded), not the corpus
+        val ranked = freq
+          .withColumn("rnk", row_number().over(Window.orderBy(desc("freq"), col("tok"))))
+          .select(
+            expr("CAST(floor(ln(rnk) * 1000 + 0.000001) AS BIGINT)").as("x"),
+            expr("CAST(floor(ln(freq) * 1000 + 0.000001) AS BIGINT)").as("y"))
+        ranked.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+          .select(col("n"),
+            expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)").as("zipf_slope"))
+      },
+      Some("WITH f AS (SELECT tok, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY tok), " +
+        "r AS (SELECT CAST(floor(ln(row_number() OVER (ORDER BY freq DESC, tok)) * 1000 + 0.000001) AS BIGINT) AS x, " +
+        "CAST(floor(ln(freq) * 1000 + 0.000001) AS BIGINT) AS y FROM f), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM r) " +
+        "SELECT n, CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope FROM s")),
+
+    // Importance resampling: acceptance-sample each doc with probability
+    // proportional to an importance weight (here: favor shorter docs),
+    // derandomized through the md5 hash-bucket trick so the kept set is
+    // reproducible across runs and engines.
+    Op("llm_importance_resample",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("n_toks", expr("CAST(size(split(text, ' ')) AS INT)"))
+        // 1.0D: Spark parses bare decimal literals as DECIMAL, which
+        // would make w a Decimal column and break float parity
+        .withColumn("w", expr("least(1.0D, 40.0D / n_toks)"))
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+        .where("u < CAST(floor(w * 10000 + 0.000001) AS BIGINT)")
+        .select("doc_id", "n_toks", "w")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, n_toks, w FROM (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks, " +
+        "least(1.0, 40.0 / len(string_split(text, ' '))) AS w, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS u " +
+        "FROM documents) WHERE u < CAST(floor(w * 10000 + 0.000001) AS BIGINT) ORDER BY doc_id")),
+
+    // ---- streaming batch-equivalents ----------------------------------
+
+    // Per-key running totals — the batch equivalent of a streaming
+    // transformWithState counter (exercised in scalatest): cumulative
+    // count and DECIMAL-exact cumulative sum per event_type in event-time
+    // order.
+    Op("strm_running_totals",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .withColumn("run_cnt", count(lit(1)).over(w))
+          .withColumn("run_val",
+            round(sum(col("value").cast(dec)).over(w), 2).cast(DoubleType))
+          .select("event_id", "event_type", "run_cnt", "run_val")
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, event_type, " +
+        "count(*) OVER w AS run_cnt, " +
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS run_val " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id")),
+
+    // Windowed top-k: the 3 most active users per event-time hour — the
+    // batch form of a per-window ranked aggregation a dashboard stream
+    // would maintain.
+    Op("strm_topk_windowed",
+      (s, d) => {
+        val cnt = T.events(s, d)
+          .withColumn("bucket", expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)"))
+          .groupBy("bucket", "user_id").agg(count(lit(1)).as("n_ev"))
+        cnt.withColumn("rn", row_number().over(
+            Window.partitionBy("bucket").orderBy(desc("n_ev"), col("user_id"))))
+          .where("rn <= 3")
+          .select(col("bucket"), col("user_id"), col("n_ev"), col("rn").cast(IntegerType).as("rn"))
+          .orderBy("bucket", "rn")
+      },
+      Some("SELECT bucket, user_id, n_ev, CAST(rn AS INTEGER) AS rn FROM " +
+        "(SELECT bucket, user_id, n_ev, row_number() OVER " +
+        "(PARTITION BY bucket ORDER BY n_ev DESC, user_id) AS rn FROM " +
+        "(SELECT date_trunc('hour', ts) AS bucket, user_id, count(*) AS n_ev " +
+        "FROM events GROUP BY 1, 2)) WHERE rn <= 3 ORDER BY bucket, rn"))
+  )
+}
