@@ -213,7 +213,8 @@ object Round3 {
       (s, d) => {
         val toks = T.spread(T.t(s, d, "documents"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-        val top = toks
+        // size guard: Spark's sequence(1, 0) DESCENDS (would hit index 0)
+        val top = toks.where("size(toks) >= 2")
           .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
             "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("cnt"))
@@ -363,6 +364,171 @@ object Round3 {
         "(SELECT bucket, user_id, n_ev, row_number() OVER " +
         "(PARTITION BY bucket ORDER BY n_ev DESC, user_id) AS rn FROM " +
         "(SELECT date_trunc('hour', ts) AS bucket, user_id, count(*) AS n_ev " +
-        "FROM events GROUP BY 1, 2)) WHERE rn <= 3 ORDER BY bucket, rn"))
+        "FROM events GROUP BY 1, 2)) WHERE rn <= 3 ORDER BY bucket, rn")),
+
+    // ---- batch 2 ------------------------------------------------------
+
+    // CSV with non-default dialect options: '|' delimiter, explicit NULL
+    // sentinel, header — written then read back with a declared schema
+    // (the snapflow import_csv surface beyond the happy path).
+    Op("src_csv_options",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tmp = s"target/tmp/csvopt_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        T.t(s, d, "supplier")
+          .withColumn("maybe_nation", expr("nullif(s_nationkey % 7, 0)"))
+          .select("s_suppkey", "s_name", "maybe_nation", "s_acctbal")
+          .write.mode("overwrite")
+          .option("header", "true").option("sep", "|").option("nullValue", "NULL")
+          .csv(tmp)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("maybe_nation", IntegerType), StructField("s_acctbal", DoubleType)))
+        s.read.schema(schema)
+          .option("header", "true").option("sep", "|").option("nullValue", "NULL")
+          .csv(tmp)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT s_suppkey, s_name, nullif(s_nationkey % 7, 0) AS maybe_nation, s_acctbal " +
+        "FROM supplier ORDER BY s_suppkey")),
+
+    // Character-code family: ascii / chr round-trips.
+    Op("fn_char",
+      (s, d) => T.t(s, d, "customer").select(
+          col("c_custkey"),
+          expr("ascii(c_name)").as("a_first"),
+          expr("ascii(substring(c_mktsegment, 2, 1))").as("a_second"),
+          expr("chr(65 + c_nationkey % 26)").as("letter"),
+          expr("concat(chr(ascii(c_mktsegment)), lower(substring(c_mktsegment, 2)))").as("recased"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, CAST(ascii(c_name) AS INTEGER) AS a_first, " +
+        "CAST(ascii(substring(c_mktsegment, 2, 1)) AS INTEGER) AS a_second, " +
+        "chr(65 + c_nationkey % 26) AS letter, " +
+        "concat(chr(ascii(c_mktsegment)), lower(substring(c_mktsegment, 2))) AS recased " +
+        "FROM customer ORDER BY c_custkey")),
+
+    // Adjacent-token PMI: the association-mining companion to the bigram
+    // LM — ln(c(ab)·N² / (B·c(a)·c(b))) over pairs seen ≥5 times, top 20.
+    // The ratio is built in one fixed operand order so both engines take
+    // ln of the identical double, then fixed-point floored (rule 4).
+    Op("llm_bigram_pmi",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(split(lower(col("text")), " ").as("toks"))
+        val flat = toks.select(explode(col("toks")).as("tok"))
+        val nTok = flat.count()
+        val prs = toks.where("size(toks) >= 2")
+          .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
+        val nBig = prs.count()
+        val uni = flat.groupBy("tok").agg(count(lit(1)).as("c"))
+        prs.groupBy("pair").agg(count(lit(1)).as("c_ab")).where("c_ab >= 5")
+          .withColumn("a", expr("split_part(pair, ' ', 1)"))
+          .withColumn("b", expr("split_part(pair, ' ', 2)"))
+          .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+          .withColumn("pmi_fp", expr(
+            s"CAST(floor(ln(CAST(c_ab AS DOUBLE) * $nTok * $nTok / " +
+              s"(CAST($nBig AS DOUBLE) * c_a * c_b)) * 1000000 + 0.000001) AS BIGINT)"))
+          .withColumn("pmi", expr("CAST(pmi_fp AS DOUBLE) / 1000000"))
+          .select("a", "b", "c_ab", "pmi_fp", "pmi")
+          .orderBy(desc("pmi_fp"), col("a"), col("b"))
+          .limit(20)
+      },
+      Some("WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents), " +
+        "flat AS (SELECT unnest(toks) AS tok FROM t), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flat), " +
+        "prs AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))) AS pair FROM t), " +
+        "btot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM prs), " +
+        "uni AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok), " +
+        "pc AS (SELECT pair, count(*) AS c_ab FROM prs GROUP BY pair HAVING count(*) >= 5) " +
+        "SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, c_ab, " +
+        "CAST(floor(ln(CAST(c_ab AS DOUBLE) * n * n / (CAST(bt AS DOUBLE) * ua.c * ub.c)) " +
+        "* 1000000 + 0.000001) AS BIGINT) AS pmi_fp, " +
+        "CAST(CAST(floor(ln(CAST(c_ab AS DOUBLE) * n * n / (CAST(bt AS DOUBLE) * ua.c * ub.c)) " +
+        "* 1000000 + 0.000001) AS BIGINT) AS DOUBLE) / 1000000 AS pmi " +
+        "FROM pc CROSS JOIN tot CROSS JOIN btot " +
+        "JOIN uni ua ON ua.tok = split_part(pc.pair, ' ', 1) " +
+        "JOIN uni ub ON ub.tok = split_part(pc.pair, ' ', 2) " +
+        "ORDER BY pmi_fp DESC, a, b LIMIT 20")),
+
+    // Two unrolled BPE merge iterations in ONE declarative plan (the
+    // kmeans_step/kmeans_train pattern applied to tokenizer training):
+    // merge 1 may create a composite token that merge 2 then extends.
+    Op("llm_bpe_train2",
+      (s, d) => {
+        def topPair(t: org.apache.spark.sql.DataFrame, alias: String) = t
+          .where("size(toks) >= 2")
+          .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pair")).limit(1)
+          .select(col("pair").as(alias))
+        def mergeExpr(padCol: String, pairCol: String): String =
+          s"replace(replace($padCol, concat(' ', $pairCol, ' '), " +
+            s"concat(' ', replace($pairCol, ' ', '_'), ' ')), " +
+            s"concat(' ', $pairCol, ' '), concat(' ', replace($pairCol, ' ', '_'), ' '))"
+        val toks1 = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .withColumn("n0", expr("size(toks)"))
+        val m1 = toks1.crossJoin(broadcast(topPair(toks1, "p1")))
+          .withColumn("pad1", concat(lit(" "), array_join(col("toks"), " "), lit(" ")))
+          .withColumn("text1", trim(expr(mergeExpr("pad1", "p1"))))
+        val toks2 = m1.select(col("doc_id"), col("n0"), col("p1"),
+          split(col("text1"), " ").as("toks"))
+        val m2 = toks2.crossJoin(broadcast(topPair(toks2, "p2")))
+          .withColumn("pad2", concat(lit(" "), array_join(col("toks"), " "), lit(" ")))
+          .withColumn("text2", trim(expr(mergeExpr("pad2", "p2"))))
+        m2.select(col("doc_id"), col("p1"), col("p2"),
+            expr("CAST(n0 - size(split(text2, ' ')) AS INT)").as("n_merges"),
+            expr("md5(text2)").as("merged_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t1 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, " +
+        "len(string_split(lower(text), ' ')) AS n0 FROM documents), " +
+        "top1 AS (SELECT pair AS p1 FROM (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))) AS pair FROM t1) " +
+        "GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1), " +
+        "m1 AS (SELECT doc_id, n0, p1, trim(replace(replace(" +
+        "concat(' ', array_to_string(toks, ' '), ' '), concat(' ', p1, ' '), " +
+        "concat(' ', replace(p1, ' ', '_'), ' ')), concat(' ', p1, ' '), " +
+        "concat(' ', replace(p1, ' ', '_'), ' '))) AS text1 FROM t1, top1), " +
+        "t2 AS (SELECT doc_id, n0, p1, string_split(text1, ' ') AS toks FROM m1), " +
+        "top2 AS (SELECT pair AS p2 FROM (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))) AS pair FROM t2) " +
+        "GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1), " +
+        "m2 AS (SELECT doc_id, n0, p1, p2, trim(replace(replace(" +
+        "concat(' ', array_to_string(toks, ' '), ' '), concat(' ', p2, ' '), " +
+        "concat(' ', replace(p2, ' ', '_'), ' ')), concat(' ', p2, ' '), " +
+        "concat(' ', replace(p2, ' ', '_'), ' '))) AS text2 FROM t2, top2) " +
+        "SELECT doc_id, p1, p2, " +
+        "CAST(n0 - len(string_split(text2, ' ')) AS INTEGER) AS n_merges, " +
+        "md5(text2) AS merged_md5 FROM m2 ORDER BY doc_id")),
+
+    // Per-label embedding L2-norm statistics: the vector-column health
+    // check (collapsed norms ⇒ dead embeddings; wild norms ⇒ bad scaling).
+    // The squared norm is a sequential left fold — identical operand
+    // order in both engines — then fixed-pointed before the group stats.
+    Op("llm_embedding_norm_stats",
+      (s, d) => T.spread(T.t(s, d, "embeddings"))
+        .withColumn("norm2_fp", expr(
+          "CAST(floor(aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) * 10000 + 0.000001) AS BIGINT)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("norm2_fp").as("min_norm2_fp"),
+          max("norm2_fp").as("max_norm2_fp"),
+          sum("norm2_fp").as("sum_norm2_fp"))
+        .withColumn("avg_norm2", expr("CAST(sum_norm2_fp AS DOUBLE) / (n_vecs * 10000)"))
+        .orderBy("label"),
+      Some("WITH n AS (SELECT label, CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(embedding) + 1), " +
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), " +
+        "(acc, v) -> acc + v) * 10000 + 0.000001) AS BIGINT) AS norm2_fp FROM embeddings) " +
+        "SELECT label, count(*) AS n_vecs, min(norm2_fp) AS min_norm2_fp, " +
+        "max(norm2_fp) AS max_norm2_fp, CAST(SUM(norm2_fp) AS BIGINT) AS sum_norm2_fp, " +
+        "CAST(CAST(SUM(norm2_fp) AS BIGINT) AS DOUBLE) / (count(*) * 10000) AS avg_norm2 " +
+        "FROM n GROUP BY label ORDER BY label"))
   )
 }
