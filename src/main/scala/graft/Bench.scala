@@ -43,7 +43,10 @@ object Bench {
     "llm_dedup_cluster", "llm_tokenizer_vocab", "core_validate_quarantine",
     "llm_kmeans_train", "llm_dedup_substring", "llm_ann_refine",
     "llm_reservoir_sample", "rel_gap_fill_interpolate",
-    "snk_dynamic_partition_overwrite")
+    "snk_dynamic_partition_overwrite",
+    // round 3
+    "llm_bpe_train2", "llm_bigram_pmi", "llm_token_entropy",
+    "llm_prefix_dedup", "strm_running_totals", "rel_agg_multi_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

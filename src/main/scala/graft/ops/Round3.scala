@@ -529,6 +529,103 @@ object Round3 {
         "SELECT label, count(*) AS n_vecs, min(norm2_fp) AS min_norm2_fp, " +
         "max(norm2_fp) AS max_norm2_fp, CAST(SUM(norm2_fp) AS BIGINT) AS sum_norm2_fp, " +
         "CAST(CAST(SUM(norm2_fp) AS BIGINT) AS DOUBLE) / (count(*) * 10000) AS avg_norm2 " +
-        "FROM n GROUP BY label ORDER BY label"))
+        "FROM n GROUP BY label ORDER BY label")),
+
+    // ---- batch 3 ------------------------------------------------------
+
+    // Time travel over the SCD2 history: reconstruct each user's state
+    // as of an instant T — the interval containing T (valid_from <= T <
+    // valid_to, open-ended current rows included). One windowed pass
+    // builds the history; the rewind itself is a pure filter, which is
+    // the point: as-of reads off a type-2 table cost one predicate, not
+    // a replay.
+    Op("core_history_rewind",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        T.events(s, d)
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where("prev_type IS NULL OR prev_type <> event_type")
+          .select(col("user_id"), col("event_type"), col("ts").as("valid_from"), col("event_id"))
+          .withColumn("valid_to", lead("valid_from", 1).over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+          .where("valid_from <= TIMESTAMP_NTZ '2024-01-15 00:00:00' AND " +
+            "(valid_to IS NULL OR valid_to > TIMESTAMP_NTZ '2024-01-15 00:00:00')")
+          .select("user_id", "event_type", "valid_from", "event_id")
+          .orderBy("user_id", "event_id")
+      },
+      Some("WITH o AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type), " +
+        "h AS (SELECT user_id, event_type, valid_from, event_id, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to FROM c) " +
+        "SELECT user_id, event_type, valid_from, event_id FROM h " +
+        "WHERE valid_from <= TIMESTAMP '2024-01-15' AND " +
+        "(valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15') " +
+        "ORDER BY user_id, event_id")),
+
+    // Trigram LM with stupid backoff: p(c|ab) = c(abc)/c(ab), and the
+    // 0.4-discounted bigram fallback score alongside. All probabilities
+    // are exact int/int double divisions (rule 12) — no fixed-point
+    // needed. Top 30 trigrams by count, injectively tie-broken.
+    Op("llm_trigram_backoff",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(split(lower(col("text")), " ").as("toks"))
+        val tri = toks.where("size(toks) >= 3")
+          .select(explode(expr("transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("tri"))
+          .groupBy("tri").agg(count(lit(1)).as("c_abc"))
+        val bi = toks.where("size(toks) >= 2")
+          .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bi"))
+          .groupBy("bi").agg(count(lit(1)).as("c_bi"))
+        val uni = toks.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_uni"))
+        tri.where("c_abc >= 3")
+          .withColumn("a", expr("split_part(tri, ' ', 1)"))
+          .withColumn("b", expr("split_part(tri, ' ', 2)"))
+          .withColumn("c", expr("split_part(tri, ' ', 3)"))
+          .withColumn("ab", expr("concat(a, ' ', b)"))
+          .withColumn("bc", expr("concat(b, ' ', c)"))
+          .join(bi.select(col("bi").as("ab"), col("c_bi").as("c_ab")), "ab")
+          .join(bi.select(col("bi").as("bc"), col("c_bi").as("c_bc")), "bc")
+          .join(uni.select(col("tok").as("b"), col("c_uni").as("c_b")), "b")
+          .withColumn("p3", expr("CAST(c_abc AS DOUBLE) / c_ab"))
+          .withColumn("backoff", expr("0.4D * CAST(c_bc AS DOUBLE) / c_b"))
+          .select("a", "b", "c", "c_abc", "p3", "backoff")
+          .orderBy(desc("c_abc"), col("a"), col("b"), col("c"))
+          .limit(30)
+      },
+      Some("WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents), " +
+        "tri AS (SELECT tri, count(*) AS c_abc FROM (SELECT unnest(list_transform(range(1, len(toks) - 1), " +
+        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tri FROM t) GROUP BY tri), " +
+        "bi AS (SELECT bi, count(*) AS c_bi FROM (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))) AS bi FROM t) GROUP BY bi), " +
+        "uni AS (SELECT tok, count(*) AS c_uni FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok) " +
+        "SELECT split_part(tri, ' ', 1) AS a, split_part(tri, ' ', 2) AS b, split_part(tri, ' ', 3) AS c, " +
+        "c_abc, CAST(c_abc AS DOUBLE) / ab.c_bi AS p3, " +
+        "0.4 * CAST(bc.c_bi AS DOUBLE) / u.c_uni AS backoff " +
+        "FROM tri " +
+        "JOIN bi ab ON ab.bi = concat(split_part(tri, ' ', 1), ' ', split_part(tri, ' ', 2)) " +
+        "JOIN bi bc ON bc.bi = concat(split_part(tri, ' ', 2), ' ', split_part(tri, ' ', 3)) " +
+        "JOIN uni u ON u.tok = split_part(tri, ' ', 2) " +
+        "WHERE c_abc >= 3 ORDER BY c_abc DESC, a, b, c LIMIT 30")),
+
+    // Clustered sink: repartition by key + sortWithinPartitions before
+    // the write — the layout knob that makes parquet min/max row-group
+    // skipping effective on the read side (zone-map locality at 100 TB).
+    // Content round-trips unchanged; the oracle checks exactly that.
+    Op("snk_sorted_write",
+      (s, d) => {
+        val tmp = s"target/tmp/sorted_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        T.events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(4, col("user_id"))
+          .sortWithinPartitions("user_id", "event_id")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
   )
 }
