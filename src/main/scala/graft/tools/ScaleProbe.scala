@@ -63,7 +63,14 @@ object ScaleProbe {
       "llm_frame_sample", "rel_join_asof_tolerance", "strm_interval_join",
       "core_validate_quarantine", "llm_dedup_substring", "llm_kmeans_train",
       "llm_reservoir_sample", "llm_ann_refine", "llm_bigram_lm",
-      "llm_dataset_card")
+      "llm_dataset_card",
+      // round 3: BPE/PMI/entropy sweep the full token stream; prefix
+      // dedup hits the all-duplicate corpus head on
+      "llm_bpe_merge_step", "llm_bpe_train2", "llm_bigram_pmi",
+      "llm_token_entropy", "llm_zipf_fit", "llm_prefix_dedup",
+      "llm_trigram_backoff", "llm_importance_resample",
+      "llm_embedding_norm_stats", "strm_running_totals",
+      "strm_topk_windowed", "core_history_rewind")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
