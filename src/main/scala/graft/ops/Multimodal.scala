@@ -93,7 +93,12 @@ object Multimodal {
         s"CAST(ceil(i * size(features) / $outDim.0) AS INT)))"))
 
   /** The ops-registry entry: decode features, project scalars, order.
-    * No DuckDB oracle (the decode is JVM-side) — rows-only check.
+    * The stub decode is pure integer arithmetic over the payload bytes
+    * (poly hash mod 2^64 → one LCG step), and the corpus is pure ASCII
+    * (text chars == payload bytes, rule 21), so DuckDB CAN replay it:
+    * the oracle folds the char codes in HUGEINT with explicit mod-2^64
+    * wrap. Exact f0 parity: k/65536 is dyadic, float == double.
+    * Previously rows-only (CORRECTNESS_r02 no_oracle).
     */
   val ops: Seq[Op] = Seq(
     Op("llm_multimodal_decode",
@@ -105,7 +110,23 @@ object Multimodal {
             expr("CAST(element_at(features, 1) AS DOUBLE)").as("f0"))
           .orderBy("asset_id")
       },
-      None),
+      Some("WITH b AS (SELECT doc_id, n_chars, strlen(text) AS n_bytes, " +
+        "list_transform(range(1, strlen(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bytes " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, n_chars, n_bytes, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum, " +
+        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(bytes, x -> CAST(x AS HUGEINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h0 " +
+        "FROM b) " +
+        "SELECT doc_id AS asset_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(n_bytes AS INTEGER) AS n_bytes, " +
+        "CAST(32 + n_chars % 97 AS INTEGER) AS width, " +
+        "CAST(32 + n_chars % 71 AS INTEGER) AS height, " +
+        "checksum, " +
+        "CAST(CAST(((h0 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 " +
+        "// 1099511627776) % 65536 AS BIGINT) AS DOUBLE) / 65536.0 AS f0 " +
+        "FROM h ORDER BY asset_id")),
 
     // binary-payload metadata extraction — the oracle-checkable half of
     // the multimodal path: Spark works on a real BinaryType column

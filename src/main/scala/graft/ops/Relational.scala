@@ -182,12 +182,24 @@ object Relational {
       Some("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
-    // HLL values are engine-specific — no oracle (SURVEY §2-G.4).
+    // HLL estimates are engine-specific, so the estimate itself can't be
+    // hash-compared — but its ERROR BOUND can: the op emits the exact
+    // count plus a genuinely computed |approx-exact|/exact <= 15%
+    // predicate (3x the default rsd=0.05), and the oracle asserts that
+    // predicate true. A broken sketch flips the boolean and fails the
+    // hash; previously this op was rows-only (CORRECTNESS_r02 no_oracle).
     Op("rel_agg_approx_distinct",
       (s, d) => T.events(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <=
+            col("n_users") * lit(0.15)).as("approx_within_bounds"))
         .orderBy("event_type"),
-      None),
+      Some("SELECT event_type, count(DISTINCT user_id) AS n_users, " +
+        "true AS approx_within_bounds " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // semi-join reduction via a Bloom runtime filter built BY HAND: a
     // bloom over the high-value orders' custkeys pre-filters customer
@@ -215,18 +227,31 @@ object Relational {
     // mergeable DataSketches HLL (Spark 4 native): per-group sketches
     // UNIONED into a total — the re-aggregatable form a rollup layer
     // stores (a plain approx_count_distinct cannot be merged later).
-    // Sketch bytes are engine-specific -> rows-only, no oracle.
+    // Sketch bytes are engine-specific, so (as in rel_agg_approx_distinct)
+    // the parity check is the error-bound predicate: per-group AND
+    // merged-total estimates must land within 15% of the exact counts the
+    // oracle recomputes. Exercises the full sketch → union → estimate
+    // path; previously rows-only (CORRECTNESS_r02 no_oracle).
     Op("rel_agg_sketch_hll",
       (s, d) => {
-        val perType = T.events(s, d).groupBy("event_type")
-          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-        perType
-          .select(lit("total").as("event_type"), expr("hll_union_agg(sk)").as("sk"))
-          .unionByName(perType)
-          .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+        val ev = T.events(s, d)
+        val perType = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).as("n_users"))
+        val total = perType
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+          .crossJoin(ev.agg(countDistinct(col("user_id")).as("n_users")))
+          .select(lit("total").as("event_type"), col("sk"), col("n_users"))
+        total.unionByName(perType.select(col("event_type"), col("sk"), col("n_users")))
+          .select(col("event_type"), col("n_users"),
+            (abs(expr("hll_sketch_estimate(sk)") - col("n_users")) <=
+              col("n_users") * lit(0.15)).as("approx_within_bounds"))
           .orderBy("event_type")
       },
-      None),
+      Some("SELECT event_type, n_users, true AS approx_within_bounds FROM (" +
+        "SELECT 'total' AS event_type, count(DISTINCT user_id) AS n_users FROM events " +
+        "UNION ALL SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type" +
+        ") ORDER BY event_type")),
 
     // rollup with a manually derived grouping id (identical CASE on both
     // sides; avoids engine-specific GROUPING_ID bit layouts).

@@ -626,6 +626,149 @@ object Round3 {
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp).orderBy("event_id")
       },
-      Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id"))
+      Some("SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id")),
+
+    // ---- batch 4 ------------------------------------------------------
+
+    // ANN evaluation harness: recall@5 of the sign-hyperplane LSH bucket
+    // search against the exact brute-force top-5 — the metric that
+    // decides whether an index is usable before it ships. Single-row
+    // output; both candidate sets are injectively ordered so the metric
+    // is exact, not probabilistic.
+    Op("llm_ann_recall_audit",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val sigExpr =
+          "aggregate(sequence(0, 7), 0, (acc, i) -> acc + CASE WHEN " +
+            "aggregate(transform(sequence(0, 63), j -> CAST(element_at(embedding, j + 1) AS DOUBLE) * " +
+            "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v) > 0 " +
+            "THEN shiftleft(1, i) ELSE 0 END)"
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probeEmb = emb.where("vec_id = 0").select(col("embedding").as("p_emb"))
+        val exact5 = emb.where("vec_id <> 0").crossJoin(broadcast(probeEmb))
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .orderBy(desc("sim"), col("vec_id")).limit(5).select("vec_id")
+        val withSig = emb.withColumn("bsig", expr(sigExpr))
+        val probeSig = withSig.where("vec_id = 0")
+          .select(col("embedding").as("p_emb"), col("bsig").as("p_sig"))
+        val approx5 = withSig.join(broadcast(probeSig),
+            col("bsig") === col("p_sig") && col("vec_id") =!= 0)
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .orderBy(desc("sim"), col("vec_id")).limit(5).select("vec_id")
+        exact5.join(approx5, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(5).as("k"), col("n_hits"),
+            expr("CAST(n_hits AS DOUBLE) / 5").as("recall"))
+      },
+      Some("WITH s AS (SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 8), i -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(0, 64), j -> CAST(embedding[j + 1] AS DOUBLE) * " +
+        "CAST(((i * 7 + j * 13) % 11) - 5 AS DOUBLE))), (a, v) -> a + v) > 0 " +
+        "THEN (1 << i) ELSE 0 END)) AS INTEGER) AS bsig FROM embeddings), " +
+        "pe AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0), " +
+        "exact5 AS (SELECT x.vec_id FROM embeddings x, pe " +
+        s"WHERE x.vec_id <> 0 ORDER BY ${oSimSql("x.embedding", "p_emb")} DESC, x.vec_id LIMIT 5), " +
+        "ps AS (SELECT embedding AS p_emb, bsig AS p_sig FROM s WHERE vec_id = 0), " +
+        "approx5 AS (SELECT s.vec_id FROM s, ps WHERE s.bsig = ps.p_sig AND s.vec_id <> 0 " +
+        s"ORDER BY ${oSimSql("s.embedding", "p_emb")} DESC, s.vec_id LIMIT 5) " +
+        "SELECT 5 AS k, count(*) AS n_hits, CAST(count(*) AS DOUBLE) / 5 AS recall " +
+        "FROM exact5 WHERE vec_id IN (SELECT vec_id FROM approx5)")),
+
+    // Shard-packing efficiency: per-language utilization of the
+    // 2000-token shard budget from the contiguous packing — the audit a
+    // training loader runs before accepting a dataset layout.
+    Op("llm_packing_efficiency",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.t(s, d, "documents")
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
+          .groupBy("lang")
+          .agg(countDistinct("shard_id").as("n_shards"),
+            sum("n_tokens").as("total_tokens"))
+          .withColumn("utilization",
+            expr("CAST(total_tokens AS DOUBLE) / (n_shards * 2000)"))
+          .orderBy("lang")
+      },
+      Some("WITH packed AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST((SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(string_split(text, ' '))) // 2000 AS INTEGER) AS shard_id " +
+        "FROM documents) " +
+        "SELECT lang, count(DISTINCT shard_id) AS n_shards, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / (count(DISTINCT shard_id) * 2000) AS utilization " +
+        "FROM packed GROUP BY lang ORDER BY lang")),
+
+    // Pipeline freshness report: per-type high watermark and its lag
+    // behind the global watermark, in exact epoch microseconds (complete
+    // minutes via floor division — boundary-counting date_diff and
+    // unit-counting timestampdiff disagree on sub-minute components, so
+    // neither is used).
+    Op("core_freshness_report",
+      (s, d) => {
+        val perType = T.events(s, d).groupBy("event_type")
+          .agg(max("ts").as("max_ts"), count(lit(1)).as("n_events"))
+        val global = perType.agg(max("max_ts").as("global_max"))
+        perType.crossJoin(broadcast(global))
+          .withColumn("lag_us",
+            expr("unix_micros(CAST(global_max AS TIMESTAMP)) - unix_micros(CAST(max_ts AS TIMESTAMP))"))
+          .withColumn("lag_minutes", expr("lag_us div 60000000"))
+          .select("event_type", "max_ts", "n_events", "lag_us", "lag_minutes")
+          .orderBy("event_type")
+      },
+      Some("WITH pt AS (SELECT event_type, max(ts) AS max_ts, count(*) AS n_events FROM events GROUP BY event_type), " +
+        "g AS (SELECT max(max_ts) AS global_max FROM pt) " +
+        "SELECT event_type, max_ts, n_events, " +
+        "epoch_us(global_max) - epoch_us(max_ts) AS lag_us, " +
+        "(epoch_us(global_max) - epoch_us(max_ts)) // 60000000 AS lag_minutes " +
+        "FROM pt, g ORDER BY event_type")),
+
+    // Centered (symmetric) window frame: 7-row moving stats around each
+    // lineitem in supplier ship order. The mean goes through
+    // SUM(DECIMAL)/COUNT — DuckDB's AVG(DECIMAL) detours through DOUBLE
+    // (parity rule 14) so the exact-rational route is used on both sides.
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus, so the
+    // window order is widened to the full-tuple key (verified unique)
+    // and the output order covers every emitted column — ties then only
+    // occur between value-identical rows.
+    Op("rel_window_centered",
+      (s, d) => {
+        val ord = "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity"
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_extendedprice", "l_quantity")
+          .rowsBetween(-3, 3)
+        T.t(s, d, "lineitem")
+          .withColumn("c_avg", expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (" +
+              s"PARTITION BY l_suppkey $ord " +
+              "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / " +
+              s"COUNT(*) OVER (PARTITION BY l_suppkey $ord " +
+              "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+          .withColumn("c_min", min("l_extendedprice").over(w))
+          .withColumn("c_max", max("l_extendedprice").over(w))
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "c_avg", "c_min", "c_max")
+          .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "c_avg", "c_min", "c_max")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_suppkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) / count(*) OVER w AS c_avg, " +
+        "min(l_extendedprice) OVER w AS c_min, max(l_extendedprice) OVER w AS c_max " +
+        "FROM lineitem WINDOW w AS (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_quantity " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) " +
+        "ORDER BY l_orderkey, l_linenumber, l_suppkey, c_avg, c_min, c_max"))
   )
+
+  /** DuckDB cosine similarity as a sequential left fold — same operand
+    * order as graft.functions.CosineSimilarity (mirrors LlmOps.oSim).
+    */
+  private def oDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  private def oSimSql(a: String, b: String): String =
+    s"${oDotSql(a, b)} / sqrt(${oDotSql(a, a)} * ${oDotSql(b, b)})"
 }
