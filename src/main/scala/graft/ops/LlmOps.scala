@@ -1300,13 +1300,23 @@ object LlmOps {
           .select(explode(split(lower(col("text")), " ")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("freq"))
         val total = freq.agg(sum("freq").as("total"))
-        freq.crossJoin(total)
-          .withColumn("id", row_number().over(Window.orderBy(desc("freq"), col("token"))))
-          .withColumn("cum_share", expr(
-            "floor(CAST(" +
-              "sum(freq) OVER (ORDER BY freq DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-              "AS DOUBLE) / total * 1000000) / 1000000"))
-          .where("id <= 1024")
+        // top-N via TakeOrderedAndProject (per-partition top-N, driver
+        // merges N per partition) — never a global no-partition window
+        // over the unbounded distinct-token table. Rank + running sum
+        // are then recovered inside the bounded 1024-row set by a
+        // broadcast theta self-join: (freq desc, token) is a total
+        // order, so rank = |{b : b at-or-before a}| and the inclusive
+        // prefix sum = sum(freq of that set). 1024^2 comparisons is a
+        // constant regardless of corpus size.
+        val top = freq.orderBy(desc("freq"), col("token")).limit(1024)
+        top.as("a")
+          .join(broadcast(top.as("b")), expr(
+            "b.freq > a.freq OR (b.freq = a.freq AND b.token <= a.token)"))
+          .groupBy(col("a.token").as("token"), col("a.freq").as("freq"))
+          .agg(count(lit(1)).cast("int").as("id"), sum(col("b.freq")).as("cumfreq"))
+          .crossJoin(broadcast(total))
+          .withColumn("cum_share",
+            expr("floor(CAST(cumfreq AS DOUBLE) / total * 1000000) / 1000000"))
           .select("id", "token", "freq", "cum_share")
           .orderBy("id")
       },
@@ -1328,9 +1338,9 @@ object LlmOps {
       (s, d) => {
         val toks = T.spread(T.t(s, d, "documents"))
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        // top-16 selection as TakeOrderedAndProject — no global window
         val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-          .withColumn("id", row_number().over(Window.orderBy(desc("freq"), col("token"))))
-          .where("id <= 16").select("token")
+          .orderBy(desc("freq"), col("token")).limit(16).select("token")
         toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("token"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),

@@ -276,14 +276,24 @@ object Round3 {
     // (ln rank, ln freq) — the classic corpus-health diagnostic. All four
     // regression sums are exact BIGINTs over 1e3 fixed-point logs, so the
     // final slope is one exact rational division (identical doubles).
+    // The fit uses the top-4096 ranks: statistically that's the stable
+    // part of the curve (the freq=1 tail distorts an unweighted LS fit),
+    // and computationally it turns the global rank into a bounded
+    // problem — top-K via TakeOrderedAndProject, then rank-within-K by a
+    // broadcast theta self-join over the total order (freq desc, tok).
+    // No no-partition window anywhere, so a 10^9-token vocabulary never
+    // lands in a single partition.
     Op("llm_zipf_fit",
       (s, d) => {
         val freq = T.spread(T.t(s, d, "documents"))
           .select(explode(split(lower(col("text")), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("freq"))
-        // global window is over the vocabulary (bounded), not the corpus
-        val ranked = freq
-          .withColumn("rnk", row_number().over(Window.orderBy(desc("freq"), col("tok"))))
+        val top = freq.orderBy(desc("freq"), col("tok")).limit(4096)
+        val ranked = top.as("a")
+          .join(broadcast(top.as("b")), expr(
+            "b.freq > a.freq OR (b.freq = a.freq AND b.tok <= a.tok)"))
+          .groupBy(col("a.tok").as("tok"), col("a.freq").as("freq"))
+          .agg(count(lit(1)).as("rnk"))
           .select(
             expr("CAST(floor(ln(rnk) * 1000 + 0.000001) AS BIGINT)").as("x"),
             expr("CAST(floor(ln(freq) * 1000 + 0.000001) AS BIGINT)").as("y"))
@@ -294,8 +304,9 @@ object Round3 {
       },
       Some("WITH f AS (SELECT tok, count(*) AS freq FROM " +
         "(SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) GROUP BY tok), " +
-        "r AS (SELECT CAST(floor(ln(row_number() OVER (ORDER BY freq DESC, tok)) * 1000 + 0.000001) AS BIGINT) AS x, " +
-        "CAST(floor(ln(freq) * 1000 + 0.000001) AS BIGINT) AS y FROM f), " +
+        "r0 AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM f), " +
+        "r AS (SELECT CAST(floor(ln(rnk) * 1000 + 0.000001) AS BIGINT) AS x, " +
+        "CAST(floor(ln(freq) * 1000 + 0.000001) AS BIGINT) AS y FROM r0 WHERE rnk <= 4096), " +
         "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
         "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, " +
         "CAST(SUM(x * x) AS BIGINT) AS sxx FROM r) " +

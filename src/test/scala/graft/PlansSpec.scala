@@ -202,6 +202,36 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab/zipf rankers have no global no-partition WindowExec (scale-safe top-N)") {
+    // these three ranked the full distinct-token table through
+    // row_number().over(Window.orderBy(...)) until round 4 — the
+    // "No Partition Defined for Window" single-partition scale-killer.
+    // Pin the fix: top-N must plan as TakeOrderedAndProject and no
+    // WindowExec in the plan may have an empty partitionSpec.
+    for (key <- Seq("llm_tokenizer_vocab", "llm_vocab_oov_rate", "llm_zipf_fit")) {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.collect()
+      val plan = GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] =
+        p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+        }.flatten
+      val bad = windows(plan).filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty, s"$key still has a no-partition WindowExec:\n$plan")
+      def hasTop(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => Seq(t)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            if (hasTop(q.plan)) Seq(q) else Seq.empty
+        }.flatten.nonEmpty
+      assert(hasTop(plan), s"$key: expected a TakeOrderedAndProject top-N:\n$plan")
+    }
+  }
+
   test("rel_join_lateral decorrelates to a ranked join with partial WindowGroupLimit (no per-row subquery)") {
     val df = Registry.byKey("rel_join_lateral").query(spark, TestSpark.sf)
     df.count()
