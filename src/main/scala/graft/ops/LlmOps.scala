@@ -148,16 +148,33 @@ object LlmOps {
       "WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2)"
 
   /** Contiguous token-budget shard packing (per language, doc_id order,
-    * ~2000-token shards via a cumulative-sum window) — shared by
-    * llm_pack_shards (per-doc assignment) and llm_shard_manifest (the
-    * shard-level summary a training loader consumes).
+    * ~2000-token shards) — shared by llm_pack_shards (per-doc
+    * assignment), llm_shard_manifest, and llm_packing_efficiency.
+    *
+    * Two-level cumulative sum so no single partition ever holds a whole
+    * language: docs bucket into contiguous doc_id ranges of 4096, the
+    * running sum is computed inside each bounded (lang, bucket) group,
+    * and per-bucket offsets (an exclusive prefix over the 4096x-smaller
+    * bucket-totals table) reconcile it to the exact per-lang global
+    * cumulative sum. Output is numerically identical to a single
+    * per-lang window; at 100 TB the dominant language splits across
+    * corpus/4096 parallel window partitions instead of one.
     */
-  private def packShards(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T.t(s, d, "documents")
+  private[ops] def packShards(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val B = 4096
+    val docs = T.t(s, d, "documents")
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
-      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bucket", expr(s"CAST(doc_id div $B AS INT)"))
+    val wLocal = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("lang", "bucket").agg(sum("n_tokens").as("btok"))
+      .withColumn("off", coalesce(sum("btok").over(wOffset), lit(0L)))
+      .select("lang", "bucket", "off")
+    docs.withColumn("lcum", sum("n_tokens").over(wLocal))
+      .join(offsets, Seq("lang", "bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
       .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
       .select("doc_id", "lang", "n_tokens", "shard_id")
   }
@@ -854,10 +871,10 @@ object LlmOps {
         "FROM documents ORDER BY doc_id")),
 
     // training-shard packing: contiguous docs (per language, doc_id
-    // order) packed into ~2000-token shards via a cumulative-sum window —
-    // the deterministic variant of greedy sequence packing. Partitioned
-    // by lang so the window parallelizes; at 100 TB the partition key
-    // would be a range-bucketed shard group.
+    // order) packed into ~2000-token shards — the deterministic variant
+    // of greedy sequence packing. Range-bucketed two-level cumulative
+    // sum (see packShards) so the dominant language never lands in a
+    // single window partition.
     Op("llm_pack_shards",
       (s, d) => packShards(s, d).orderBy("doc_id"),
       Some("WITH " + oPackShards +

@@ -687,15 +687,12 @@ object Round3 {
 
     // Shard-packing efficiency: per-language utilization of the
     // 2000-token shard budget from the contiguous packing — the audit a
-    // training loader runs before accepting a dataset layout.
+    // training loader runs before accepting a dataset layout. Reuses the
+    // range-bucketed two-level packing (LlmOps.packShards), so the
+    // cumulative window never holds a whole language in one partition.
     Op("llm_packing_efficiency",
       (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        T.t(s, d, "documents")
-          .withColumn("n_tokens", expr("size(split(text, ' '))"))
-          .withColumn("cum", sum("n_tokens").over(w))
-          .withColumn("shard_id", expr("CAST((cum - n_tokens) div 2000 AS INT)"))
+        LlmOps.packShards(s, d)
           .groupBy("lang")
           .agg(countDistinct("shard_id").as("n_shards"),
             sum("n_tokens").as("total_tokens"))

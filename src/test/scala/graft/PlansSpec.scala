@@ -232,6 +232,40 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("shard packing windows partition by (lang, bucket), never by lang alone at doc level") {
+    // llm_pack_shards / llm_packing_efficiency ran one cumulative window
+    // per language until round 4 — at 100 TB the dominant language is
+    // half the corpus in a single partition. Pin the two-level form:
+    // the doc-level running sum partitions by (lang, bucket); the only
+    // lang-only window allowed is the per-bucket offsets reconciliation,
+    // which must sit on the 4096x-smaller aggregated bucket-totals table.
+    for (key <- Seq("llm_pack_shards", "llm_packing_efficiency")) {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.collect()
+      val plan = GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def collectRec[A](p: org.apache.spark.sql.execution.SparkPlan)(
+          f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] =
+        p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectRec(q.plan)(f)
+          case n if f.isDefinedAt(n) => Seq(f(n))
+        }.flatten
+      val wins = collectRec(plan) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        s"$key: no (lang, bucket) doc-level window found:\n$plan")
+      val langOnly = wins.filter(_.partitionSpec.size < 2)
+      langOnly.foreach { w =>
+        val aggsBelow = collectRec(w.child) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggsBelow.nonEmpty,
+          s"$key: lang-only window runs on unaggregated doc-level rows:\n$w")
+      }
+    }
+  }
+
   test("rel_join_lateral decorrelates to a ranked join with partial WindowGroupLimit (no per-row subquery)") {
     val df = Registry.byKey("rel_join_lateral").query(spark, TestSpark.sf)
     df.count()
