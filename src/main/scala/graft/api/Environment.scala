@@ -64,30 +64,70 @@ final class Environment(val spark: SparkSession) {
 
   /** Batch-incremental run (snapflow's DataBlockLog consumption
     * accounting): produce `name`, keep only rows with `tsCol` past the
-    * watermark stored from the previous run, append them to `outDir`,
-    * and advance the stored watermark. Each call processes exactly the
-    * unconsumed rows; re-running with no new input appends nothing.
-    * The watermark is a single driver-side value (one tiny file) — the
+    * stage's high-watermark in the persistent run-log, append them to
+    * `outDir`, and record the consumption as a new run-log entry. Each
+    * call processes exactly the unconsumed rows; re-running with no new
+    * input appends nothing (and logs a zero-row run). The run-log is a
+    * tiny parquet table — one row per (stage, run) — so the consumption
+    * history survives process restarts and is itself queryable; the
     * data path stays fully distributed.
     */
   def runIncremental(name: String, tsCol: String, stateDir: String, outDir: String): Long = {
-    import org.apache.spark.sql.functions.{col, max}
-    val wmFile = new java.io.File(stateDir, s"$name.watermark")
-    val prev = if (wmFile.exists())
-      new String(java.nio.file.Files.readAllBytes(wmFile.toPath)).trim.toLong
-    else Long.MinValue
-    val fresh = produce(name)
-      .where(col(tsCol).cast("long") > prev)
-    val stats = fresh.agg(
-      max(col(tsCol).cast("long")).as("wm"),
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
-      .head()
-    val n = stats.getLong(1)
-    if (n > 0) {
-      fresh.write.mode("append").parquet(outDir)
-      wmFile.getParentFile.mkdirs()
-      java.nio.file.Files.write(wmFile.toPath, stats.getLong(0).toString.getBytes)
-    }
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val last = RunLog.last(spark, stateDir, name)
+    val prev = last.map(_.watermark).getOrElse(Long.MinValue)
+    // the new watermark and consumed-row count are OBSERVED on the append
+    // pass itself (executor-side accumulators) — one distributed scan, no
+    // separate counting job over the delta
+    val obs = new org.apache.spark.sql.Observation()
+    produce(name).where(col(tsCol).cast("long") > prev)
+      .observe(obs, max(col(tsCol).cast("long")).as("wm"), count(lit(1)).as("n"))
+      .write.mode("append").parquet(outDir)
+    val n = obs.get("n").asInstanceOf[Long]
+    RunLog.append(spark, stateDir, name,
+      runSeq = last.map(_.runSeq + 1).getOrElse(1L),
+      watermark = Option(obs.get("wm")).map(_.asInstanceOf[Long]).getOrElse(prev),
+      rowsConsumed = n)
     n
+  }
+}
+
+/** Persistent per-stage consumption log — snapflow's DataBlockLog: one
+  * parquet row per (stage, run) recording the high-watermark reached and
+  * the rows consumed. The table is tiny (it grows by one row per
+  * incremental run), so it is read whole; everything it gates stays
+  * distributed.
+  */
+object RunLog {
+  final case class Entry(stage: String, runSeq: Long, watermark: Long, rowsConsumed: Long)
+
+  private def exists(dir: String): Boolean = {
+    val f = new java.io.File(dir)
+    f.isDirectory && f.listFiles() != null &&
+      f.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("stage", StringType), StructField("run_seq", LongType),
+      StructField("watermark", LongType), StructField("rows_consumed", LongType)))
+    if (exists(dir)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  def last(spark: SparkSession, dir: String, stage: String): Option[Entry] = {
+    import org.apache.spark.sql.functions.{col, desc}
+    read(spark, dir).where(col("stage") === stage)
+      .orderBy(desc("run_seq")).limit(1).collect().headOption
+      .map(r => Entry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  def append(spark: SparkSession, dir: String, stage: String,
+      runSeq: Long, watermark: Long, rowsConsumed: Long): Unit = {
+    import spark.implicits._
+    Seq((stage, runSeq, watermark, rowsConsumed))
+      .toDF("stage", "run_seq", "watermark", "rows_consumed")
+      .coalesce(1).write.mode("append").parquet(dir)
   }
 }

@@ -279,5 +279,35 @@ object CoreOps {
         "CAST(SUM(CASE WHEN value < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_value, " +
         "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props, " +
         "max(user_id) AS max_user FROM events")),
+
+    // incremental pipeline runs with a persistent run-log (snapflow's
+    // DataBlockLog): run 1 consumes an early snapshot of orders, run 2
+    // sees the grown table and consumes ONLY the delta past the stored
+    // high-watermark. The queryable run-log itself is the result —
+    // per-run rows_consumed and watermark prove the second run touched
+    // just the new rows. The log is one tiny parquet row per run; the
+    // data path is an ordinary distributed filter-and-append.
+    Op("core_incremental_pipeline",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toString
+        def runEpoch(snapshot: org.apache.spark.sql.DataFrame): Long = {
+          val env = new graft.api.Environment(s)
+          env.addSource("raw", snapshot)
+          env.addNode1("clean", "raw")(
+            _.select("o_orderkey", "o_custkey", "o_totalprice"))
+          env.runIncremental("clean", "o_orderkey", s"$tmp/state", s"$tmp/out")
+        }
+        val orders = T.t(s, d, "orders")
+        runEpoch(orders.where("o_orderkey < 1000")) // epoch 1: early snapshot
+        runEpoch(orders)                            // epoch 2: table has grown
+        graft.api.RunLog.read(s, s"$tmp/state")
+          .select("run_seq", "stage", "rows_consumed", "watermark")
+          .orderBy("run_seq")
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS run_seq, 'clean' AS stage, " +
+        "count(*) AS rows_consumed, max(o_orderkey) AS watermark " +
+        "FROM orders WHERE o_orderkey < 1000 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'clean', count(*), max(o_orderkey) " +
+        "FROM orders WHERE o_orderkey >= 1000 ORDER BY run_seq")),
   )
 }
