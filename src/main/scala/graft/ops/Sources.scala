@@ -93,6 +93,32 @@ object Sources {
       orcRoundtrip,
       Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+    // JDBC storage leg (snapflow's primary storages are relational
+    // databases): write supplier to an embedded Apache Derby database
+    // through df.write.jdbc, read it back with spark.read.jdbc using a
+    // partitioned read (partitionColumn/bounds/numPartitions) — the same
+    // options that split a warehouse table across executors at scale.
+    // Derby ships with Spark, runs in-process, and needs no network, so
+    // the leg works in this zero-egress container; against Postgres only
+    // the URL and driver change.
+    Op("src_jdbc_roundtrip",
+      (s, d) => {
+        System.setProperty("derby.system.home", "target/tmp/derby")
+        new java.io.File("target/tmp/derby").mkdirs()
+        val url = s"jdbc:derby:target/tmp/derby/db_${d.replaceAll("[^A-Za-z0-9]", "_")};create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        T.t(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").jdbc(url, "supplier_rt", props)
+        s.read.option("partitionColumn", "s_suppkey")
+          .option("lowerBound", "0").option("upperBound", "1000000")
+          .option("numPartitions", "4")
+          .jdbc(url, "supplier_rt", props)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
+
     Op("src_json_roundtrip",
       jsonRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
