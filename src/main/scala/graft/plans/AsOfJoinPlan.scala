@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, MutableProjection, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -99,20 +99,21 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val lKeys = leftKeys; val rKeys = rightKeys
-    val lTs = leftTs; val rTs = rightTs
+    val rTs = rightTs
     val pay = payload
     val out = output
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
+    val lTsIdx = lOut.indexWhere(_.exprId == leftTs.exprId)
     val forward = direction == "forward"
     val nearest = direction == "nearest"
     val tol = tolerance
+    require(lTsIdx >= 0, s"left ts $leftTs not in left output")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTs), lOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTs), rOut)
+      val rTsIdx = rOut.indexWhere(_.exprId == rTs.exprId)
       val payProj = UnsafeProjection.create(pay, rOut)
       val resultProj = UnsafeProjection.create(out, out)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
@@ -140,7 +141,6 @@ case class AsOfJoinExec(
         if (tsIsIntegral) tsLong(a) < tsLong(b) else tsOrd.lt(a, b)
       val joined = new JoinedRow
       val nullPay = new GenericInternalRow(pay.length)
-      val rBuf = rIter.buffered
       def withinTol(early: Any, late: Any): Boolean = tol match {
         case None => true
         case Some(t) =>
@@ -149,80 +149,91 @@ case class AsOfJoinExec(
           else tsLong(late) - tsLong(early) <= t
       }
 
-      // backward state: payload/key/ts of the last right row consumed
-      // whose ts was <= the current left ts (copied — buffers reuse)
+      // right-side cursor: key and ts are projected/read ONCE per right
+      // row (the old BufferedIterator form re-projected the head on
+      // every comparison). rRow/rKey are views into reused buffers —
+      // valid until the next advanceRight, which is all the merge needs.
+      var rRow: InternalRow = null
+      var rKey: InternalRow = null
+      var rTsV: Any = null
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          rRow = rIter.next()
+          rKey = rKeyProj(rRow)
+          rTsV = if (rRow.isNullAt(rTsIdx)) null else rRow.get(rTsIdx, tsType)
+        } else { rRow = null; rKey = null; rTsV = null }
+      advanceRight()
+
+      // carried backward candidate. Fixed-width payloads write into one
+      // reused mutable row (zero allocation in the steady state); types
+      // whose generic form would alias the reused shuffle buffer
+      // (strings, binary, nested) must deep-copy per consumed match.
+      val payFixedWidth = pay.forall(a => UnsafeRow.isFixedLength(a.dataType))
+      val matchBuf = new GenericInternalRow(pay.length)
+      val matchProj: InternalRow => InternalRow =
+        if (payFixedWidth) {
+          val mp = MutableProjection.create(pay, rOut).target(matchBuf)
+          r => mp(r)
+        } else r => payProj(r).copy()
       var matchPay: InternalRow = null
-      var matchKey: InternalRow = null
       var matchTs: Any = null
+      // left key of the group the carried match belongs to; the match
+      // resets when the left key changes (one copy per key group, not
+      // one compare-and-copy per row)
+      var groupKey: InternalRow = null
 
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lt = lTsProj(l).get(0, tsType)
-        var advance = true
+        val lt: Any = if (l.isNullAt(lTsIdx)) null else l.get(lTsIdx, tsType)
+        if (groupKey == null || keyOrd.compare(lk, groupKey) != 0) {
+          matchPay = null; matchTs = null
+          groupKey = lk.copy()
+        }
+        var scan = true
         if (!forward) {
           // backward and nearest both consume rights with ts <= lt,
           // carrying the last as the backward candidate; nearest then
-          // weighs that candidate against the (unconsumed) head.
-          // The payload must be copied per consumed match (BufferedIterator
-          // .head refills its slot from the same reused UnsafeRow), but the
-          // key needs copying only once per advance — it equals lk.
-          var consumedMatch = false
-          while (advance && rBuf.hasNext) {
-            val rk = rKeyProj(rBuf.head)
-            val cmp = keyOrd.compare(rk, lk)
-            if (cmp < 0) { rBuf.next() } // right key already passed — discard
+          // weighs that candidate against the (unconsumed) cursor row.
+          while (scan && rRow != null) {
+            val cmp = keyOrd.compare(rKey, lk)
+            if (cmp < 0) advanceRight() // right key already passed — discard
             else if (cmp == 0) {
-              val rt = rTsProj(rBuf.head).get(0, tsType)
               // null ts sorts (and matches) before everything: null <= any
-              if (rt == null || (lt != null && tsCmpLteq(rt, lt))) {
-                matchTs = rt
-                matchPay = payProj(rBuf.head).copy()
-                consumedMatch = true
-                rBuf.next()
-              } else advance = false
-            } else advance = false
+              if (rTsV == null || (lt != null && tsCmpLteq(rTsV, lt))) {
+                matchTs = rTsV
+                matchPay = matchProj(rRow)
+                advanceRight()
+              } else scan = false
+            } else scan = false
           }
-          if (consumedMatch) matchKey = lk.copy()
-          val backHit = matchPay != null && matchKey != null &&
-            keyOrd.compare(matchKey, lk) == 0 && withinTol(matchTs, lt)
-          val fwdCloser = nearest && rBuf.hasNext && {
-            val rk = rKeyProj(rBuf.head)
-            keyOrd.compare(rk, lk) == 0 && {
-              val rt = rTsProj(rBuf.head).get(0, tsType)
-              withinTol(lt, rt) && rt != null && lt != null &&
-                (!backHit || matchTs == null ||
-                  tsLong(rt) - tsLong(lt) < tsLong(lt) - tsLong(matchTs))
-            }
-          }
+          val backHit = matchPay != null && withinTol(matchTs, lt)
+          val fwdCloser = nearest && rRow != null &&
+            keyOrd.compare(rKey, lk) == 0 &&
+            withinTol(lt, rTsV) && rTsV != null && lt != null &&
+            (!backHit || matchTs == null ||
+              tsLong(rTsV) - tsLong(lt) < tsLong(lt) - tsLong(matchTs))
           val pay2 =
-            if (fwdCloser) payProj(rBuf.head)
+            if (fwdCloser) payProj(rRow)
             else if (backHit) matchPay
             else nullPay
           resultProj(joined(l, pay2))
         } else {
-          // forward: drop rights strictly before lt, then match the head
+          // forward: drop rights strictly before lt, then match the cursor
           // (not consumed — later left rows have ts >= lt and may reuse it)
-          while (advance && rBuf.hasNext) {
-            val rk = rKeyProj(rBuf.head)
-            val cmp = keyOrd.compare(rk, lk)
-            if (cmp < 0) { rBuf.next() }
+          while (scan && rRow != null) {
+            val cmp = keyOrd.compare(rKey, lk)
+            if (cmp < 0) advanceRight()
             else if (cmp == 0) {
-              val rt = rTsProj(rBuf.head).get(0, tsType)
               val rtBeforeLt =
-                if (lt == null) false      // null lt is minimal: keep all
-                else if (rt == null) true  // null rt sorts first: useless
-                else tsCmpLt(rt, lt)
-              if (rtBeforeLt) rBuf.next() else advance = false
-            } else advance = false
+                if (lt == null) false       // null lt is minimal: keep all
+                else if (rTsV == null) true // null rt sorts first: useless
+                else tsCmpLt(rTsV, lt)
+              if (rtBeforeLt) advanceRight() else scan = false
+            } else scan = false
           }
-          val hit = rBuf.hasNext && {
-            val rk = rKeyProj(rBuf.head)
-            keyOrd.compare(rk, lk) == 0 && {
-              val rt = rTsProj(rBuf.head).get(0, tsType)
-              withinTol(lt, rt)
-            }
-          }
-          resultProj(joined(l, if (hit) payProj(rBuf.head) else nullPay))
+          val hit = rRow != null && keyOrd.compare(rKey, lk) == 0 &&
+            withinTol(lt, rTsV)
+          resultProj(joined(l, if (hit) payProj(rRow) else nullPay))
         }
       }
     }
