@@ -92,6 +92,46 @@ object Streams {
       }
   }
 
+  case class BucketEvent(bucket_ms: Long, user_id: Long)
+  case class TopkRow(bucket_ms: Long, user_id: Long, n_ev: Long, rn: Int)
+
+  /** True-streaming twin of strm_topk_windowed: top-k most active users
+    * per event-time hour, maintained incrementally. Chained aggregation
+    * (count then rank) is not expressible as stacked streaming aggs, so
+    * the per-bucket counts live in flatMapGroupsWithState state (one map
+    * per in-flight hour) and each micro-batch re-emits that bucket's
+    * current top-k — exactly what a dashboard stream consumes. State is
+    * bounded by (active buckets x users-per-bucket).
+    */
+  def topkWindowed(events: DataFrame, k: Int = 3): Dataset[TopkRow] = {
+    import events.sparkSession.implicits._
+    events.select(
+        unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"),
+        col("user_id"))
+      .as[BucketEvent]
+      .groupByKey(_.bucket_ms)
+      .flatMapGroupsWithState[Map[Long, Long], TopkRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[BucketEvent], state: GroupState[Map[Long, Long]]) =>
+          val counts = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (m, e) => m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+          }
+          state.update(counts)
+          counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex.iterator
+            .map { case ((u, n), i) => TopkRow(bucket, u, n, i + 1) }
+      }
+  }
+
+  /** True-streaming twin of core_freshness_report's stateful core: the
+    * per-type high watermark and event count as a Complete-mode
+    * aggregation. The lag-vs-global projection is a stateless decoration
+    * computed on the output table (it needs the global max, which is a
+    * cross-type fold of this aggregate).
+    */
+  def freshnessWatermarks(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(max("ts").as("max_ts"), count(lit(1)).as("n_events"))
+
   /** transformWithState form of [[runningTotals]] — the Spark 4
     * successor API: explicit typed state handles (ValueState here;
     * List/Map state and timers on the same handle) backed by the RocksDB

@@ -81,6 +81,41 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.length == want.size && got.toSet == want)
   }
 
+  test("windowed top-k: stream == batch per-hour ranked counts") {
+    val events = mkEvents(200)
+    val got = runStream(events, OutputMode.Update())(df =>
+        Streams.topkWindowed(df).toDF())
+      .select("bucket_ms", "user_id", "n_ev", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val want = events.toDF()
+      .select(unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"), col("user_id"))
+      .groupBy("bucket_ms", "user_id").agg(count(lit(1)).as("n_ev"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket_ms")
+          .orderBy(desc("n_ev"), col("user_id"))))
+      .where("rn <= 3")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("freshness watermarks: stream == batch per-type max/count, lag derivable") {
+    val events = mkEvents(180)
+    val table = runStream(events, OutputMode.Complete())(Streams.freshnessWatermarks)
+    val got = table
+      .crossJoin(broadcast(table.agg(max("max_ts").as("global_max"))))
+      .select(col("event_type"), col("max_ts"), col("n_events"),
+        expr("unix_micros(global_max) - unix_micros(max_ts)").as("lag_us"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = events.toDF().groupBy("event_type")
+      .agg(max("ts").as("max_ts"), count(lit(1)).as("n_events"))
+    val want = batch
+      .crossJoin(broadcast(batch.agg(max("max_ts").as("global_max"))))
+      .select(col("event_type"), col("max_ts"), col("n_events"),
+        expr("unix_micros(global_max) - unix_micros(max_ts)").as("lag_us"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(got == want && got.exists(_._4 > 0))
+  }
+
   test("stream-stream interval join == batch interval join") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(150)
