@@ -272,14 +272,18 @@ object LlmOps {
             col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-        pairs
+        // near-dup survivors are tiny — pin them and release the
+        // signature cache instead of leaking one copy per invocation
+        val out = pairs
           .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
           .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
           .withColumn("est_jaccard",
             expr("CAST(size(filter(sequence(1, 16), i -> element_at(s1, i) = element_at(s2, i))) AS DOUBLE) / 16"))
           .where("est_jaccard >= 0.5")
           .select("d1", "d2", "est_jaccard")
-          .orderBy("d1", "d2")
+          .localCheckpoint()
+        sigs.unpersist()
+        out.orderBy("d1", "d2")
       },
       Some("WITH ths AS (SELECT doc_id, list_transform(" +
         "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
@@ -315,12 +319,15 @@ object LlmOps {
           .withColumn("bucket", expr("shiftright(simhash, 16)"))
           // materialize once — both self-join sides read it.
           .persist()
-        sh.as("x").join(sh.as("y"),
+        // survivors are tiny — pin them, release the simhash cache
+        val out = sh.as("x").join(sh.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
           .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
           .where("hamming <= 8")
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("hamming"))
-          .orderBy("d1", "d2")
+          .localCheckpoint()
+        sh.unpersist()
+        out.orderBy("d1", "d2")
       },
       Some("WITH ths AS (SELECT doc_id, list_transform(" +
         "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
@@ -1580,11 +1587,14 @@ object LlmOps {
         val rare = win.groupBy("w").agg(count(lit(1)).as("df"))
           .where("df <= 256").select("w")
         val wr = win.join(rare, "w")
-        wr.as("x").join(wr.as("y"),
+        // shared-window pairs are tiny — pin them, release the window cache
+        val out = wr.as("x").join(wr.as("y"),
             col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("n_shared"))
-          .orderBy("d1", "d2")
+          .localCheckpoint()
+        win.unpersist()
+        out.orderBy("d1", "d2")
       },
       Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
