@@ -70,7 +70,11 @@ object ScaleProbe {
       "llm_token_entropy", "llm_zipf_fit", "llm_prefix_dedup",
       "llm_trigram_backoff", "llm_importance_resample",
       "llm_embedding_norm_stats", "strm_running_totals",
-      "strm_topk_windowed", "core_history_rewind")
+      "strm_topk_windowed", "core_history_rewind",
+      // round 4: two-level shard packing, bounded top-N vocab ranks,
+      // the probe-panel ANN audit, and the new pipeline/JDBC legs
+      "llm_pack_shards", "llm_packing_efficiency", "llm_vocab_oov_rate",
+      "llm_ann_recall_audit", "core_incremental_pipeline")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
