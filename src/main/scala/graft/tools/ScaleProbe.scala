@@ -72,9 +72,10 @@ object ScaleProbe {
       "llm_embedding_norm_stats", "strm_running_totals",
       "strm_topk_windowed", "core_history_rewind",
       // round 4: two-level shard packing, bounded top-N vocab ranks,
-      // the probe-panel ANN audit, and the new pipeline/JDBC legs
+      // and the probe-panel ANN audit (core_incremental_pipeline needs
+      // the orders table, which the amplified corpus doesn't carry)
       "llm_pack_shards", "llm_packing_efficiency", "llm_vocab_oov_rate",
-      "llm_ann_recall_audit", "core_incremental_pipeline")
+      "llm_ann_recall_audit")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
