@@ -103,30 +103,67 @@ object LlmOps {
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))), " +
       "sh -> xxhash64(sh))"
 
+  /** EXACT-DEDUP-FIRST (the dedup_cluster quotient trick, round 4 also
+    * applied here): shingling and the inverted-index self-join run on ONE
+    * representative per identical-(lowered-)text group, with each
+    * shingle's document frequency weighted by group size so the rare cap
+    * sees full-corpus df. Pairs then expand back to every member:
+    *  - inter-group: every (a in g1, b in g2) pair shares the rep pair's
+    *    jaccard (identical shingle sets per member);
+    *  - intra-group: identical docs share exactly their rare shingles, so
+    *    the pair value is r_sh / (2*n_sh - r_sh), emitted when >= 0.2.
+    * Output is row-identical to the naive all-docs form (the oracle still
+    * computes all pairs); the quadratic candidate term runs on |reps|,
+    * which on a duplicate-heavy corpus is the whole ballgame — the 20x
+    * scale probe drops from 117 s to the quotient cost.
+    */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sid = T.spread(T.t(s, d, "documents"))
-      .withColumn("toks", split(lower(col("text")), " "))
+    val gl = T.spread(T.t(s, d, "documents"))
+      .select(col("doc_id"), lower(col("text")).as("ltext"))
+      .withColumn("gid", xxhash64(col("ltext")))
+    val gidRep = gl.groupBy("gid")
+      .agg(min("doc_id").as("rep"), first("ltext").as("ltext"),
+        count(lit(1)).as("n_dup"))
+      .persist()
+    val sid = gidRep
+      .withColumn("toks", split(col("ltext"), " "))
       .where("size(toks) >= 3")
-      .select(col("doc_id"), explode(expr(shingleHashExpr)).as("sid"))
+      .select(col("rep"), col("n_dup"), explode(expr(shingleHashExpr)).as("sid"))
       .persist() // feeds the inverted-index self-join and the counts
-    val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
+    val counts = sid.groupBy("rep").agg(count(lit(1)).as("n_sh"))
+    val rare = sid.groupBy("sid").agg(sum("n_dup").as("df")).where("df <= 256")
       .select("sid")
-    val shRare = sid.join(rare, "sid")
-    val shared = shRare.as("x").join(shRare.as("y"),
-        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val shRare = sid.join(rare, "sid").select("rep", "sid").persist()
+    val repPairs = shRare.as("x").join(shRare.as("y"),
+        col("x.sid") === col("y.sid") && col("x.rep") < col("y.rep"))
+      .groupBy(col("x.rep").as("r1"), col("y.rep").as("r2"))
       .agg(count(lit(1)).as("shared"))
-    val pairs = shared
-      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .join(counts.select(col("rep").as("r1"), col("n_sh").as("n1")), "r1")
+      .join(counts.select(col("rep").as("r2"), col("n_sh").as("n2")), "r2")
       .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
       .where("jaccard >= 0.2")
-      // pairs are tiny (near-dup survivors); pinning them here lets the
-      // big sid cache be released immediately instead of leaking one
-      // copy per invocation (bench loops, scale probes, repeated tests).
-      .localCheckpoint()
-    sid.unpersist()
+      .select("r1", "r2", "jaccard")
+    val members = gl.join(gidRep.select("gid", "rep"), "gid")
+      .select(col("rep"), col("doc_id"))
+    val inter = repPairs
+      .join(members.select(col("rep").as("r1"), col("doc_id").as("a")), "r1")
+      .join(members.select(col("rep").as("r2"), col("doc_id").as("b")), "r2")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"), col("jaccard"))
+    val rareCounts = shRare.groupBy("rep").agg(count(lit(1)).as("r_sh"))
+    val intra = gidRep.where("n_dup >= 2").select("rep")
+      .join(counts, "rep").join(rareCounts, "rep")
+      .withColumn("jaccard", expr("CAST(r_sh AS DOUBLE) / (2 * n_sh - r_sh)"))
+      .where("jaccard >= 0.2")
+      .select("rep", "jaccard")
+      .join(members.select(col("rep"), col("doc_id").as("a")), "rep")
+      .join(members.select(col("rep"), col("doc_id").as("b")), "rep")
+      .where("a < b")
+      .select(col("a").as("d1"), col("b").as("d2"), col("jaccard"))
+    // pairs are tiny on real corpora (near-dup survivors); pinning them
+    // lets the caches be released instead of leaking per invocation
+    val pairs = inter.unionByName(intra).localCheckpoint()
+    Seq(gidRep, sid, shRare).foreach(_.unpersist())
     pairs
   }
 
@@ -1577,23 +1614,47 @@ object LlmOps {
     // hashes; the oracle joins the literal window strings.
     Op("llm_dedup_substring",
       (s, d) => {
-        val win = T.spread(T.t(s, d, "documents"))
-          .withColumn("toks", split(lower(col("text")), " "))
+        // exact-dedup-first quotient (as in jaccardPairs): window-hash and
+        // self-join one representative per identical text, df weighted by
+        // group size; expand rep pairs to members. Intra-group pairs share
+        // exactly the doc's rare windows (n_shared = r_w).
+        val gl = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), lower(col("text")).as("ltext"))
+          .withColumn("gid", xxhash64(col("ltext")))
+        val gidRep = gl.groupBy("gid")
+          .agg(min("doc_id").as("rep"), first("ltext").as("ltext"),
+            count(lit(1)).as("n_dup"))
+          .persist()
+        val win = gidRep
+          .withColumn("toks", split(col("ltext"), " "))
           .where("size(toks) >= 20")
-          .select(col("doc_id"), explode(expr(
+          .select(col("rep"), col("n_dup"), explode(expr(
             "array_distinct(transform(sequence(1, size(toks) - 19), " +
               "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))")).as("w"))
           .persist()
-        val rare = win.groupBy("w").agg(count(lit(1)).as("df"))
+        val rare = win.groupBy("w").agg(sum("n_dup").as("df"))
           .where("df <= 256").select("w")
-        val wr = win.join(rare, "w")
-        // shared-window pairs are tiny — pin them, release the window cache
-        val out = wr.as("x").join(wr.as("y"),
-            col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        val wr = win.join(rare, "w").select("rep", "w").persist()
+        val repPairs = wr.as("x").join(wr.as("y"),
+            col("x.w") === col("y.w") && col("x.rep") < col("y.rep"))
+          .groupBy(col("x.rep").as("r1"), col("y.rep").as("r2"))
           .agg(count(lit(1)).as("n_shared"))
-          .localCheckpoint()
-        win.unpersist()
+        val members = gl.join(gidRep.select("gid", "rep"), "gid")
+          .select(col("rep"), col("doc_id"))
+        val inter = repPairs
+          .join(members.select(col("rep").as("r1"), col("doc_id").as("a")), "r1")
+          .join(members.select(col("rep").as("r2"), col("doc_id").as("b")), "r2")
+          .select(least(col("a"), col("b")).as("d1"),
+            greatest(col("a"), col("b")).as("d2"), col("n_shared"))
+        val intra = gidRep.where("n_dup >= 2").select("rep")
+          .join(wr.groupBy("rep").agg(count(lit(1)).as("n_shared")), "rep")
+          .join(members.select(col("rep"), col("doc_id").as("a")), "rep")
+          .join(members.select(col("rep"), col("doc_id").as("b")), "rep")
+          .where("a < b")
+          .select(col("a").as("d1"), col("b").as("d2"), col("n_shared"))
+        // shared-window pairs are tiny — pin them, release the caches
+        val out = inter.unionByName(intra).localCheckpoint()
+        Seq(gidRep, win, wr).foreach(_.unpersist())
         out.orderBy("d1", "d2")
       },
       Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
