@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator additions (SURVEY.md §2 F2 continuation).
+  *
+  * llm_dedup_incremental: dedup a NEW BATCH against the accumulated
+  * corpus — the shape a daily ingestion pipeline actually runs. The
+  * corpus is never self-joined; the increment is semi-joined against
+  * corpus-side hash tables (exact normalized-text hash + word-set
+  * signature), so the cost is |increment| lookups at any corpus size.
+  *
+  * llm_tokenize_apply: apply the top-1024 tokenizer vocabulary to every
+  * document, producing the dense id sequence a training loader reads
+  * (OOV -> 0). Vocabulary selection reuses the bounded top-N pattern
+  * (TakeOrderedAndProject + broadcast rank self-join — no global
+  * window); application is one broadcast join per token occurrence.
+  */
+object Round4 {
+
+  val ops: Seq[Op] = Seq(
+
+    Op("llm_dedup_incremental",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("doc_id"),
+          sha2(lower(trim(col("text"))), 256).as("eh"),
+          expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')").as("sig"))
+        val corpus = keyed(docs.where("doc_id % 5 <> 0")) // accumulated
+        val inc = keyed(docs.where("doc_id % 5 = 0"))     // today's batch
+        // corpus-side lookup tables: one row per distinct hash/signature.
+        // At 100 TB these are the dedup index you keep between runs; the
+        // increment joins against them — the corpus never self-joins.
+        val exact = corpus.groupBy("eh").agg(min("doc_id").as("exact_match"))
+        val near = corpus.groupBy("sig").agg(min("doc_id").as("near_match"))
+        inc.join(exact, Seq("eh"), "left")
+          .join(near, Seq("sig"), "left")
+          .select(col("doc_id"),
+            when(col("exact_match").isNotNull, "exact")
+              .when(col("near_match").isNotNull, "near")
+              .otherwise("keep").as("verdict"),
+            coalesce(col("exact_match"), col("near_match")).as("match_id"))
+          .orderBy("doc_id")
+      },
+      // oracle groups on the normalized text itself (same partition as
+      // the collision-free sha2, which DuckDB 1.0 lacks)
+      Some("WITH c AS (SELECT doc_id, lower(trim(text)) AS eh, " +
+        "array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "i AS (SELECT doc_id, lower(trim(text)) AS eh, " +
+        "array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS sig " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "e AS (SELECT eh, min(doc_id) AS exact_match FROM c GROUP BY eh), " +
+        "n AS (SELECT sig, min(doc_id) AS near_match FROM c GROUP BY sig) " +
+        "SELECT i.doc_id, CASE WHEN e.exact_match IS NOT NULL THEN 'exact' " +
+        "WHEN n.near_match IS NOT NULL THEN 'near' ELSE 'keep' END AS verdict, " +
+        "coalesce(e.exact_match, n.near_match) AS match_id " +
+        "FROM i LEFT JOIN e USING (eh) LEFT JOIN n USING (sig) ORDER BY i.doc_id")),
+
+    Op("llm_tokenize_apply",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val freq = docs
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        // bounded top-1024 vocabulary with dense ids — TakeOrderedAndProject
+        // + rank-by-count broadcast self-join, as in llm_tokenizer_vocab
+        val top = freq.orderBy(desc("freq"), col("token")).limit(1024)
+        val vocab = top.as("a")
+          .join(broadcast(top.as("b")), expr(
+            "b.freq > a.freq OR (b.freq = a.freq AND b.token <= a.token)"))
+          .groupBy(col("a.token").as("token"))
+          .agg(count(lit(1)).cast("int").as("id"))
+        docs
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+          .join(broadcast(vocab), Seq("token"), "left")
+          .withColumn("id", coalesce(col("id"), lit(0)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+            expr("array_join(transform(array_sort(collect_list(struct(pos, id))), " +
+              "x -> CAST(x.id AS STRING)), ',')").as("ids"))
+          .orderBy("doc_id")
+      },
+      Some("WITH freq AS (SELECT token, count(*) AS freq FROM " +
+        "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) GROUP BY token), " +
+        "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS id " +
+        "FROM freq ORDER BY freq DESC, token LIMIT 1024), " +
+        "tk AS (SELECT doc_id, unnest(list_transform(range(len(ts)), i -> {'pos': i, 'tok': ts[i + 1]})) AS u " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)), " +
+        "toks AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS token FROM tk) " +
+        "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "array_to_string(array_agg(coalesce(v.id, 0) ORDER BY pos), ',') AS ids " +
+        "FROM toks LEFT JOIN vocab v USING (token) " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+  )
+}
