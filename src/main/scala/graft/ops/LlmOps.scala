@@ -116,11 +116,43 @@ object LlmOps {
     * computes all pairs); the quadratic candidate term runs on |reps|,
     * which on a duplicate-heavy corpus is the whole ballgame — the 20x
     * scale probe drops from 117 s to the quotient cost.
+    *
+    * ADAPTIVE: the quotient pays a text shuffle plus member-expansion
+    * joins, which only pay off when duplicates are plentiful. One cheap
+    * partial-agg job (count + approx distinct text-hash) picks the plan:
+    * >= ~10% duplicate docs -> quotient, else the direct inverted-index
+    * join. Both paths emit identical rows.
     */
-  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val gl = T.spread(T.t(s, d, "documents"))
       .select(col("doc_id"), lower(col("text")).as("ltext"))
       .withColumn("gid", xxhash64(col("ltext")))
+    val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
+    if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+      // near-duplicate-free corpus: direct inverted-index self-join
+      val sid = gl
+        .withColumn("toks", split(col("ltext"), " "))
+        .where("size(toks) >= 3")
+        .select(col("doc_id"), explode(expr(shingleHashExpr)).as("sid"))
+        .persist()
+      val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
+        .select("sid")
+      val shRare = sid.join(rare, "sid")
+      val pairs = shRare.as("x").join(shRare.as("y"),
+          col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
+        .where("jaccard >= 0.2")
+        .select("d1", "d2", "jaccard")
+        .localCheckpoint()
+      sid.unpersist()
+      return pairs
+    }
     val gidRep = gl.groupBy("gid")
       .agg(min("doc_id").as("rep"), first("ltext").as("ltext"),
         count(lit(1)).as("n_dup"))
@@ -1617,10 +1649,31 @@ object LlmOps {
         // exact-dedup-first quotient (as in jaccardPairs): window-hash and
         // self-join one representative per identical text, df weighted by
         // group size; expand rep pairs to members. Intra-group pairs share
-        // exactly the doc's rare windows (n_shared = r_w).
+        // exactly the doc's rare windows (n_shared = r_w). Adaptive like
+        // jaccardPairs: direct join when the corpus is duplicate-free.
         val gl = T.spread(T.t(s, d, "documents"))
           .select(col("doc_id"), lower(col("text")).as("ltext"))
           .withColumn("gid", xxhash64(col("ltext")))
+        val winExpr = "array_distinct(transform(sequence(1, size(toks) - 19), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))"
+        val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
+        if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+          val win = gl
+            .withColumn("toks", split(col("ltext"), " "))
+            .where("size(toks) >= 20")
+            .select(col("doc_id"), explode(expr(winExpr)).as("w"))
+            .persist()
+          val rare = win.groupBy("w").agg(count(lit(1)).as("df"))
+            .where("df <= 256").select("w")
+          val wr = win.join(rare, "w")
+          val out = wr.as("x").join(wr.as("y"),
+              col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+            .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+            .agg(count(lit(1)).as("n_shared"))
+            .localCheckpoint()
+          win.unpersist()
+          out.orderBy("d1", "d2")
+        } else {
         val gidRep = gl.groupBy("gid")
           .agg(min("doc_id").as("rep"), first("ltext").as("ltext"),
             count(lit(1)).as("n_dup"))
@@ -1628,9 +1681,7 @@ object LlmOps {
         val win = gidRep
           .withColumn("toks", split(col("ltext"), " "))
           .where("size(toks) >= 20")
-          .select(col("rep"), col("n_dup"), explode(expr(
-            "array_distinct(transform(sequence(1, size(toks) - 19), " +
-              "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))")).as("w"))
+          .select(col("rep"), col("n_dup"), explode(expr(winExpr)).as("w"))
           .persist()
         val rare = win.groupBy("w").agg(sum("n_dup").as("df"))
           .where("df <= 256").select("w")
@@ -1656,6 +1707,7 @@ object LlmOps {
         val out = inter.unionByName(intra).localCheckpoint()
         Seq(gidRep, win, wr).foreach(_.unpersist())
         out.orderBy("d1", "d2")
+        }
       },
       Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
