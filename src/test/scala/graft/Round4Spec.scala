@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: the adaptive quotient pair generation and the new
+  * incremental-dedup / tokenize-apply operators.
+  */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A duplicate-heavy documents fixture (every doc 4 copies, plus a few
+    * near-dup variants) written where Registry queries can read it —
+    * this forces the QUOTIENT path of jaccardPairs/dedup_substring,
+    * which the duplicate-free sf fixtures never exercise.
+    */
+  private lazy val dupDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupfx_").toString
+    val base = (0 until 30).map { i =>
+      val words = (0 until 25).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")
+      (i.toLong, words)
+    }
+    val near = base.take(6).map { case (i, t) =>
+      (1000L + i, t.split(" ").dropRight(2).mkString(" ") + " zz yy")
+    }
+    val rows = (base ++ near).flatMap { case (id, t) =>
+      (0 until 4).map(c => (id + c * 10000L, t, "en", "webcrawl", t.length))
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("quotient jaccard pairs == naive all-pairs on a duplicate-heavy corpus") {
+    val got = Registry.byKey("llm_ngram_jaccard").query(spark, dupDir)
+    // naive reference: explode shingles per doc, all-pairs join, same
+    // df<=256 rare cap and 0.2 threshold
+    val sh = spark.read.parquet(s"$dupDir/documents.parquet")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .where("size(toks) >= 3")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> xxhash64(concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))))"
+      )).as("sid"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256").select("sid")
+    val shr = sh.join(rare, "sid")
+    val want = shr.as("x").join(shr.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard", expr("CAST(shared AS DOUBLE) / (n1 + n2 - shared)"))
+      .where("jaccard >= 0.2")
+      .select("d1", "d2", "jaccard")
+    assert(got.count() > 100, "fixture must generate a rich pair set")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("quotient substring pairs == naive all-pairs on a duplicate-heavy corpus") {
+    val got = Registry.byKey("llm_dedup_substring").query(spark, dupDir)
+    val win = spark.read.parquet(s"$dupDir/documents.parquet")
+      .withColumn("toks", split(lower(col("text")), " "))
+      .where("size(toks) >= 20")
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 19), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))")).as("w"))
+    val rare = win.groupBy("w").agg(count(lit(1)).as("df")).where("df <= 256").select("w")
+    val wr = win.join(rare, "w")
+    val want = wr.as("x").join(wr.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    assert(got.count() > 50, "fixture must generate shared windows")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("incremental dedup verdicts: exact beats near, keep means genuinely new") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "unique corpus text"),
+      // increment (doc_id % 5 == 0):
+      (5L, "alpha beta gamma"),        // exact dup of 1
+      (10L, "epsilon zeta delta"),     // word-set match of 2 (near)
+      (15L, "completely fresh words")  // keep
+    ).map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incfx_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byKey("llm_dedup_incremental").query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((5L, "exact", 1L), (10L, "near", 2L), (15L, "keep", -1L)))
+  }
+
+  test("tokenize_apply ids map OOV to 0 and preserve token positions") {
+    val out = Registry.byKey("llm_tokenize_apply").query(spark, TestSpark.sf)
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    // every doc present, token counts match the raw split
+    assert(out.count() == docs.count())
+    val bad = out.join(
+        docs.select(col("doc_id"), size(split(lower(col("text")), " ")).as("nt")), "doc_id")
+      .where("n_tokens <> nt OR size(split(ids, ',')) <> nt OR n_oov > n_tokens")
+    assert(bad.isEmpty)
+  }
+}
