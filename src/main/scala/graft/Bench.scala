@@ -46,7 +46,10 @@ object Bench {
     "snk_dynamic_partition_overwrite",
     // round 3
     "llm_bpe_train2", "llm_bigram_pmi", "llm_token_entropy",
-    "llm_prefix_dedup", "strm_running_totals", "rel_agg_multi_distinct")
+    "llm_prefix_dedup", "strm_running_totals", "rel_agg_multi_distinct",
+    // round 4
+    "llm_tokenize_apply", "llm_dedup_incremental",
+    "core_incremental_pipeline", "src_jdbc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
