@@ -456,10 +456,17 @@ object LlmOps {
         val gl = T.t(s, d, "documents")
           .select(col("doc_id"), lower(col("text")).as("ltext"))
           .withColumn("gid", xxhash64(col("ltext")))
-        val gidRep = gl.groupBy("gid")
-          .agg(min("doc_id").as("doc_id"), first("ltext").as("ltext"),
-            count(lit(1)).as("n_dup"))
-          .persist()
+        // adaptive like jaccardPairs: on a duplicate-free corpus the
+        // quotient grouping (text shuffle) and the member expansion are
+        // pure overhead — every doc is its own representative
+        val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
+        val dupFree = st.getLong(1) > st.getLong(0) - st.getLong(0) / 10
+        val gidRep =
+          (if (dupFree) gl.select(col("doc_id"), col("ltext"), lit(1L).as("n_dup"))
+           else gl.groupBy("gid")
+             .agg(min("doc_id").as("doc_id"), first("ltext").as("ltext"),
+               count(lit(1)).as("n_dup")))
+            .persist()
         val sid = T.spread(gidRep)
           .withColumn("toks", split(col("ltext"), " "))
           .where("size(toks) >= 3")
@@ -547,15 +554,21 @@ object LlmOps {
         // release every intermediate cache — without this, each
         // invocation leaked sid/shRare/pairs/edges partitions.
         val finalLabels = labels.localCheckpoint()
-        val gidMap = gidRep.select(col("gid"), col("doc_id").as("rep")).localCheckpoint()
+        // expand representative labels back to every member of the group
+        // (identity when every doc is its own representative)
+        val expanded =
+          if (dupFree)
+            finalLabels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+          else {
+            val gidMap = gidRep.select(col("gid"), col("doc_id").as("rep")).localCheckpoint()
+            gl.select("doc_id", "gid")
+              .join(gidMap, "gid")
+              .join(finalLabels.withColumnRenamed("id", "rep"), "rep")
+              .select(col("doc_id"), col("lbl").as("cluster"))
+          }
         cached.unpersist()
         Seq(sid, shRare, pairs, edges, gidRep).foreach(_.unpersist())
-        // expand representative labels back to every member of the group
-        gl.select("doc_id", "gid")
-          .join(gidMap, "gid")
-          .join(finalLabels.withColumnRenamed("id", "rep"), "rep")
-          .select(col("doc_id"), col("lbl").as("cluster"))
-          .orderBy("doc_id")
+        expanded.orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + oJaccardPairs + ", " +
         "edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
