@@ -97,5 +97,70 @@ object Round4 {
         "array_to_string(array_agg(coalesce(v.id, 0) ORDER BY pos), ',') AS ids " +
         "FROM toks LEFT JOIN vocab v USING (token) " +
         "GROUP BY doc_id ORDER BY doc_id")),
+
+    // Spark 4 VariantType path through semi-structured data: parse_json
+    // into a Variant and extract typed fields with variant_get — the
+    // binary-encoded, shreddable successor to string-walking
+    // get_json_object (fn_json keeps the classic path for contrast).
+    // Null props flow through as null variants.
+    Op("fn_variant",
+      (s, d) => T.events(s, d).select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("variant_get(parse_json(props), '$.k', 'int') * 2").as("k_doubled"),
+          expr("variant_get(parse_json(props), '$.k', 'int') IS NOT NULL").as("has_k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL AS has_k " +
+        "FROM events ORDER BY event_id")),
+
+    // Gopher quality rules (Rae et al. 2021, published thresholds): word
+    // count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    // ratio <= 0.1, >= 80% words containing an alphabetic char, >= 2
+    // distinct canonical stopwords. Pure integer/exact-ratio arithmetic
+    // end to end — one codegen pass, no shuffle before the final sort.
+    Op("llm_gopher_quality",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn("mean_wl",
+          expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words"))
+        .withColumn("n_sym", expr(
+          "CAST(length(text) - length(replace(text, '#', '')) + " +
+            "length(text) - length(replace(text, '…', '')) AS BIGINT)"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(toks, t -> t rlike '[a-zA-Z]')) AS BIGINT)"))
+        .withColumn("n_stop", expr(
+          "CAST(size(array_intersect(array_distinct(toks), " +
+            "array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT)"))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"), col("n_stop"),
+          expr("n_words BETWEEN 50 AND 100000").as("r_count"),
+          expr("mean_wl BETWEEN 3 AND 10").as("r_wordlen"),
+          expr("CAST(n_sym AS DOUBLE) / n_words <= 0.1").as("r_symbol"),
+          expr("CAST(n_alpha AS DOUBLE) / n_words >= 0.8").as("r_alpha"),
+          expr("n_stop >= 2").as("r_stop"),
+          expr("n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3 AND 10 " +
+            "AND CAST(n_sym AS DOUBLE) / n_words <= 0.1 " +
+            "AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND n_stop >= 2").as("pass"))
+        .orderBy("doc_id"),
+      Some("WITH g AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_wl, " +
+        "CAST(length(text) - length(replace(text, '#', '')) + " +
+        "length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_sym, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_intersect(list_distinct(string_split(text, ' ')), " +
+        "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop FROM documents) " +
+        "SELECT doc_id, n_words, mean_wl, n_stop, " +
+        "n_words BETWEEN 50 AND 100000 AS r_count, " +
+        "mean_wl BETWEEN 3 AND 10 AS r_wordlen, " +
+        "CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS r_symbol, " +
+        "CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS r_alpha, " +
+        "n_stop >= 2 AS r_stop, " +
+        "n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3 AND 10 " +
+        "AND CAST(n_sym AS DOUBLE) / n_words <= 0.1 " +
+        "AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND n_stop >= 2 AS pass " +
+        "FROM g ORDER BY doc_id")),
   )
 }
