@@ -94,6 +94,29 @@ class Round4Spec extends AnyFunSuite {
     assert(got == Seq((5L, "exact", 1L), (10L, "near", 2L), (15L, "keep", -1L)))
   }
 
+  test("DedupIndex: build/check/update round-trip matches the one-shot operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_didx_").toString + "/idx"
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val corpus = docs.where("doc_id % 5 <> 0")
+    val batch = docs.where("doc_id % 5 = 0")
+
+    api.DedupIndex.build(corpus, dir)
+    val viaIndex = api.DedupIndex.check(batch, dir).orderBy("doc_id")
+    val oneShot = Registry.byKey("llm_dedup_incremental").query(spark, TestSpark.sf)
+    assert(viaIndex.exceptAll(oneShot).isEmpty && oneShot.exceptAll(viaIndex).isEmpty,
+      "index-backed check must equal the one-shot operator")
+
+    // fold the batch in: every batch doc is now a dup of itself or better
+    api.DedupIndex.update(batch, dir)
+    val recheck = api.DedupIndex.check(batch, dir)
+    assert(recheck.where("verdict = 'keep'").isEmpty,
+      "after update, re-checking the same batch finds every doc")
+    // idempotent: a second update changes nothing
+    val size1 = api.DedupIndex.read(spark, dir).count()
+    api.DedupIndex.update(batch, dir)
+    assert(api.DedupIndex.read(spark, dir).count() == size1)
+  }
+
   test("tokenize_apply ids map OOV to 0 and preserve token positions") {
     val out = Registry.byKey("llm_tokenize_apply").query(spark, TestSpark.sf)
     val docs = Tables.t(spark, TestSpark.sf, "documents")
