@@ -162,5 +162,32 @@ object Round4 {
         "AND CAST(n_sym AS DOUBLE) / n_words <= 0.1 " +
         "AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AND n_stop >= 2 AS pass " +
         "FROM g ORDER BY doc_id")),
+
+    // Mergeable quantile sketch (approx_percentile / Greenwald-Khanna):
+    // the distributed path for percentiles when an exact sort-based
+    // quantile is too expensive — partial sketches merge associatively,
+    // so the exchange carries one sketch per mapper, not the rows.
+    // Sketch estimates are engine-specific, so (as with the HLL op) the
+    // oracle asserts a genuinely computed error-bound boolean: the
+    // estimate must land within the value-range tolerance implied by the
+    // sketch accuracy, against DuckDB's exact interpolated quantile.
+    Op("rel_agg_approx_percentile",
+      (s, d) => T.t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 5000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .select(col("l_returnflag"),
+          expr("round(p50_exact, 2)").as("p50_exact"),
+          expr("round(p95_exact, 2)").as("p95_exact"),
+          expr("abs(element_at(ap, 1) - p50_exact) <= (hi - lo) * 0.02").as("p50_within_bounds"),
+          expr("abs(element_at(ap, 2) - p95_exact) <= (hi - lo) * 0.02").as("p95_within_bounds"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact, " +
+        "true AS p50_within_bounds, true AS p95_within_bounds " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
   )
 }
