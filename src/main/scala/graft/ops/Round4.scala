@@ -189,5 +189,62 @@ object Round4 {
         "round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact, " +
         "true AS p50_within_bounds, true AS p95_within_bounds " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // The full two-stage near-dup pipeline: LSH band buckets generate
+    // candidates (cheap, recall-oriented), then EXACT jaccard over the
+    // candidates' complete shingle sets decides (precision) — the
+    // verify step llm_dedup_minhash's estimate skips. Output is fully
+    // deterministic set arithmetic, so unlike the raw estimate it needs
+    // no sketch-tolerance oracle. The quadratic term stays confined to
+    // band buckets; the verify join touches only candidate pairs.
+    Op("llm_minhash_verified",
+      (s, d) => {
+        graft.functions.ShingleHashes.register(s)
+        val base = T.spread(T.t(s, d, "documents"))
+          .where("size(split(lower(text), ' ')) >= 3")
+          .select(col("doc_id"), expr("shingle_hashes(text)").as("ths"))
+          .withColumn("sig", expr("minhash_sig(ths)"))
+          .persist()
+        val banded = base
+          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+          .withColumn("band_sig",
+            expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
+          .select("doc_id", "band", "band_sig")
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        val out = cand
+          .join(base.select(col("doc_id").as("d1"), col("ths").as("t1")), "d1")
+          .join(base.select(col("doc_id").as("d2"), col("ths").as("t2")), "d2")
+          .withColumn("n_inter", expr("size(array_intersect(t1, t2))"))
+          .withColumn("jaccard",
+            expr("CAST(n_inter AS DOUBLE) / (size(t1) + size(t2) - n_inter)"))
+          .where("jaccard >= 0.5")
+          .select("d1", "d2", "jaccard")
+          .localCheckpoint()
+        base.unpersist()
+        out.orderBy("d1", "d2")
+      },
+      Some("WITH ths AS (SELECT doc_id, list_transform(" +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+        "tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS ths " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "sigs AS (SELECT doc_id, ths, list_reduce(list_prepend(" +
+        "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
+        "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
+        "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
+        "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
+        "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
+        "banded AS (SELECT doc_id, b.band AS band, " +
+        "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
+        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
+        "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id) " +
+        "SELECT d1, d2, jaccard FROM (" +
+        "SELECT d1, d2, CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE) / " +
+        "(len(a.ths) + len(b.ths) - len(list_intersect(a.ths, b.ths))) AS jaccard " +
+        "FROM cand JOIN ths a ON cand.d1 = a.doc_id JOIN ths b ON cand.d2 = b.doc_id) " +
+        "WHERE jaccard >= 0.5 ORDER BY d1, d2")),
   )
 }
