@@ -1119,18 +1119,60 @@ object LlmOps {
     // implement the same DP distance, so values match exactly.
     Op("llm_dedup_levenshtein",
       (s, d) => {
+        // adaptive exact-dedup-first quotient (as in jaccardPairs): the
+        // per-pair cost here is a full O(len^2) edit distance, so on a
+        // duplicate-heavy corpus computing it once per representative
+        // pair instead of once per member pair is the whole cost. The
+        // group key includes (lang, n_chars) — the blocking columns —
+        // so members are fully interchangeable; intra-group distance is
+        // 0 by construction (always within tolerance).
         val docs = T.t(s, d, "documents")
           .where("n_chars < 200")
           .select("doc_id", "lang", "n_chars", "text")
-        docs.as("x").join(docs.as("y"),
-            col("x.lang") === col("y.lang") &&
-              col("x.n_chars") === col("y.n_chars") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
-          .where("dist <= CAST(x.n_chars AS INT) / 5")
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-            col("dist").cast("int").as("dist"))
-          .orderBy("d1", "d2")
+          .withColumn("gid",
+            xxhash64(concat_ws("|", col("lang"), col("n_chars"), col("text"))))
+        val st = docs.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
+        val pairs =
+          if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+            docs.as("x").join(docs.as("y"),
+                col("x.lang") === col("y.lang") &&
+                  col("x.n_chars") === col("y.n_chars") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
+              .where("dist <= CAST(x.n_chars AS INT) / 5")
+              .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+                col("dist").cast("int").as("dist"))
+          } else {
+            val rep = docs.groupBy("gid")
+              .agg(min("doc_id").as("rep"), first("lang").as("lang"),
+                first("n_chars").as("n_chars"), first("text").as("text"),
+                count(lit(1)).as("n_dup"))
+              .persist()
+            val repPairs = rep.as("x").join(rep.as("y"),
+                col("x.lang") === col("y.lang") &&
+                  col("x.n_chars") === col("y.n_chars") &&
+                  col("x.rep") < col("y.rep"))
+              .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
+              .where("dist <= CAST(x.n_chars AS INT) / 5")
+              .select(col("x.rep").as("r1"), col("y.rep").as("r2"),
+                col("dist").cast("int").as("dist"))
+            val members = docs.join(rep.select("gid", "rep"), "gid")
+              .select("rep", "doc_id")
+            val inter = repPairs
+              .join(members.select(col("rep").as("r1"), col("doc_id").as("a")), "r1")
+              .join(members.select(col("rep").as("r2"), col("doc_id").as("b")), "r2")
+              .select(least(col("a"), col("b")).as("d1"),
+                greatest(col("a"), col("b")).as("d2"), col("dist"))
+            val intra = rep.where("n_dup >= 2").select("rep")
+              .join(members.select(col("rep"), col("doc_id").as("a")), "rep")
+              .join(members.select(col("rep"), col("doc_id").as("b")), "rep")
+              .where("a < b")
+              .select(col("a").as("d1"), col("b").as("d2"), lit(0).cast("int").as("dist"))
+            val out = inter.unionByName(intra).localCheckpoint()
+            rep.unpersist()
+            out
+          }
+        pairs.orderBy("d1", "d2")
       },
       Some("SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist " +
         "FROM (SELECT * FROM documents WHERE n_chars < 200) x " +

@@ -77,6 +77,22 @@ class Round4Spec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("quotient levenshtein pairs == naive blocked join on a duplicate-heavy corpus") {
+    val got = Registry.byKey("llm_dedup_levenshtein").query(spark, dupDir)
+    val docs = spark.read.parquet(s"$dupDir/documents.parquet")
+      .where("n_chars < 200").select("doc_id", "lang", "n_chars", "text")
+    val want = docs.as("x").join(docs.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.n_chars") === col("y.n_chars") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
+      .where("dist <= CAST(x.n_chars AS INT) / 5")
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("dist").cast("int").as("dist"))
+    assert(got.count() > 50, "fixture must generate in-tolerance pairs")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("incremental dedup verdicts: exact beats near, keep means genuinely new") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "unique corpus text"),
