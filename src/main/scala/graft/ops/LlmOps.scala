@@ -751,6 +751,10 @@ object LlmOps {
               expr("array_sort(collect_list(struct(pos, s)))").as("ss"))
             .select(col("c_id"), col("n"),
               expr("transform(ss, e -> CAST(e.s AS DOUBLE) / (10000.0 * n))").as("c_vec"))
+            // pin each iteration's 10-row centroid table: without this the
+            // lazy lineage compounds and iteration N re-executes every
+            // previous assignment pass (1+2+...+N scans instead of N)
+            .localCheckpoint()
         }
         cent.select(col("c_id"), col("n"),
             expr("element_at(c_vec, 1)").as("c1"),
