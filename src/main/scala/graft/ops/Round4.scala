@@ -246,5 +246,34 @@ object Round4 {
         "(len(a.ths) + len(b.ths) - len(list_intersect(a.ths, b.ths))) AS jaccard " +
         "FROM cand JOIN ths a ON cand.d1 = a.doc_id JOIN ths b ON cand.d2 = b.doc_id) " +
         "WHERE jaccard >= 0.5 ORDER BY d1, d2")),
+
+    // Duplicate-group-size histogram: how many identical-text groups of
+    // each multiplicity the corpus holds, plus the doc and share view —
+    // the profile you read before choosing a dedup strategy, and exactly
+    // the statistic the adaptive quotient pair-generators switch on.
+    // Two bounded aggregations; nothing leaves the executors until the
+    // per-multiplicity rollup.
+    Op("llm_dup_histogram",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val groups = docs
+          .groupBy(xxhash64(lower(trim(col("text")))).as("gid"))
+          .agg(count(lit(1)).as("n_dup"))
+        val total = docs.agg(count(lit(1)).as("total"))
+        groups.groupBy("n_dup").agg(count(lit(1)).as("n_groups"))
+          .crossJoin(broadcast(total))
+          .select(col("n_dup"), col("n_groups"),
+            (col("n_dup") * col("n_groups")).as("n_docs"),
+            expr("floor(CAST(n_dup * n_groups AS DOUBLE) / total * 1000000) / 1000000")
+              .as("share"))
+          .orderBy("n_dup")
+      },
+      Some("WITH g AS (SELECT lower(trim(text)) AS k, count(*) AS n_dup " +
+        "FROM documents GROUP BY k), " +
+        "t AS (SELECT count(*) AS total FROM documents) " +
+        "SELECT n_dup, count(*) AS n_groups, " +
+        "CAST(n_dup * count(*) AS BIGINT) AS n_docs, " +
+        "floor(CAST(n_dup * count(*) AS DOUBLE) / total * 1000000) / 1000000 AS share " +
+        "FROM g, t GROUP BY n_dup, total ORDER BY n_dup")),
   )
 }
