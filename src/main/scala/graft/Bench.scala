@@ -49,7 +49,8 @@ object Bench {
     "llm_prefix_dedup", "strm_running_totals", "rel_agg_multi_distinct",
     // round 4
     "llm_tokenize_apply", "llm_dedup_incremental",
-    "core_incremental_pipeline", "src_jdbc_roundtrip")
+    "core_incremental_pipeline", "src_jdbc_roundtrip",
+    "llm_minhash_verified", "llm_gopher_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -179,14 +179,14 @@ object Round4 {
           expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
           min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
         .select(col("l_returnflag"),
-          expr("round(p50_exact, 2)").as("p50_exact"),
-          expr("round(p95_exact, 2)").as("p95_exact"),
+          expr("floor(p50_exact * 100 + 0.000001) / 100").as("p50_exact"),
+          expr("floor(p95_exact * 100 + 0.000001) / 100").as("p95_exact"),
           expr("abs(element_at(ap, 1) - p50_exact) <= (hi - lo) * 0.02").as("p50_within_bounds"),
           expr("abs(element_at(ap, 2) - p95_exact) <= (hi - lo) * 0.02").as("p95_within_bounds"))
         .orderBy("l_returnflag"),
       Some("SELECT l_returnflag, " +
-        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact, " +
-        "round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact, " +
+        "floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.000001) / 100 AS p50_exact, " +
+        "floor(quantile_cont(l_extendedprice, 0.95) * 100 + 0.000001) / 100 AS p95_exact, " +
         "true AS p50_within_bounds, true AS p95_within_bounds " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
 
