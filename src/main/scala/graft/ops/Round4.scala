@@ -275,5 +275,37 @@ object Round4 {
         "CAST(n_dup * count(*) AS BIGINT) AS n_docs, " +
         "floor(CAST(n_dup * count(*) AS DOUBLE) / total * 1000000) / 1000000 AS share " +
         "FROM g, t GROUP BY n_dup, total ORDER BY n_dup")),
+
+    // Skip-gram co-occurrence counts (word2vec / GloVe preprocessing):
+    // top-25 (center, context) pairs within a +-2 token window. The
+    // window join is an EQUI join on (doc_id, pos + offset) — offsets
+    // explode to 4 rows per token, then hash-join back to positions —
+    // so it scales as an ordinary shuffle join; no positional theta
+    // join, no per-doc collect.
+    Op("llm_skipgram_pairs",
+      (s, d) => {
+        val toks = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        val ctx = toks
+          .withColumn("off", explode(expr("array(-2, -1, 1, 2)")))
+          .withColumn("cpos", col("pos") + col("off"))
+          .select("doc_id", "cpos", "w")
+        ctx.join(
+            toks.select(col("doc_id"), col("pos").as("cpos"), col("w").as("context")),
+            Seq("doc_id", "cpos"))
+          .groupBy(col("w").as("center"), col("context"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("center"), col("context")).limit(25)
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+        "i -> {'pos': i, 'w': ts[i + 1]})) AS u " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)), " +
+        "toks AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.w AS w FROM tk), " +
+        "ctx AS (SELECT doc_id, pos + off AS cpos, w FROM toks, " +
+        "(SELECT unnest([-2, -1, 1, 2]) AS off)) " +
+        "SELECT c.w AS center, t.w AS context, count(*) AS n " +
+        "FROM ctx c JOIN toks t ON c.doc_id = t.doc_id AND c.cpos = t.pos " +
+        "GROUP BY center, context ORDER BY n DESC, center, context LIMIT 25")),
   )
 }
