@@ -307,5 +307,30 @@ object Round4 {
         "SELECT c.w AS center, t.w AS context, count(*) AS n " +
         "FROM ctx c JOIN toks t ON c.doc_id = t.doc_id AND c.cpos = t.pos " +
         "GROUP BY center, context ORDER BY n DESC, center, context LIMIT 25")),
+
+    // Predicate/combining higher-order functions over array columns —
+    // exists / forall / filter-count / zip_with+aggregate fold — the
+    // part of the HOF suite fn_array doesn't exercise. All stay inside
+    // whole-stage codegen; the fold lands in an epsilon-guarded fixed
+    // point so the sequential double accumulation compares exactly.
+    Op("fn_hof_predicates",
+      (s, d) => T.spread(T.t(s, d, "embeddings")).select(
+          col("vec_id"),
+          expr("exists(embedding, x -> x > 0.9D)").as("any_hot"),
+          expr("forall(embedding, x -> x >= -1.0D)").as("all_bounded"),
+          expr("CAST(size(filter(embedding, x -> x < 0D)) AS INT)").as("n_neg"),
+          expr("CAST(floor(aggregate(zip_with(embedding, reverse(embedding), " +
+            "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), " +
+            "(acc, v) -> acc + v) * 10000 + 0.000001) AS BIGINT)").as("dotrev_fp"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, " +
+        "len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS any_hot, " +
+        "len(list_filter(embedding, x -> NOT (CAST(x AS DOUBLE) >= -1.0))) = 0 AS all_bounded, " +
+        "CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) AS INTEGER) AS n_neg, " +
+        "CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(len(embedding)), i -> " +
+        "CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[len(embedding) - i] AS DOUBLE))), " +
+        "(a, v) -> a + v) * 10000 + 0.000001) AS BIGINT) AS dotrev_fp " +
+        "FROM embeddings ORDER BY vec_id")),
   )
 }
