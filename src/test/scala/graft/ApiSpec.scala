@@ -149,4 +149,18 @@ class ApiSpec extends AnyFunSuite {
 
     assert(fast == slow)
   }
+
+  test("Sessions.local applies the scale-critical knobs and runs a query") {
+    // getOrCreate on the shared context applies the builder's session
+    // confs; assert them on the resulting session (shuffle partitions
+    // stays at the suite's 4, so other tests see the same parallelism)
+    val s = api.Sessions.local("t-local").getOrCreate()
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+    assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") == (64L * 1024 * 1024).toString)
+    assert(s.conf.get("spark.sql.parquet.compression.codec") == "zstd")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    import s.implicits._
+    assert(Seq(1, 2, 3).toDS().reduce(_ + _) == 6)
+  }
 }
