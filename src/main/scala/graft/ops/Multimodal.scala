@@ -154,6 +154,46 @@ object Multimodal {
     // payload IS the doc text's UTF-8 bytes and the corpus is pure ASCII
     // (strlen == length for every row), so DuckDB's char slices equal
     // the byte slices.
+    // "resize" over the decoded pixel vector: 8 fake pixels downsampled
+    // to 4 by index selection (ceil(i * 8 / 4) -> positions 2,4,6,8) —
+    // the Spark-side plumbing of an image-resize stage (schema, batch
+    // decode, vector transform) with the codec stubbed. The oracle
+    // replays the whole pixel LCG in HUGEINT (eight chained mod-2^64
+    // steps) and picks the same positions.
+    Op("llm_multimodal_resize",
+      (s, d) => resize(decodeFeatures(assets(s, d)), 4)
+        .select(col("asset_id"), col("kind"),
+          expr("CAST(element_at(features, 1) AS DOUBLE)").as("r1"),
+          expr("CAST(element_at(features, 2) AS DOUBLE)").as("r2"),
+          expr("CAST(element_at(features, 3) AS DOUBLE)").as("r3"),
+          expr("CAST(element_at(features, 4) AS DOUBLE)").as("r4"))
+        .orderBy("asset_id"),
+      Some {
+        val M = "18446744073709551616"
+        val step = (prev: String, cur: String) =>
+          s"(($prev * 6364136223846793005 + 1442695040888963407) % $M) AS $cur"
+        val pix = (v: String) =>
+          s"CAST(CAST(($v // 1099511627776) % 65536 AS BIGINT) AS DOUBLE) / 65536.0"
+        "WITH b AS (SELECT doc_id, " +
+          "list_transform(range(1, strlen(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bytes " +
+          "FROM documents), " +
+          "h AS (SELECT doc_id, " +
+          "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(bytes, x -> CAST(x AS HUGEINT))), " +
+          s"(acc, c) -> (acc * 31 + c) % $M) AS h0 FROM b), " +
+          s"k1 AS (SELECT doc_id, ${step("h0", "v1")} FROM h), " +
+          s"k2 AS (SELECT doc_id, v1, ${step("v1", "v2")} FROM k1), " +
+          s"k3 AS (SELECT doc_id, v2, ${step("v2", "v3")} FROM k2), " +
+          s"k4 AS (SELECT doc_id, v2, v3, ${step("v3", "v4")} FROM k3), " +
+          s"k5 AS (SELECT doc_id, v2, v4, ${step("v4", "v5")} FROM k4), " +
+          s"k6 AS (SELECT doc_id, v2, v4, v5, ${step("v5", "v6")} FROM k5), " +
+          s"k7 AS (SELECT doc_id, v2, v4, v6, ${step("v6", "v7")} FROM k6), " +
+          s"k8 AS (SELECT doc_id, v2, v4, v6, ${step("v7", "v8")} FROM k7) " +
+          "SELECT doc_id AS asset_id, " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+          s"${pix("v2")} AS r1, ${pix("v4")} AS r2, ${pix("v6")} AS r3, ${pix("v8")} AS r4 " +
+          "FROM k8 ORDER BY asset_id"
+      }),
+
     Op("llm_frame_sample",
       (s, d) => assets(s, d).toDF()
         .select(col("asset_id"),
