@@ -388,6 +388,17 @@ class PlansSpec extends AnyFunSuite {
     assert(exec("llm_kmeans_step").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("skipgram window join is an equi join, never a positional nested loop") {
+    val df = Registry.byKey("llm_skipgram_pairs").query(spark, TestSpark.sf)
+    df.count()
+    val p = (GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }).toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-25 must not global-sort:\n$p")
+  }
+
   test("rel_join_range_binned runs as a hash join on bins, never a nested loop") {
     val df = Registry.byKey("rel_join_range_binned").query(spark, TestSpark.sf)
     df.count()
