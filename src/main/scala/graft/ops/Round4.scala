@@ -308,6 +308,40 @@ object Round4 {
         "FROM ctx c JOIN toks t ON c.doc_id = t.doc_id AND c.cpos = t.pos " +
         "GROUP BY center, context ORDER BY n DESC, center, context LIMIT 25")),
 
+    // 13-gram benchmark contamination (the GPT-3-report method): a
+    // corpus doc is contaminated if it shares ANY 13-token window with a
+    // held-out benchmark doc. Window hashes equi-join between the two
+    // sides — benchmark-side hashes are the small build side, the corpus
+    // is never self-joined — so the check costs one corpus scan at any
+    // scale. (llm_contamination_check keeps the phrase-probe variant;
+    // this is the n-gram-overlap one evaluation reports actually use.)
+    Op("llm_contamination_ngram",
+      (s, d) => {
+        def wins(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 13")
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 12), " +
+              "i -> xxhash64(concat_ws(' ', slice(toks, i, 13)))))")).as("w"))
+        val docs = T.spread(T.t(s, d, "documents"))
+        val bench = wins(docs.where("doc_id % 97 = 0"))
+          .select(col("w"), col("doc_id").as("bench_id"))
+        wins(docs.where("doc_id % 97 <> 0"))
+          .join(bench, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_windows"),
+            min("bench_id").as("first_bench_id"))
+          .orderBy("doc_id")
+      },
+      Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')))) AS w " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 13), " +
+        "bench AS (SELECT w, doc_id AS bench_id FROM w WHERE doc_id % 97 = 0), " +
+        "corp AS (SELECT doc_id, w FROM w WHERE doc_id % 97 <> 0) " +
+        "SELECT doc_id, count(*) AS n_shared_windows, min(bench_id) AS first_bench_id " +
+        "FROM corp JOIN bench USING (w) GROUP BY doc_id ORDER BY doc_id")),
+
     // Predicate/combining higher-order functions over array columns —
     // exists / forall / filter-count / zip_with+aggregate fold — the
     // part of the HOF suite fn_array doesn't exercise. All stay inside

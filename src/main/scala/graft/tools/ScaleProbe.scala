@@ -75,7 +75,9 @@ object ScaleProbe {
       // and the probe-panel ANN audit (core_incremental_pipeline needs
       // the orders table, which the amplified corpus doesn't carry)
       "llm_pack_shards", "llm_packing_efficiency", "llm_vocab_oov_rate",
-      "llm_ann_recall_audit")
+      "llm_ann_recall_audit", "llm_skipgram_pairs", "llm_minhash_verified",
+      "llm_dup_histogram", "llm_gopher_quality", "llm_tokenize_apply",
+      "fn_hof_predicates", "llm_dedup_incremental")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
