@@ -308,6 +308,37 @@ object Round4 {
         "FROM ctx c JOIN toks t ON c.doc_id = t.doc_id AND c.cpos = t.pos " +
         "GROUP BY center, context ORDER BY n DESC, center, context LIMIT 25")),
 
+    // Dynamic-gap session windows (Spark 4 session_window with a
+    // per-event gap expression): views close after 5 idle minutes,
+    // everything else after 15 — the realistic sessionization where the
+    // gap depends on the event. The oracle emulates Spark's merge rule
+    // (an event joins the session iff its ts <= the running max of
+    // previous window ends, computed per user) with a running-max
+    // window; equal-boundary events merge, matching Spark's inclusive
+    // comparison — the fixed-gap op's oracle pins the same convention.
+    Op("strm_session_dynamic_gap",
+      (s, d) => T.events(s, d)
+        .groupBy(col("user_id"), expr(
+          "session_window(ts, CASE WHEN event_type = 'view' " +
+            "THEN '5 minutes' ELSE '15 minutes' END)").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("CAST(w.start AS TIMESTAMP_NTZ)").as("session_start"),
+          expr("CAST(w.end AS TIMESTAMP_NTZ)").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("WITH e AS (SELECT user_id, event_id, ts, " +
+        "ts + CASE WHEN event_type = 'view' THEN INTERVAL 5 MINUTE ELSE INTERVAL 15 MINUTE END AS wend " +
+        "FROM events), " +
+        "m AS (SELECT user_id, event_id, ts, wend, " +
+        "max(wend) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e), " +
+        "f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS new_s FROM m), " +
+        "g AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f) " +
+        "SELECT user_id, min(ts) AS session_start, max(wend) AS session_end, count(*) AS n_events " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, session_start")),
+
     // 13-gram benchmark contamination (the GPT-3-report method): a
     // corpus doc is contaminated if it shares ANY 13-token window with a
     // held-out benchmark doc. Window hashes equi-join between the two
