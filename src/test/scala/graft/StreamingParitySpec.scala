@@ -73,6 +73,23 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dynamic-gap session window: stream == batch merge semantics") {
+    val events = mkEvents(160)
+    val gapExpr = expr(
+      "CASE WHEN event_type = 'view' THEN '5 minutes' ELSE '15 minutes' END")
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), gapExpr).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+    val got = runStream(events, OutputMode.Complete())(df =>
+        sessions(df.withWatermark("ts", "10 minutes")))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val want = sessions(events.toDF())
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got == want && got.size > events.map(_.user_id).distinct.size,
+      "multiple sessions per user must appear")
+  }
+
   test("streaming dedupe: key set == batch distinct keys") {
     val events = mkEvents(100)
     val got = runStream(events, OutputMode.Append())(Streams.dedupFirstSeen)
