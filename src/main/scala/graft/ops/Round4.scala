@@ -308,6 +308,19 @@ object Round4 {
         "FROM ctx c JOIN toks t ON c.doc_id = t.doc_id AND c.cpos = t.pos " +
         "GROUP BY center, context ORDER BY n DESC, center, context LIMIT 25")),
 
+    // Ordered string aggregation via Spark 4's native listagg WITHIN
+    // GROUP — the SQL-standard form (rel_agg_collect keeps the
+    // collect_list + sort-before-render equivalent for contrast).
+    Op("rel_agg_listagg",
+      (s, d) => {
+        T.t(s, d, "nation").createOrReplaceTempView("nation")
+        s.sql("SELECT n_regionkey, " +
+          "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names, " +
+          "count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+      },
+      Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, " +
+        "count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
+
     // Dynamic-gap session windows (Spark 4 session_window with a
     // per-event gap expression): views close after 5 idle minutes,
     // everything else after 15 — the realistic sessionization where the
