@@ -321,6 +321,44 @@ object Round4 {
       Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, " +
         "count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
 
+    // Error-safe TRY functions (the ANSI-mode companions): try_cast on
+    // strings that may not parse, try_divide by zero, try_to_number with
+    // a format. Under ANSI semantics the plain forms would throw; the
+    // TRY forms degrade to NULL identically in both engines.
+    Op("fn_try",
+      (s, d) => T.t(s, d, "part").select(
+          col("p_partkey"),
+          expr("try_cast(substring(p_name, 1, 2) AS INT)").as("head_int"),
+          expr("try_cast(p_brand AS DOUBLE)").as("brand_num"),
+          expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+          expr("try_divide(p_retailprice, CAST(p_size AS DOUBLE))").as("per_size"),
+          expr("CAST(try_cast(CASE WHEN p_partkey % 2 = 0 THEN '2024-01-15' " +
+            "ELSE 'not-a-date' END AS DATE) AS STRING)").as("maybe_date"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, " +
+        "TRY_CAST(substring(p_name, 1, 2) AS INTEGER) AS head_int, " +
+        "TRY_CAST(p_brand AS DOUBLE) AS brand_num, " +
+        "CASE WHEN p_size - p_size = 0 THEN NULL ELSE p_retailprice / (p_size - p_size) END AS div0, " +
+        "p_retailprice / CAST(p_size AS DOUBLE) AS per_size, " +
+        "CAST(TRY_CAST(CASE WHEN p_partkey % 2 = 0 THEN '2024-01-15' ELSE 'not-a-date' END AS DATE) AS VARCHAR) AS maybe_date " +
+        "FROM part ORDER BY p_partkey")),
+
+    // Parameterized SQL + IDENTIFIER (Spark 4): the injection-safe
+    // templated-query surface — table name bound through IDENTIFIER(),
+    // values through named parameters. Same plan as the literal query.
+    Op("rel_parameterized_sql",
+      (s, d) => {
+        T.t(s, d, "orders").createOrReplaceTempView("orders_pv")
+        s.sql(
+          "SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS max_price " +
+            "FROM IDENTIFIER(:tbl) WHERE o_totalprice > :floor " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+          Map("tbl" -> "orders_pv", "floor" -> 100000))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS max_price " +
+        "FROM orders WHERE o_totalprice > 100000 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
     // Dynamic-gap session windows (Spark 4 session_window with a
     // per-event gap expression): views close after 5 idle minutes,
     // everything else after 15 — the realistic sessionization where the
