@@ -321,6 +321,78 @@ object Round4 {
       Some("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, " +
         "count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
 
+    // LSH estimator-quality audit: on the band-generated candidate set,
+    // how often does the 16-hash MinHash estimate (>= 0.5) agree with
+    // the exact shingle-set jaccard (>= 0.5)? One row: candidate count,
+    // hits under each judge, agreement, and the estimator's precision —
+    // the audit that decides whether the cheap estimate can gate
+    // pair-emission on its own or the exact verify stage stays. Both
+    // judges are computed in the same candidate-confined pass.
+    Op("llm_lsh_precision_audit",
+      (s, d) => {
+        graft.functions.ShingleHashes.register(s)
+        val base = T.spread(T.t(s, d, "documents"))
+          .where("size(split(lower(text), ' ')) >= 3")
+          .select(col("doc_id"), expr("shingle_hashes(text)").as("ths"))
+          .withColumn("sig", expr("minhash_sig(ths)"))
+          .persist()
+        val banded = base
+          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+          .withColumn("band_sig",
+            expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
+          .select("doc_id", "band", "band_sig")
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        val judged = cand
+          .join(base.select(col("doc_id").as("d1"), col("ths").as("t1"), col("sig").as("s1")), "d1")
+          .join(base.select(col("doc_id").as("d2"), col("ths").as("t2"), col("sig").as("s2")), "d2")
+          .withColumn("est_hit", expr(
+            "size(filter(sequence(1, 16), i -> element_at(s1, i) = element_at(s2, i))) >= 8"))
+          .withColumn("n_inter", expr("size(array_intersect(t1, t2))"))
+          .withColumn("exact_hit",
+            expr("CAST(n_inter AS DOUBLE) / (size(t1) + size(t2) - n_inter) >= 0.5"))
+        val out = judged.agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("est_hit"), 1L).otherwise(0L)).as("n_est_hits"),
+            sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
+            sum(when(col("est_hit") && col("exact_hit"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("n_candidates"), col("n_est_hits"), col("n_exact_hits"), col("n_agree"),
+            expr("CASE WHEN n_est_hits = 0 THEN CAST(NULL AS DOUBLE) " +
+              "ELSE CAST(n_agree AS DOUBLE) / n_est_hits END").as("est_precision"))
+          .localCheckpoint()
+        base.unpersist()
+        out
+      },
+      Some("WITH ths AS (SELECT doc_id, list_transform(" +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+        "tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS ths " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "sigs AS (SELECT doc_id, ths, list_reduce(list_prepend(" +
+        "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
+        "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
+        "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
+        "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
+        "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
+        "banded AS (SELECT doc_id, b.band AS band, " +
+        "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
+        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
+        "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id), " +
+        "j AS (SELECT " +
+        "len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) >= 8 AS est_hit, " +
+        "CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE) / " +
+        "(len(a.ths) + len(b.ths) - len(list_intersect(a.ths, b.ths))) >= 0.5 AS exact_hit " +
+        "FROM cand JOIN sigs a ON cand.d1 = a.doc_id JOIN sigs b ON cand.d2 = b.doc_id) " +
+        "SELECT count(*) AS n_candidates, " +
+        "CAST(SUM(CASE WHEN est_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_est_hits, " +
+        "CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits, " +
+        "CAST(SUM(CASE WHEN est_hit AND exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, " +
+        "CASE WHEN SUM(CASE WHEN est_hit THEN 1 ELSE 0 END) = 0 THEN CAST(NULL AS DOUBLE) " +
+        "ELSE CAST(SUM(CASE WHEN est_hit AND exact_hit THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "SUM(CASE WHEN est_hit THEN 1 ELSE 0 END) END AS est_precision FROM j")),
+
     // Error-safe TRY functions (the ANSI-mode companions): try_cast on
     // strings that may not parse, try_divide by zero, try_to_number with
     // a format. Under ANSI semantics the plain forms would throw; the
