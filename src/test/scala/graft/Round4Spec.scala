@@ -133,6 +133,18 @@ class Round4Spec extends AnyFunSuite {
     assert(api.DedupIndex.read(spark, dir).count() == size1)
   }
 
+  test("adaptive ops survive an empty corpus (decision agg on zero rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyfx_").toString
+    Seq.empty[(Long, String, String, String, Int)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (key <- Seq("llm_ngram_jaccard", "llm_dedup_substring",
+        "llm_dedup_levenshtein", "llm_dedup_cluster", "llm_dedup_incremental",
+        "llm_dup_histogram")) {
+      assert(Registry.byKey(key).query(spark, dir).count() == 0, key)
+    }
+  }
+
   test("tokenize_apply ids map OOV to 0 and preserve token positions") {
     val out = Registry.byKey("llm_tokenize_apply").query(spark, TestSpark.sf)
     val docs = Tables.t(spark, TestSpark.sf, "documents")
