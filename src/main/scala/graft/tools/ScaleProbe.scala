@@ -77,7 +77,8 @@ object ScaleProbe {
       "llm_pack_shards", "llm_packing_efficiency", "llm_vocab_oov_rate",
       "llm_ann_recall_audit", "llm_skipgram_pairs", "llm_minhash_verified",
       "llm_dup_histogram", "llm_gopher_quality", "llm_tokenize_apply",
-      "fn_hof_predicates", "llm_dedup_incremental")
+      "fn_hof_predicates", "llm_dedup_incremental", "llm_contamination_ngram",
+      "llm_lsh_precision_audit", "llm_multimodal_resize")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
