@@ -17,13 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  private def keyed(docs: DataFrame): DataFrame = docs.select(
+  /** The two dedup keys per doc: exact normalized-text hash + word-set
+    * signature. THE single definition — the llm_dedup_incremental
+    * operator and the persistent index both go through here, so the
+    * normalization can never drift between them.
+    */
+  def keyed(docs: DataFrame): DataFrame = docs.select(
     col("doc_id"),
     sha2(lower(trim(col("text"))), 256).as("eh"),
     expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')").as("sig"))
 
   private def minimize(k: DataFrame): DataFrame =
     k.groupBy("eh", "sig").agg(min("doc_id").as("doc_id"))
+
+  /** Verdict per batch doc against any keyed index frame (persisted or
+    * freshly keyed): `exact` beats `near` beats `keep`, with the owning
+    * corpus doc_id.
+    */
+  def verdicts(batch: DataFrame, index: DataFrame): DataFrame = {
+    val exact = index.groupBy("eh").agg(min("doc_id").as("exact_match"))
+    val near = index.groupBy("sig").agg(min("doc_id").as("near_match"))
+    keyed(batch)
+      .join(exact, Seq("eh"), "left")
+      .join(near, Seq("sig"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
 
   /** Create the index at `dir` from an initial corpus. */
   def build(docs: DataFrame, dir: String): Unit =
@@ -36,19 +58,8 @@ object DedupIndex {
     * text already present), `near` (word-set signature present), or
     * `keep`, with the owning corpus doc_id. Exact beats near.
     */
-  def check(batch: DataFrame, dir: String): DataFrame = {
-    val idx = read(batch.sparkSession, dir)
-    val exact = idx.groupBy("eh").agg(min("doc_id").as("exact_match"))
-    val near = idx.groupBy("sig").agg(min("doc_id").as("near_match"))
-    keyed(batch)
-      .join(exact, Seq("eh"), "left")
-      .join(near, Seq("sig"), "left")
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, "exact")
-          .when(col("near_match").isNotNull, "near")
-          .otherwise("keep").as("verdict"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
-  }
+  def check(batch: DataFrame, dir: String): DataFrame =
+    verdicts(batch, read(batch.sparkSession, dir))
 
   /** Fold an accepted batch into the index (idempotent min-merge). The
     * rewrite touches only the index — never the corpus — and the index

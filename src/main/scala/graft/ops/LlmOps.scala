@@ -122,6 +122,12 @@ object LlmOps {
     * partial-agg job (count + approx distinct text-hash) picks the plan:
     * >= ~10% duplicate docs -> quotient, else the direct inverted-index
     * join. Both paths emit identical rows.
+    *
+    * The `gl` projection is deliberately NOT persisted even though the
+    * decision agg, the gid grouping, and the member expansion each scan
+    * it: re-running a columnar projection is linear and cheap, while
+    * caching a corpus-wide text column is exactly the memory footprint
+    * that kills a 100-TB run. Scans stay O(n); memory stays O(reps).
     */
   private def jaccardPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {

@@ -19,29 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object Round4 {
 
+  /** Shared MinHash-LSH candidate generation: the shingle+signature base
+    * (persisted — caller unpersists) and the distinct band-bucket
+    * candidate pairs. One definition for llm_minhash_verified and
+    * llm_lsh_precision_audit, so the audit always measures exactly the
+    * candidate generation the pipeline runs.
+    */
+  private def minhashCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.ShingleHashes.register(s)
+    val base = T.spread(T.t(s, d, "documents"))
+      .where("size(split(lower(text), ' ')) >= 3")
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("ths"))
+      .withColumn("sig", expr("minhash_sig(ths)"))
+      .persist()
+    val banded = base
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+      .withColumn("band_sig",
+        expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
+      .select("doc_id", "band", "band_sig")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    (base, cand)
+  }
+
   val ops: Seq[Op] = Seq(
 
+    // The corpus appears only as keyed lookup tables (one row per
+    // distinct hash/signature) — at 100 TB these are the DedupIndex you
+    // persist between runs; the increment joins against them and the
+    // corpus never self-joins. The keying and verdict logic live in
+    // graft.api.DedupIndex so the one-shot operator and the persistent
+    // index can never drift (Round4Spec pins them equal).
     Op("llm_dedup_incremental",
       (s, d) => {
         val docs = T.t(s, d, "documents")
-        def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
-          col("doc_id"),
-          sha2(lower(trim(col("text"))), 256).as("eh"),
-          expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')").as("sig"))
-        val corpus = keyed(docs.where("doc_id % 5 <> 0")) // accumulated
-        val inc = keyed(docs.where("doc_id % 5 = 0"))     // today's batch
-        // corpus-side lookup tables: one row per distinct hash/signature.
-        // At 100 TB these are the dedup index you keep between runs; the
-        // increment joins against them — the corpus never self-joins.
-        val exact = corpus.groupBy("eh").agg(min("doc_id").as("exact_match"))
-        val near = corpus.groupBy("sig").agg(min("doc_id").as("near_match"))
-        inc.join(exact, Seq("eh"), "left")
-          .join(near, Seq("sig"), "left")
-          .select(col("doc_id"),
-            when(col("exact_match").isNotNull, "exact")
-              .when(col("near_match").isNotNull, "near")
-              .otherwise("keep").as("verdict"),
-            coalesce(col("exact_match"), col("near_match")).as("match_id"))
+        graft.api.DedupIndex.verdicts(
+            docs.where("doc_id % 5 = 0"),                            // today's batch
+            graft.api.DedupIndex.keyed(docs.where("doc_id % 5 <> 0"))) // accumulated
           .orderBy("doc_id")
       },
       // oracle groups on the normalized text itself (same partition as
@@ -199,21 +216,7 @@ object Round4 {
     // band buckets; the verify join touches only candidate pairs.
     Op("llm_minhash_verified",
       (s, d) => {
-        graft.functions.ShingleHashes.register(s)
-        val base = T.spread(T.t(s, d, "documents"))
-          .where("size(split(lower(text), ' ')) >= 3")
-          .select(col("doc_id"), expr("shingle_hashes(text)").as("ths"))
-          .withColumn("sig", expr("minhash_sig(ths)"))
-          .persist()
-        val banded = base
-          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
-          .withColumn("band_sig",
-            expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
-          .select("doc_id", "band", "band_sig")
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        val (base, cand) = minhashCandidates(s, d)
         val out = cand
           .join(base.select(col("doc_id").as("d1"), col("ths").as("t1")), "d1")
           .join(base.select(col("doc_id").as("d2"), col("ths").as("t2")), "d2")
@@ -330,21 +333,7 @@ object Round4 {
     // judges are computed in the same candidate-confined pass.
     Op("llm_lsh_precision_audit",
       (s, d) => {
-        graft.functions.ShingleHashes.register(s)
-        val base = T.spread(T.t(s, d, "documents"))
-          .where("size(split(lower(text), ' ')) >= 3")
-          .select(col("doc_id"), expr("shingle_hashes(text)").as("ths"))
-          .withColumn("sig", expr("minhash_sig(ths)"))
-          .persist()
-        val banded = base
-          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
-          .withColumn("band_sig",
-            expr("array_join(transform(slice(sig, band * 4 + 1, 4), x -> CAST(x AS STRING)), ',')"))
-          .select("doc_id", "band", "band_sig")
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        val (base, cand) = minhashCandidates(s, d)
         val judged = cand
           .join(base.select(col("doc_id").as("d1"), col("ths").as("t1"), col("sig").as("s1")), "d1")
           .join(base.select(col("doc_id").as("d2"), col("ths").as("t2"), col("sig").as("s2")), "d2")

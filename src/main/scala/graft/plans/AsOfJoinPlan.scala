@@ -114,6 +114,7 @@ case class AsOfJoinExec(
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val rTsIdx = rOut.indexWhere(_.exprId == rTs.exprId)
+      require(rTsIdx >= 0, s"right ts $rTs not in right output")
       val payProj = UnsafeProjection.create(pay, rOut)
       val resultProj = UnsafeProjection.create(out, out)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)

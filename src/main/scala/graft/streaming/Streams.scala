@@ -92,7 +92,7 @@ object Streams {
       }
   }
 
-  case class BucketEvent(bucket_ms: Long, user_id: Long)
+  case class BucketEvent(bucket_ms: Long, user_id: Long, ts: java.sql.Timestamp)
   case class TopkRow(bucket_ms: Long, user_id: Long, n_ev: Long, rn: Int)
 
   /** True-streaming twin of strm_topk_windowed: top-k most active users
@@ -100,25 +100,42 @@ object Streams {
     * (count then rank) is not expressible as stacked streaming aggs, so
     * the per-bucket counts live in flatMapGroupsWithState state (one map
     * per in-flight hour) and each micro-batch re-emits that bucket's
-    * current top-k — exactly what a dashboard stream consumes. State is
-    * bounded by (active buckets x users-per-bucket).
+    * current top-k — exactly what a dashboard stream consumes. State IS
+    * bounded: each bucket arms an event-time timer one hour past its
+    * close and is evicted when the watermark passes it, so a
+    * continuously running stream holds only the in-flight hours.
     */
   def topkWindowed(events: DataFrame, k: Int = 3): Dataset[TopkRow] = {
     import events.sparkSession.implicits._
-    events.select(
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(
         unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"),
-        col("user_id"))
+        col("user_id"),
+        // the watermarked event-time column must survive the projection
+        // for EventTimeTimeout to be legal
+        col("ts"))
       .as[BucketEvent]
       .groupByKey(_.bucket_ms)
       .flatMapGroupsWithState[Map[Long, Long], TopkRow](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (bucket: Long, rows: Iterator[BucketEvent], state: GroupState[Map[Long, Long]]) =>
-          val counts = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
-            (m, e) => m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val counts = rows.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+              (m, e) => m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+            }
+            state.update(counts)
+            // evict once the watermark passes bucket close + 1h grace
+            // (never set a timeout at-or-before the current watermark)
+            state.setTimeoutTimestamp(math.max(
+              bucket + 2L * 3600 * 1000,
+              state.getCurrentWatermarkMs() + 60000L))
+            counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex.iterator
+              .map { case ((u, n), i) => TopkRow(bucket, u, n, i + 1) }
           }
-          state.update(counts)
-          counts.toSeq.sortBy { case (u, n) => (-n, u) }.take(k).zipWithIndex.iterator
-            .map { case ((u, n), i) => TopkRow(bucket, u, n, i + 1) }
       }
   }
 

@@ -152,15 +152,27 @@ class ApiSpec extends AnyFunSuite {
 
   test("Sessions.local applies the scale-critical knobs and runs a query") {
     // getOrCreate on the shared context applies the builder's session
-    // confs; assert them on the resulting session (shuffle partitions
-    // stays at the suite's 4, so other tests see the same parallelism)
-    val s = api.Sessions.local("t-local").getOrCreate()
-    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
-    assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
-    assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") == (64L * 1024 * 1024).toString)
-    assert(s.conf.get("spark.sql.parquet.compression.codec") == "zstd")
-    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-    import s.implicits._
-    assert(Seq(1, 2, 3).toDS().reduce(_ + _) == 6)
+    // confs to the SHARED session — snapshot and restore them so this
+    // test can't leak plan-shaping state (broadcast threshold, codec)
+    // into concurrently scheduled suites
+    val keys = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.shuffle.partitions", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.parquet.compression.codec", "spark.sql.session.timeZone",
+      "spark.sql.files.maxPartitionBytes", "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val s = api.Sessions.local("t-local").getOrCreate()
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+      assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") == (64L * 1024 * 1024).toString)
+      assert(s.conf.get("spark.sql.parquet.compression.codec") == "zstd")
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      import s.implicits._
+      assert(Seq(1, 2, 3).toDS().reduce(_ + _) == 6)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
