@@ -795,11 +795,11 @@ object Round3 {
   /** DuckDB cosine similarity as a sequential left fold — same operand
     * order as graft.functions.CosineSimilarity (mirrors LlmOps.oSim).
     */
-  private def oDotSql(a: String, b: String): String =
+  private[ops] def oDotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
 
-  private def oSimSql(a: String, b: String): String =
+  private[ops] def oSimSql(a: String, b: String): String =
     s"${oDotSql(a, b)} / sqrt(${oDotSql(a, a)} * ${oDotSql(b, b)})"
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 operator additions (SURVEY.md §2 F2 continuation).
@@ -381,6 +382,54 @@ object Round4 {
         "CASE WHEN SUM(CASE WHEN est_hit THEN 1 ELSE 0 END) = 0 THEN CAST(NULL AS DOUBLE) " +
         "ELSE CAST(SUM(CASE WHEN est_hit AND exact_hit THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "SUM(CASE WHEN est_hit THEN 1 ELSE 0 END) END AS est_precision FROM j")),
+
+    // IVF recall audit over the same 32-probe panel as the LSH one: the
+    // IVF index prunes the search to the probe's own cell (= label
+    // partition, as llm_ann_ivf does), so its recall@5 against the exact
+    // global top-5 measures how much the cell boundary costs. With the
+    // LSH audit this completes the evaluation pair: every ANN index in
+    // the engine has a recall distribution, not a single anecdote.
+    Op("llm_ann_ivf_recall_audit",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probes = emb
+          .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))
+          .orderBy("hkey", "vec_id").limit(32)
+          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+            col("label").as("p_label"))
+        val wTop = Window.partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))
+        val exact5 = emb.crossJoin(broadcast(probes))
+          .where("vec_id <> p_id")
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .withColumn("rn", row_number().over(wTop)).where("rn <= 5")
+          .select("p_id", "vec_id")
+        val approx5 = emb.join(broadcast(probes),
+            col("label") === col("p_label") && col("vec_id") =!= col("p_id"))
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .withColumn("rn", row_number().over(wTop)).where("rn <= 5")
+          .select(col("p_id"), col("vec_id"), lit(1).as("hit"))
+        exact5.join(approx5, Seq("p_id", "vec_id"), "left")
+          .groupBy("p_id").agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .agg(count(lit(1)).as("n_probes"), sum("hits").as("total_hits"),
+            min("hits").as("min_hits"))
+          .select(col("n_probes"), lit(5).as("k"),
+            expr("CAST(total_hits AS DOUBLE) / (5 * n_probes)").as("mean_recall"),
+            expr("CAST(min_hits AS DOUBLE) / 5").as("min_recall"))
+      },
+      Some("WITH p AS (SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label " +
+        "FROM embeddings ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 32), " +
+        "e AS (SELECT p_id, vec_id FROM (SELECT p.p_id, s.vec_id, " +
+        s"row_number() OVER (PARTITION BY p.p_id ORDER BY ${Round3.oSimSql("s.embedding", "p_emb")} DESC, s.vec_id) AS rn " +
+        "FROM embeddings s, p WHERE s.vec_id <> p.p_id) WHERE rn <= 5), " +
+        "a AS (SELECT p_id, vec_id FROM (SELECT p.p_id, s.vec_id, " +
+        s"row_number() OVER (PARTITION BY p.p_id ORDER BY ${Round3.oSimSql("s.embedding", "p_emb")} DESC, s.vec_id) AS rn " +
+        "FROM embeddings s JOIN p ON s.label = p.p_label AND s.vec_id <> p.p_id) WHERE rn <= 5), " +
+        "h AS (SELECT e.p_id, CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
+        "FROM e LEFT JOIN a ON e.p_id = a.p_id AND e.vec_id = a.vec_id GROUP BY e.p_id) " +
+        "SELECT count(*) AS n_probes, 5 AS k, " +
+        "CAST(SUM(hits) AS DOUBLE) / (5 * count(*)) AS mean_recall, " +
+        "CAST(MIN(hits) AS DOUBLE) / 5 AS min_recall FROM h")),
 
     // Error-safe TRY functions (the ANSI-mode companions): try_cast on
     // strings that may not parse, try_divide by zero, try_to_number with
