@@ -431,6 +431,69 @@ object Round4 {
         "CAST(SUM(hits) AS DOUBLE) / (5 * count(*)) AS mean_recall, " +
         "CAST(MIN(hits) AS DOUBLE) / 5 AS min_recall FROM h")),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS method):
+    // ordered 3-gram hashes, sliding window of 8, keep each window's
+    // minimum, fingerprint = the distinct selected hashes. Guarantees
+    // any shared run of >= 10 tokens shares a fingerprint while storing
+    // ~2/(w+1) of the hashes. Everything stays inside one codegen'd
+    // array pipeline per row; the md5-derived hash VALUES are replayed
+    // identically by the oracle (min-selection depends on the values,
+    // so the usual opaque-hash shortcut doesn't apply).
+    Op("llm_winnow_fingerprint",
+      (s, d) => T.spread(T.t(s, d, "documents"))
+        .withColumn("toks", split(lower(col("text")), " "))
+        .where("size(toks) >= 10")
+        .withColumn("hs", expr(
+          "transform(sequence(1, size(toks) - 2), i -> " +
+            "CAST(conv(substring(md5(concat(element_at(toks, i), ' ', " +
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(hs) - 7), j -> array_min(slice(hs, j, 8))))"))
+        .select(col("doc_id"),
+          expr("CAST(size(fps) AS INT)").as("n_fp"),
+          expr("array_min(fps)").as("fp_min"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"))
+        .orderBy("doc_id"),
+      Some("WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), i -> " +
+        "CAST(concat('0x', substr(md5(concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])), 1, 8)) AS BIGINT)) AS hs " +
+        "FROM t WHERE len(toks) >= 10), " +
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 6), " +
+        "j -> list_min(list_slice(hs, j, j + 7)))) AS fps FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp, list_min(fps) AS fp_min, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> xor(a, x)) AS fp_xor " +
+        "FROM f ORDER BY doc_id")),
+
+    // Per-doc n-gram novelty in doc_id order: the fraction of a doc's
+    // distinct 3-gram shingles whose FIRST corpus occurrence is this doc
+    // — the memorization/novelty curve read before adding a source to a
+    // training mix. First-occurrence is one min-aggregation over the
+    // exploded shingles; no self-join.
+    Op("llm_ngram_novelty",
+      (s, d) => {
+        val sh = T.spread(T.t(s, d, "documents"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 3")
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))")).as("sh"))
+        val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", expr("CAST(n_novel AS DOUBLE) / n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS sh " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+        "f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
+        "FROM sh JOIN f USING (sh) GROUP BY doc_id ORDER BY doc_id")),
+
     // Error-safe TRY functions (the ANSI-mode companions): try_cast on
     // strings that may not parse, try_divide by zero, try_to_number with
     // a format. Under ANSI semantics the plain forms would throw; the
