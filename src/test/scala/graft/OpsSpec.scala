@@ -16,6 +16,11 @@ class OpsSpec extends AnyFunSuite {
     assert(Registry.all.map(_.key).distinct.size == Registry.all.size)
     val keys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(keys))
+    // full-coverage invariant: every operator is DuckDB-oracle-checked,
+    // so the driver's t2 gate covers the whole registry — an op added
+    // without an oracle silently downgrades its check and fails here
+    val missing = Registry.all.filter(_.oracle.isEmpty).map(_.key)
+    assert(missing.isEmpty, s"ops without oracles: $missing")
   }
 
   test("entry returns rows") {
