@@ -46,6 +46,18 @@ object Round4 {
     (base, cand)
   }
 
+  /** Winnowing building blocks (k=3 token shingles, window w=8) —
+    * shared by the operator and the guarantee property test, which
+    * asserts the scheme's defining invariant (shared runs of >= k+w-1
+    * tokens must share a selected fingerprint).
+    */
+  private[graft] val winnowHashExpr: String =
+    "transform(sequence(1, size(toks) - 2), i -> " +
+      "CAST(conv(substring(md5(concat(element_at(toks, i), ' ', " +
+      "element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))"
+  private[graft] val winnowFpsExpr: String =
+    "array_distinct(transform(sequence(1, size(hs) - 7), j -> array_min(slice(hs, j, 8))))"
+
   val ops: Seq[Op] = Seq(
 
     // The corpus appears only as keyed lookup tables (one row per
@@ -476,12 +488,8 @@ object Round4 {
       (s, d) => T.spread(T.t(s, d, "documents"))
         .withColumn("toks", split(lower(col("text")), " "))
         .where("size(toks) >= 10")
-        .withColumn("hs", expr(
-          "transform(sequence(1, size(toks) - 2), i -> " +
-            "CAST(conv(substring(md5(concat(element_at(toks, i), ' ', " +
-            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))), 1, 8), 16, 10) AS BIGINT))"))
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, size(hs) - 7), j -> array_min(slice(hs, j, 8))))"))
+        .withColumn("hs", expr(Round4.winnowHashExpr))
+        .withColumn("fps", expr(Round4.winnowFpsExpr))
         .select(col("doc_id"),
           expr("CAST(size(fps) AS INT)").as("n_fp"),
           expr("array_min(fps)").as("fp_min"),

@@ -133,6 +133,38 @@ class Round4Spec extends AnyFunSuite {
     assert(api.DedupIndex.read(spark, dir).count() == size1)
   }
 
+  test("winnowing guarantee: docs sharing a >=10-token run share a fingerprint") {
+    // the defining invariant of winnowing (k=3, w=8): any run of
+    // k+w-1 = 10 identical tokens forces at least one common selected
+    // hash. Plant a 12-token shared segment at random offsets inside
+    // otherwise-disjoint documents and assert fingerprint overlap.
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 6).map { c =>
+      val shared = (0 until 12).map(i => s"s${c}x$i").mkString(" ")
+      def doc(prefix: String) = {
+        val pad1 = (0 until 3 + rnd.nextInt(10)).map(i => s"$prefix$i").mkString(" ")
+        val pad2 = (0 until 3 + rnd.nextInt(10)).map(i => s"$prefix${100 + i}").mkString(" ")
+        s"$pad1 $shared $pad2"
+      }
+      (2L * c, doc(s"a$c"), 2L * c + 1, doc(s"b$c"))
+    }
+    val docs = cases.flatMap { case (i1, t1, i2, t2) => Seq((i1, t1), (i2, t2)) }
+      .toDF("doc_id", "text")
+    val fps = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("hs", expr(ops.Round4.winnowHashExpr))
+      .withColumn("fps", expr(ops.Round4.winnowFpsExpr))
+      .select("doc_id", "fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    cases.foreach { case (i1, _, i2, _) =>
+      assert(fps(i1).intersect(fps(i2)).nonEmpty,
+        s"docs $i1/$i2 share a 12-token run but no fingerprint")
+      // and disjoint docs (different cases) share nothing
+    }
+    val (a, _, _, _) = cases.head; val (_, _, b2, _) = cases.last
+    assert(fps(a).intersect(fps(b2)).isEmpty, "unrelated docs must not collide")
+  }
+
   test("adaptive ops survive an empty corpus (decision agg on zero rows)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_emptyfx_").toString
     Seq.empty[(Long, String, String, String, Int)]
