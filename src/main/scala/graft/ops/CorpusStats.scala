@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.{Tables => T}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Session-scoped memo of the corpus duplicate-rate statistic the adaptive
+  * pair-generators (jaccardPairs, llm_dedup_substring,
+  * llm_dedup_levenshtein, llm_dedup_cluster) switch plans on.
+  *
+  * Each previously ran its own blocking 1-row decision aggregation per
+  * invocation; the statistic is a property of the (session, dataset dir)
+  * pair, so ONE job now serves every adaptive op in a Verify/Bench run
+  * (three corpus scans saved per run). Safety: the statistic only picks
+  * between two plans that emit IDENTICAL rows, so a stale entry (a dir
+  * mutated mid-session) can affect speed, never results. Keyed on the
+  * session instance, so a fresh session re-measures.
+  */
+object CorpusStats {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long)]
+
+  /** Decision-job counter, observable by tests (pins the one-job-per-
+    * session-and-dir contract).
+    */
+  @volatile private[graft] var computes: Long = 0L
+
+  /** (total docs, approx distinct lowered texts) of `dir`'s documents. */
+  def dupStats(s: SparkSession, dir: String): (Long, Long) =
+    cache.getOrElseUpdate((s, dir), {
+      computes += 1
+      val r = T.t(s, dir, "documents")
+        .agg(count(lit(1)), approx_count_distinct(xxhash64(lower(col("text")))))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    })
+
+  /** True when the corpus is (approximately) duplicate-free: >= ~90%
+    * distinct texts — the regime where the exact-dedup-first quotient's
+    * text shuffle and member-expansion joins are pure overhead.
+    */
+  def mostlyUnique(s: SparkSession, dir: String): Boolean = {
+    val (n, r) = dupStats(s, dir)
+    r > n - n / 10
+  }
+}

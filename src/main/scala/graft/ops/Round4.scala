@@ -272,8 +272,12 @@ object Round4 {
     Op("llm_dup_histogram",
       (s, d) => {
         val docs = T.t(s, d, "documents")
+        // (hash, length) group key: a collision now needs an equal-length
+        // 64-bit match, negligible even at billions of docs per length
+        // class (the oracle groups on the text itself)
         val groups = docs
-          .groupBy(xxhash64(lower(trim(col("text")))).as("gid"))
+          .groupBy(xxhash64(lower(trim(col("text")))).as("gid"),
+            length(lower(trim(col("text")))).as("glen"))
           .agg(count(lit(1)).as("n_dup"))
         val total = docs.agg(count(lit(1)).as("total"))
         groups.groupBy("n_dup").agg(count(lit(1)).as("n_groups"))

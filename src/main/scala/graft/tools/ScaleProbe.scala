@@ -78,7 +78,10 @@ object ScaleProbe {
       "llm_ann_recall_audit", "llm_skipgram_pairs", "llm_minhash_verified",
       "llm_dup_histogram", "llm_gopher_quality", "llm_tokenize_apply",
       "fn_hof_predicates", "llm_dedup_incremental", "llm_contamination_ngram",
-      "llm_lsh_precision_audit", "llm_multimodal_resize")
+      "llm_lsh_precision_audit", "llm_multimodal_resize",
+      // round 5: winnowing/novelty shingle sweeps, the trained-IVF pair,
+      // and the new Round5 text ops under the 20x corpus
+      "llm_winnow_fingerprint", "llm_ngram_novelty")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
@@ -89,6 +92,31 @@ object ScaleProbe {
           println(s"PROBE $k FAILED: ${e.getMessage.take(200)}")
       }
     }
+
+    // Pathological levenshtein corpus: ONE (lang, n_chars) block holding
+    // 100k DISTINCT texts (so the exact-dedup quotient cannot collapse
+    // anything) — unbounded blocking would need 5e9 O(len^2) distance
+    // computations here and never finish. The prefix sub-blocking caps
+    // every all-pairs term at the ~20-doc prefix groups.
+    val lev = "target/tmp/sflev"
+    if (!new java.io.File(s"$lev/documents.parquet").exists()) {
+      spark.range(100000).select(
+          col("id").as("doc_id"),
+          lit("en").as("lang"),
+          // first TWO tokens shared by the 20 docs of each id%5000 group
+          // (the sub-block key), third token distinct per doc — so the
+          // capped path still has real within-block pairs to find
+          format_string("g%05d g%05d d%06d %s", col("id") % 5000L,
+            col("id") % 5000L, col("id"),
+            lit(Seq.fill(13)("padpadpad").mkString(" "))).as("text"))
+        .withColumn("source", lit("synthetic"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32).write.mode("overwrite").parquet(s"$lev/documents.parquet")
+    }
+    val t0 = System.nanoTime()
+    val n = graft.Registry.byKey("llm_dedup_levenshtein").query(spark, lev).count()
+    println(f"PROBE llm_dedup_levenshtein[single-block-100k-distinct]: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     spark.stop()
   }
 }
