@@ -29,6 +29,12 @@ object Sessions {
     *   smaller cold storage than snappy; scans stay vectorized.
     * - UTC session timezone: the engine's determinism contract assumes
     *   it (every oracle comparison runs under UTC).
+    * - CBO + join reorder ON: AQE only sees sizes after a stage runs;
+    *   catalog column stats (installed by [[Stats.analyze]]'s one-scan
+    *   job) let the optimizer pick join sides and multi-join order
+    *   BEFORE the first shuffle, where the 100-TB mistakes happen.
+    *   Without installed stats these flags change nothing, so they are
+    *   safe-on by default.
     */
   def production(
       appName: String,
@@ -43,6 +49,8 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** The same knobs scaled for a laptop/CI smoke run. */

@@ -451,26 +451,16 @@ object Round4 {
     // optimizer consumes (non-null count, exact NDV, min/max) — in ONE
     // scan: all columns aggregate together, then the wide row unpivots
     // to one row per column. Three separate ANALYZE passes become one
-    // table read at any scale. String-typed min/max keep one output
-    // schema (only injectively-rendered types are included).
+    // table read at any scale. The same job is LOAD-BEARING, not just a
+    // report: graft.api.Stats.analyze runs it and installs the result
+    // into the session catalog for the cost-based optimizer
+    // (CboSpec pins a join build side flipping on these stats).
     Op("core_column_stats",
-      (s, d) => {
-        val o = T.t(s, d, "orders")
-        o.agg(
-            count(col("o_custkey")).as("nn1"), countDistinct(col("o_custkey")).as("nd1"),
-            min(col("o_custkey")).cast("string").as("mn1"),
-            max(col("o_custkey")).cast("string").as("mx1"),
-            count(col("o_orderstatus")).as("nn2"), countDistinct(col("o_orderstatus")).as("nd2"),
-            min(col("o_orderstatus")).as("mn2"), max(col("o_orderstatus")).as("mx2"),
-            count(col("o_orderpriority")).as("nn3"), countDistinct(col("o_orderpriority")).as("nd3"),
-            min(col("o_orderpriority")).as("mn3"), max(col("o_orderpriority")).as("mx3"))
-          .select(explode(expr(
-            "array(named_struct('column', 'o_custkey', 'n_nonnull', nn1, 'ndv', nd1, 'min_v', mn1, 'max_v', mx1), " +
-              "named_struct('column', 'o_orderpriority', 'n_nonnull', nn3, 'ndv', nd3, 'min_v', mn3, 'max_v', mx3), " +
-              "named_struct('column', 'o_orderstatus', 'n_nonnull', nn2, 'ndv', nd2, 'min_v', mn2, 'max_v', mx2))")).as("s"))
-          .select("s.*")
-          .orderBy("column")
-      },
+      (s, d) => graft.api.Stats
+        .columnStats(T.t(s, d, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .select("column", "n_nonnull", "ndv", "min_v", "max_v")
+        .orderBy("column"),
       Some("SELECT 'o_custkey' AS column, count(o_custkey) AS n_nonnull, " +
         "count(DISTINCT o_custkey) AS ndv, CAST(min(o_custkey) AS VARCHAR) AS min_v, " +
         "CAST(max(o_custkey) AS VARCHAR) AS max_v FROM orders " +

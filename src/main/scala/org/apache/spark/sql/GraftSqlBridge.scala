@@ -40,4 +40,29 @@ object GraftSqlBridge {
     if (!cs.experimental.extraOptimizations.contains(r))
       cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
   }
+
+  /** Install computed table+column statistics into the session catalog —
+    * the write half of `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`,
+    * fed by our one-scan stats job instead of ANALYZE's own passes.
+    */
+  def alterTableStats(
+      spark: SparkSession, table: String,
+      stats: catalyst.catalog.CatalogStatistics): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.alterTableStats(id, Some(stats))
+  }
+
+  def tableStats(
+      spark: SparkSession, table: String): Option[catalyst.catalog.CatalogStatistics] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(id).stats
+  }
+
+  /** Optimizer's own size/row estimate of a frame (file-size based until
+    * catalog stats exist; CBO-derived after).
+    */
+  def planStats(df: Dataset[_]): catalyst.plans.logical.Statistics =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan.stats
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cost-based-optimizer wiring: graft.api.Stats one-scan column
+  * statistics installed into the session catalog must actually CHANGE
+  * plans — the round-4 verdict's "make the 200th operator load-bearing
+  * instead of decorative".
+  */
+class CboSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def collectJoins(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case j: BroadcastHashJoinExec => j
+    case j: SortMergeJoinExec => j
+  }
+
+  test("one-scan catalog stats flip a selective-filter join from shuffle to broadcast") {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan under test
+      // below both sides' column-pruned file-size estimates, so nothing
+      // broadcasts without stats — only a stats-estimated selective filter can
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (2 * 1024).toString)
+
+      // sf0.01: orders 278 KB / customer 33 KB on disk; even column-pruned,
+      // both sides estimate well above the 2 KB threshold without stats
+      val dir = "/root/testdata/sf0.01"
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      spark.sql("DROP TABLE IF EXISTS customer_cbo")
+      api.Stats.registerParquetTable(spark, "orders_cbo", s"$dir/orders.parquet")
+      api.Stats.registerParquetTable(spark, "customer_cbo", s"$dir/customer.parquet")
+
+      val q = "SELECT c.c_name, o.o_totalprice FROM orders_cbo o " +
+        "JOIN customer_cbo c ON o.o_custkey = c.c_custkey " +
+        "WHERE o.o_orderkey <= 20" // ~0.1% of [0, 14999] once min/max are known
+      def planOf() = GraftSqlBridge.executedPlan(spark.sql(q))
+
+      val beforeJoins = collectJoins(planOf())
+      assert(beforeJoins.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"without stats both sides estimate at file size -> shuffle join; got $beforeJoins")
+
+      // the one-scan ANALYZE — same job as core_column_stats
+      val st = api.Stats.analyze(spark, "orders_cbo")
+      api.Stats.analyze(spark, "customer_cbo")
+      assert(st.rowCount.exists(_ > 0) && st.colStats.contains("o_orderkey"))
+      assert(GraftSqlBridge.tableStats(spark, "orders_cbo")
+        .exists(_.colStats("o_orderkey").distinctCount.exists(_ > 0)))
+
+      val afterJoins = collectJoins(planOf())
+      assert(afterJoins.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"with min/max+NDV the <=20 filter estimate drops below the " +
+          s"broadcast threshold and the join side flips; got $afterJoins")
+
+      // and the result is identical either way — stats steer, never change
+      val direct = Tables.t(spark, dir, "orders").where("o_orderkey <= 20")
+        .join(Tables.t(spark, dir, "customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+        .count()
+      assert(spark.sql(q).count() == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      spark.sql("DROP TABLE IF EXISTS customer_cbo")
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("columnStats one-scan frame matches direct per-column aggregates") {
+    val df = Tables.t(spark, TestSpark.sf, "orders")
+    val got = api.Stats.columnStats(df, Seq("o_custkey", "o_orderstatus"))
+      .orderBy("column").collect()
+    val n = df.count()
+    val custNdv = df.select("o_custkey").distinct().count()
+    val statusNdv = df.select("o_orderstatus").distinct().count()
+    assert(got.map(_.getAs[String]("column")).toSeq == Seq("o_custkey", "o_orderstatus"))
+    assert(got.forall(_.getAs[Long]("n_rows") == n))
+    assert(got(0).getAs[Long]("ndv") == custNdv)
+    assert(got(1).getAs[Long]("ndv") == statusNdv)
+    assert(got(0).getAs[Long]("n_nonnull") == n)
+  }
+}
