@@ -50,7 +50,9 @@ object Bench {
     // round 4
     "llm_tokenize_apply", "llm_dedup_incremental",
     "core_incremental_pipeline", "src_jdbc_roundtrip",
-    "llm_minhash_verified", "llm_gopher_quality")
+    "llm_minhash_verified", "llm_gopher_quality",
+    // round 5
+    "llm_ann_ivf_trained", "llm_dedup_levenshtein")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8,7 +8,8 @@ import graft.ops._
 object Registry {
   val all: Seq[Op] =
     Sources.ops ++ CoreOps.ops ++ Relational.ops ++ Functions.ops ++
-      StreamingOps.ops ++ LlmOps.ops ++ Multimodal.ops ++ Round3.ops ++ Round4.ops
+      StreamingOps.ops ++ LlmOps.ops ++ Multimodal.ops ++ Round3.ops ++ Round4.ops ++
+      Round5.ops
 
   require(all.map(_.key).distinct.size == all.size, "duplicate op keys")
 

@@ -91,6 +91,34 @@ object LlmOps {
       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a), " +
       "m AS (SELECT vec_id, embedding, c_id FROM b WHERE rn = 1)"
 
+  /** DuckDB CTE prefix replaying [[graft.api.AnnIndex.train]]'s three
+    * unrolled fixed-point Lloyd iterations over 64-dim embeddings;
+    * terminal CTE is `c3(c_id, n, c_vec)`. Shared by llm_kmeans_train
+    * and the trained-IVF family, so the trained index's oracle IS the
+    * training oracle.
+    */
+  private[ops] def oKmeansIter(i: Int, prev: String): String =
+    s"a$i AS (SELECT e.vec_id, e.embedding, c.c_id, " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), k -> " +
+      "(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]) * " +
+      s"(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]))), (x, y) -> x + y) AS d2 " +
+      s"FROM embeddings e, $prev c), " +
+    s"b$i AS (SELECT vec_id, embedding, c_id, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a$i), " +
+    s"m$i AS (SELECT c_id, embedding FROM b$i WHERE rn = 1), " +
+    s"s$i AS (SELECT c_id, t.range AS pos, " +
+      s"CAST(floor(CAST(embedding[t.range] AS DOUBLE) * 10000) AS BIGINT) AS fp FROM m$i, range(1, 65) t), " +
+    s"g$i AS (SELECT c_id, pos, CAST(SUM(fp) AS BIGINT) AS s, count(*) AS cnt FROM s$i GROUP BY c_id, pos), " +
+    s"h$i AS (SELECT c_id, max(cnt) AS n, list(s ORDER BY pos) AS ss FROM g$i GROUP BY c_id), " +
+    s"c$i AS (SELECT c_id, n, list_transform(ss, x -> CAST(x AS DOUBLE) / (10000.0 * n)) AS c_vec FROM h$i)"
+
+  private[ops] val oKmeansTrainedPrefix: String =
+    "WITH c0 AS (SELECT vec_id AS c_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec " +
+      "FROM embeddings WHERE vec_id < 10), " +
+      oKmeansIter(1, "c0") + ", " + oKmeansIter(2, "c1") + ", " + oKmeansIter(3, "c2")
+
   /** Trigram-shingle Jaccard near-dup pairs (tau = 0.2), shared by
     * llm_ngram_jaccard (emits the pairs) and llm_dedup_cluster (connected
     * components over them). Inverted-index self-join on 64-bit shingle
@@ -741,63 +769,13 @@ object LlmOps {
     // rational, hence the same double everywhere. Clusters that lose all
     // members drop out on both engines.
     Op("llm_kmeans_train",
-      (s, d) => {
-        val emb = T.t(s, d, "embeddings")
-        val d2 = "aggregate(zip_with(embedding, c_vec, (x, c) -> " +
-          "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
-          "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        var cent = emb.where("vec_id < 10")
-          .select(col("vec_id").as("c_id"), lit(1L).as("n"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_vec"))
-        for (_ <- 1 to 3) {
-          val assign = emb.crossJoin(broadcast(cent.select("c_id", "c_vec")))
-            .withColumn("d2", expr(d2))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-            .where("rn = 1")
-            .select("c_id", "embedding")
-          cent = assign
-            .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-            .groupBy("c_id", "pos")
-            .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)")).as("s"),
-              count(lit(1)).as("cnt"))
-            .groupBy("c_id")
-            .agg(max("cnt").as("n"),
-              expr("array_sort(collect_list(struct(pos, s)))").as("ss"))
-            .select(col("c_id"), col("n"),
-              expr("transform(ss, e -> CAST(e.s AS DOUBLE) / (10000.0 * n))").as("c_vec"))
-            // pin each iteration's 10-row centroid table: without this the
-            // lazy lineage compounds and iteration N re-executes every
-            // previous assignment pass (1+2+...+N scans instead of N)
-            .localCheckpoint()
-        }
-        cent.select(col("c_id"), col("n"),
-            expr("element_at(c_vec, 1)").as("c1"),
-            expr("element_at(c_vec, 2)").as("c2"))
-          .orderBy("c_id")
-      },
-      Some {
-        def iter(i: Int, prev: String): String =
-          s"a$i AS (SELECT e.vec_id, e.embedding, c.c_id, " +
-            "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-            "list_transform(range(1, 65), k -> " +
-            "(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]) * " +
-            s"(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]))), (x, y) -> x + y) AS d2 " +
-            s"FROM embeddings e, $prev c), " +
-          s"b$i AS (SELECT vec_id, embedding, c_id, " +
-            s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a$i), " +
-          s"m$i AS (SELECT c_id, embedding FROM b$i WHERE rn = 1), " +
-          s"s$i AS (SELECT c_id, t.range AS pos, " +
-            s"CAST(floor(CAST(embedding[t.range] AS DOUBLE) * 10000) AS BIGINT) AS fp FROM m$i, range(1, 65) t), " +
-          s"g$i AS (SELECT c_id, pos, CAST(SUM(fp) AS BIGINT) AS s, count(*) AS cnt FROM s$i GROUP BY c_id, pos), " +
-          s"h$i AS (SELECT c_id, max(cnt) AS n, list(s ORDER BY pos) AS ss FROM g$i GROUP BY c_id), " +
-          s"c$i AS (SELECT c_id, n, list_transform(ss, x -> CAST(x AS DOUBLE) / (10000.0 * n)) AS c_vec FROM h$i)"
-        "WITH c0 AS (SELECT vec_id AS c_id, " +
-          "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec " +
-          "FROM embeddings WHERE vec_id < 10), " +
-          iter(1, "c0") + ", " + iter(2, "c1") + ", " + iter(3, "c2") +
-          " SELECT c_id, n, c_vec[1] AS c1, c_vec[2] AS c2 FROM c3 ORDER BY c_id"
-      }),
+      (s, d) => graft.api.AnnIndex.train(T.t(s, d, "embeddings"), k = 10, iters = 3)
+        .select(col("c_id"), col("n"),
+          expr("element_at(c_vec, 1)").as("c1"),
+          expr("element_at(c_vec, 2)").as("c2"))
+        .orderBy("c_id"),
+      Some(oKmeansTrainedPrefix +
+        " SELECT c_id, n, c_vec[1] AS c1, c_vec[2] AS c2 FROM c3 ORDER BY c_id")),
 
     // ---- text analysis -------------------------------------------------
 

@@ -79,9 +79,10 @@ object ScaleProbe {
       "llm_dup_histogram", "llm_gopher_quality", "llm_tokenize_apply",
       "fn_hof_predicates", "llm_dedup_incremental", "llm_contamination_ngram",
       "llm_lsh_precision_audit", "llm_multimodal_resize",
-      // round 5: winnowing/novelty shingle sweeps, the trained-IVF pair,
-      // and the new Round5 text ops under the 20x corpus
-      "llm_winnow_fingerprint", "llm_ngram_novelty")
+      // round 5: winnowing/novelty shingle sweeps and the trained-IVF
+      // pair under the 20x corpus
+      "llm_winnow_fingerprint", "llm_ngram_novelty",
+      "llm_ann_ivf_trained", "llm_ann_ivf_trained_recall")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

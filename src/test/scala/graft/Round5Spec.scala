@@ -64,6 +64,40 @@ class Round5Spec extends AnyFunSuite {
       "inter-group pairs keep the rep distance")
   }
 
+  test("AnnIndex: build/searchIndex round-trip matches the in-memory trained search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString + "/idx"
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+
+    api.AnnIndex.build(emb, dir, k = 10, iters = 3)
+    val probes = emb.where("vec_id = 0")
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val viaIndex = api.AnnIndex.searchIndex(spark, dir, probes, k = 5, nProbe = 2)
+      .select("p_id", "vec_id", "c_id", "rn")
+    val cent = api.AnnIndex.train(emb, 10, 3)
+    val inMem = api.AnnIndex.search(api.AnnIndex.assign(emb, cent), cent, probes, 5, 2)
+      .select("p_id", "vec_id", "c_id", "rn")
+    assert(viaIndex.exceptAll(inMem).isEmpty && inMem.exceptAll(viaIndex).isEmpty,
+      "the persisted index must search exactly like the in-memory trained path")
+    // and the op goes through the same functions — top-5 ids agree
+    val opIds = Registry.byKey("llm_ann_ivf_trained").query(spark, TestSpark.sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex.select("vec_id").collect().map(_.getLong(0)).toSet == opIds)
+
+    // update: fold new vectors in against the FIXED centroids; they are
+    // findable afterwards and centroids are untouched
+    import spark.implicits._
+    val probeRow = emb.where("vec_id = 0").select("embedding").head().getSeq[Float](0)
+    val newVecs = Seq((100000L, probeRow, "x"))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    api.AnnIndex.update(newVecs, dir)
+    val after = api.AnnIndex.searchIndex(spark, dir, probes, k = 5, nProbe = 2)
+    assert(after.where("vec_id = 100000").count() == 1,
+      "an identical-to-probe vector added via update must surface at top rank")
+    assert(api.AnnIndex.readCentroids(spark, dir).exceptAll(cent).isEmpty,
+      "update never moves centroids")
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
