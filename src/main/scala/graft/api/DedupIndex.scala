@@ -51,8 +51,18 @@ object DedupIndex {
   def build(docs: DataFrame, dir: String): Unit =
     minimize(keyed(docs)).write.mode("overwrite").parquet(dir)
 
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    // recovery half of update()'s staged swap: if a crash landed between
+    // the two renames, the previous generation is complete at dir-old
+    val fs = fileSystem(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(s"$dir-old")
+    spark.read.parquet(if (!fs.exists(p) && fs.exists(old)) s"$dir-old" else dir)
+  }
+
+  private def fileSystem(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Verdict per batch doc against the stored index: `exact` (normalized
     * text already present), `near` (word-set signature present), or
@@ -66,11 +76,26 @@ object DedupIndex {
     * is smaller than the corpus by the duplicate factor; at larger scale
     * the same merge partitions by key range and rewrites only changed
     * partitions.
+    *
+    * Durability: the merge is FULLY WRITTEN to a staged sibling
+    * directory before anything existing moves — a failure at any point
+    * leaves a complete generation on disk (current, or `dir-old` during
+    * the swap window, which [[read]] falls back to). The previous
+    * overwrite-in-place guarded by localCheckpoint could lose the index
+    * to a mid-write crash; this never deletes the only copy.
     */
   def update(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val merged = minimize(read(spark, dir).unionByName(keyed(docs)))
-      .localCheckpoint() // pin before overwriting the files being read
-    merged.write.mode("overwrite").parquet(dir)
+    val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
+    minimize(read(spark, dir).unionByName(keyed(docs)))
+      .write.mode("overwrite").parquet(staged)
+    val fs = fileSystem(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(s"$dir-old")
+    fs.delete(old, true)
+    if (fs.exists(cur)) require(fs.rename(cur, old), s"swap: cannot retire $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), cur),
+      s"swap: cannot promote $staged")
+    fs.delete(old, true): Unit
   }
 }

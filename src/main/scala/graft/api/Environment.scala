@@ -64,28 +64,43 @@ final class Environment(val spark: SparkSession) {
 
   /** Batch-incremental run (snapflow's DataBlockLog consumption
     * accounting): produce `name`, keep only rows with `tsCol` past the
-    * stage's high-watermark in the persistent run-log, append them to
-    * `outDir`, and record the consumption as a new run-log entry. Each
-    * call processes exactly the unconsumed rows; re-running with no new
-    * input appends nothing (and logs a zero-row run). The run-log is a
-    * tiny parquet table — one row per (stage, run) — so the consumption
-    * history survives process restarts and is itself queryable; the
-    * data path stays fully distributed.
+    * stage's high-watermark in the persistent run-log, write them to
+    * `outDir` under this run's `run_seq` partition, and record the
+    * consumption as a new run-log entry. Each call processes exactly
+    * the unconsumed rows; re-running with no new input writes nothing
+    * (and logs a zero-row run). The run-log is a tiny parquet table —
+    * one row per (stage, run) — so the consumption history survives
+    * process restarts and is itself queryable; the data path stays
+    * fully distributed.
+    *
+    * Replay safety: the data lands as a DYNAMIC OVERWRITE of the run's
+    * own `run_seq=N` partition, and the run-log entry commits after.
+    * A failure between the two writes re-runs the same run_seq next
+    * time and overwrites its own partition instead of appending a
+    * duplicate — at-least-once execution, exactly-once output.
+    * Concurrency stays single-writer-per-stateDir (two concurrent
+    * writers would claim the same run_seq; that is a coordination
+    * contract, not something two blind writers can resolve).
     */
   def runIncremental(name: String, tsCol: String, stateDir: String, outDir: String): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val last = RunLog.last(spark, stateDir, name)
     val prev = last.map(_.watermark).getOrElse(Long.MinValue)
-    // the new watermark and consumed-row count are OBSERVED on the append
+    val runSeq = last.map(_.runSeq + 1).getOrElse(1L)
+    // the new watermark and consumed-row count are OBSERVED on the write
     // pass itself (executor-side accumulators) — one distributed scan, no
     // separate counting job over the delta
     val obs = new org.apache.spark.sql.Observation()
     produce(name).where(col(tsCol).cast("long") > prev)
       .observe(obs, max(col(tsCol).cast("long")).as("wm"), count(lit(1)).as("n"))
-      .write.mode("append").parquet(outDir)
+      .withColumn("run_seq", lit(runSeq))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_seq")
+      .parquet(outDir)
     val n = obs.get("n").asInstanceOf[Long]
     RunLog.append(spark, stateDir, name,
-      runSeq = last.map(_.runSeq + 1).getOrElse(1L),
+      runSeq = runSeq,
       watermark = Option(obs.get("wm")).map(_.asInstanceOf[Long]).getOrElse(prev),
       rowsConsumed = n)
     n

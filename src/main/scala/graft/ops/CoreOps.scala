@@ -289,16 +289,12 @@ object CoreOps {
     // data path is an ordinary distributed filter-and-append.
     Op("core_incremental_pipeline",
       (s, d) => {
-        // fixed per-sf path, wiped up front: repeated invocations (bench
-        // loops, double verifies) reuse one directory instead of
-        // accumulating orphaned temp state, and the wipe guarantees the
-        // two epochs always start from an empty run-log
-        val tmp = s"target/tmp/incr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
+        // per-invocation unique path (ADVICE r4: a fixed per-sf path let
+        // two concurrent invocations — parallel verify/bench — interleave
+        // the wipe/run-log writes). The JVM-temp dir is tiny (a two-row
+        // run-log plus one orders projection) and dies with the machine's
+        // temp space; uniqueness buys actual isolation.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toString
         def runEpoch(snapshot: org.apache.spark.sql.DataFrame): Long = {
           val env = new graft.api.Environment(s)
           env.addSource("raw", snapshot)

@@ -103,9 +103,16 @@ object Sources {
     // the URL and driver change.
     Op("src_jdbc_roundtrip",
       (s, d) => {
-        System.setProperty("derby.system.home", "target/tmp/derby")
-        new java.io.File("target/tmp/derby").mkdirs()
-        val url = s"jdbc:derby:target/tmp/derby/db_${d.replaceAll("[^A-Za-z0-9]", "_")};create=true"
+        // derby.system.home is JVM-global: set once, never moved (moving
+        // it mid-session orphans open databases). The database itself is
+        // per-invocation unique so concurrent verify/bench runs can't
+        // interleave overwrite-writes into one table (ADVICE r4).
+        if (System.getProperty("derby.system.home") == null) {
+          System.setProperty("derby.system.home", "target/tmp/derby")
+        }
+        new java.io.File(System.getProperty("derby.system.home")).mkdirs()
+        val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+        val url = s"jdbc:derby:db_${d.replaceAll("[^A-Za-z0-9]", "_")}_$nonce;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
         T.t(s, d, "supplier")

@@ -98,6 +98,43 @@ class Round5Spec extends AnyFunSuite {
       "update never moves centroids")
   }
 
+  test("runIncremental replay overwrites its own run partition instead of duplicating") {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    def env = new api.Environment(spark)
+      .addNode("src", Nil)(_ => Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "ts", "v"))
+    assert(env.runIncremental("src", "ts", s"$base/state", s"$base/out") == 2L)
+    // simulate a crash AFTER the data write but BEFORE the run-log
+    // commit: wipe the log so the next run replays the same run_seq
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$base/state"))
+    assert(env.runIncremental("src", "ts", s"$base/state", s"$base/out") == 2L)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 2, "the replayed run_seq=1 partition replaces itself")
+    assert(out.select("id").distinct().count() == 2)
+  }
+
+  test("DedupIndex update survives a crash between the swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swapfx_").toString + "/idx"
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .map { case (id, t) => (id, t, "en", "s", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    api.DedupIndex.build(docs, dir)
+    val before = api.DedupIndex.read(spark, dir).count()
+    // simulate the worst crash window: current generation retired to
+    // dir-old, promotion of the staged dir never happened
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(s"$dir-old")))
+    assert(api.DedupIndex.read(spark, dir).count() == before,
+      "read() must fall back to the retired generation")
+    // and a subsequent update heals the layout: current exists again
+    api.DedupIndex.update(docs, dir)
+    assert(new java.io.File(dir).isDirectory)
+    assert(api.DedupIndex.read(spark, dir).count() == before)
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
