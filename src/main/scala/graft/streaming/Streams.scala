@@ -352,6 +352,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming ingestion dedup — the [[graft.api.DedupIndex]]
+    * check/update loop as a foreachBatch sink, the true ingestion shape
+    * of the one-shot `llm_dedup_incremental` operator: each
+    * micro-batch's verdicts against the persistent index append to
+    * `verdictDir`, then the batch's accepted (`keep`) docs fold into
+    * the index before the next batch arrives — so every batch dedups
+    * against the corpus PLUS everything accepted so far, and the
+    * corpus itself is never rescanned. Check and update both go through
+    * DedupIndex, so the streaming path can never drift from the batch
+    * operator (StreamingParitySpec pins them equal on a one-batch
+    * stream, and pins the accumulation across batches).
+    */
+  def dedupIngestSink(
+      docs: DataFrame,
+      indexDir: String,
+      verdictDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // pin the verdicts before update() swaps index generations, so
+        // nothing downstream re-reads files the swap retires
+        val verdicts = graft.api.DedupIndex.check(batch, indexDir).localCheckpoint()
+        verdicts.write.mode("append").parquet(verdictDir)
+        val accepted = batch.join(
+          verdicts.where("verdict = 'keep'").select("doc_id"), "doc_id")
+        graft.api.DedupIndex.update(accepted, indexDir)
+        ()
+      }
+      .start()
+
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added
     * since the last run, tracked by the checkpoint — then returns.

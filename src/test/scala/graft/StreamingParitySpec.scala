@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, text: String)
+
 /** §2-E parity: each Structured Streaming op over a MemoryStream must
   * equal its batch-equivalent query on the same rows (SURVEY.md §5.4).
   */
@@ -212,6 +214,36 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(good.count() == events.size - nExpectBad)
     assert(bad.where("reject_reasons = ''").isEmpty)
     assert(!good.columns.contains("reject_reasons"))
+  }
+
+  test("foreachBatch dedup ingestion == one-shot incremental op, and accumulates") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val batchRows = docs.where("doc_id % 5 = 0")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val base = s"target/tmp/dedupingest_${System.nanoTime()}"
+    api.DedupIndex.build(docs.where("doc_id % 5 <> 0"), s"$base/idx")
+
+    // phase 1: today's batch as ONE micro-batch -> verdicts must equal
+    // the one-shot operator exactly
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem.addData(batchRows)
+    Streams.dedupIngestSink(mem.toDF(), s"$base/idx", s"$base/v1", s"$base/ckpt1")
+      .awaitTermination()
+    val got = spark.read.parquet(s"$base/v1")
+    val want = Registry.byKey("llm_dedup_incremental").query(spark, TestSpark.sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming verdicts must equal the batch operator")
+
+    // phase 2: replaying the same docs as a LATER batch — everything
+    // accepted in phase 1 is now in the index, so no 'keep' survives
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem2.addData(batchRows)
+    Streams.dedupIngestSink(mem2.toDF(), s"$base/idx", s"$base/v2", s"$base/ckpt2")
+      .awaitTermination()
+    assert(spark.read.parquet(s"$base/v2").where("verdict = 'keep'").isEmpty,
+      "the index must have accumulated phase-1 acceptances")
   }
 
   test("mapGroupsWithState running totals == batch aggregation") {
