@@ -166,16 +166,23 @@ case class AsOfJoinExec(
       advanceRight()
 
       // carried backward candidate. Fixed-width payloads write into one
-      // reused mutable row (zero allocation in the steady state); types
-      // whose generic form would alias the reused shuffle buffer
-      // (strings, binary, nested) must deep-copy per consumed match.
+      // reused mutable row; variable-width payloads (strings, binary,
+      // nested) go through the codegen'd UnsafeProjection and then
+      // UnsafeRow.copyFrom into OUR reused byte buffer — the buffer only
+      // grows when a larger payload arrives, so both paths are
+      // zero-allocation in the steady state (the old form allocated a
+      // fresh UnsafeRow copy per consumed right row).
       val payFixedWidth = pay.forall(a => UnsafeRow.isFixedLength(a.dataType))
       val matchBuf = new GenericInternalRow(pay.length)
       val matchProj: InternalRow => InternalRow =
         if (payFixedWidth) {
           val mp = MutableProjection.create(pay, rOut).target(matchBuf)
           r => mp(r)
-        } else r => payProj(r).copy()
+        } else {
+          val carried = new UnsafeRow(pay.length)
+          carried.pointTo(new Array[Byte](64), 64)
+          r => { carried.copyFrom(payProj(r)); carried }
+        }
       var matchPay: InternalRow = null
       var matchTs: Any = null
       // left key of the group the carried match belongs to; the match

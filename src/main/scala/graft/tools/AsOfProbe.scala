@@ -76,6 +76,22 @@ object AsOfProbe {
         payload = Seq("buy_id"), tiebreak = "buy_id")
         .agg(sum("__match.buy_id")).head.getLong(0)
     }
+
+    // the same 8M/4M merge with a VARIABLE-WIDTH payload — exercises the
+    // carried-match copyFrom path (r4 verdict #8: the old per-consumed-
+    // match UnsafeRow.copy() allocation sat exactly here)
+    val bigRS = bigR.withColumn("tag",
+      concat(lit("tag-"), col("buy_id"), lit("-"), md5(col("buy_id").cast("string"))))
+    time("native-backward-8M-strpay") {
+      AsOf.join(bigL, bigRS, Seq("user_id"), "click_ts", "buy_ts",
+        payload = Seq("buy_id", "tag"), tiebreak = Seq("buy_id"))
+        .agg(sum(length(col("tag")))).head.getLong(0)
+    }
+    time("emulation-backward-8M-strpay") {
+      graft.ops.Joins.asofJoin(bigL, bigRS, "user_id", "click_ts", "buy_ts",
+        payload = Seq("buy_id", "tag"), tiebreak = "buy_id")
+        .agg(sum(length(col("__match.tag")))).head.getLong(0)
+    }
     spark.stop()
   }
 }

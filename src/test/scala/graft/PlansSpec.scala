@@ -19,6 +19,33 @@ class PlansSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("variable-width payload: string-carrying backward as-of == naive theta join") {
+    // exercises the carried-match copyFrom path (fixed-width payloads
+    // take the MutableProjection path instead): random data, string
+    // payload long enough that buffer growth happens mid-partition
+    val rnd = new scala.util.Random(13)
+    val lefts = (1 to 150).map(i => (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(500).toLong))
+      .toDF("k", "lid", "lts")
+    val rights = (1 to 90).map { i =>
+      (rnd.nextInt(5).toLong, 1000L + i, rnd.nextInt(500).toLong,
+        s"payload-${"x" * rnd.nextInt(40)}-$i")
+    }.toDF("k", "rid", "rts", "rtag")
+
+    val got = AsOf.join(lefts, rights, Seq("k"), "lts", "rts",
+        payload = Seq("rid", "rtag"), tiebreak = Seq("rid"))
+      .select("k", "lid", "rid", "rtag")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lid").orderBy(desc_nulls_last("rts"), desc_nulls_last("rid"))
+    val want = lefts.join(rights.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rts") <= col("lts"), "left")
+      .withColumn("rn", row_number().over(w)).where("rn = 1")
+      .select("k", "lid", "rid", "rtag")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+    assert(got == want)
+  }
+
   test("as-of join matches hand-computed expectations incl. ties, equal ts, and missing keys") {
     val clicks = Seq(
       (1L, "u1", ts("2024-01-01 10:00:00")), // before any buy -> null
