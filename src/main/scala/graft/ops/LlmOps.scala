@@ -306,6 +306,47 @@ object LlmOps {
     */
   private val duckTokHash = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
 
+  /** N-gram-heuristic language ID (shared by llm_lang_id and
+    * llm_langid_confusion): top-20 tokens per labeled language form the
+    * profile; a doc's prediction is the profile with most distinct-token
+    * matches (p_lang tiebreak), 'unknown' when nothing matches. Returns
+    * (doc_id, lang, pred_lang, matches).
+    */
+  private[ops] def langIdPredictions(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = T.t(s, d, "documents")
+    val tok = T.spread(docs).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("token"))
+    val wp = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+    val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(wp)).where("rnk <= 20")
+      .select(col("lang").as("p_lang"), col("token"))
+    val docTok = tok.select("doc_id", "token").distinct()
+    val wb = Window.partitionBy("doc_id").orderBy(desc("matches"), col("p_lang"))
+    val best = docTok.join(broadcast(profile), "token")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("matches"))
+      .withColumn("rn", row_number().over(wb)).where("rn = 1")
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("matches"))
+    docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("matches"), lit(0L)).as("matches"))
+  }
+
+  /** DuckDB CTE prefix matching [[langIdPredictions]]; terminal CTE is
+    * `best(doc_id, p_lang, matches)` (join back to documents for the
+    * unmatched-doc 'unknown' fallback).
+    */
+  private[ops] val oLangIdCtes: String =
+    "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "profile AS (SELECT p_lang, token FROM (SELECT lang AS p_lang, token, count(*) AS cnt, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rnk " +
+      "FROM tok GROUP BY lang, token) WHERE rnk <= 20), " +
+      "doctok AS (SELECT DISTINCT doc_id, token FROM tok), " +
+      "scores AS (SELECT doc_id, p_lang, count(*) AS matches FROM doctok JOIN profile USING (token) GROUP BY doc_id, p_lang), " +
+      "best AS (SELECT doc_id, p_lang, matches FROM (SELECT doc_id, p_lang, matches, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, p_lang) AS rn FROM scores) WHERE rn = 1)"
+
   val ops: Seq[Op] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -813,35 +854,9 @@ object LlmOps {
     // tokens per language derived from the corpus itself (pure integer
     // logic, fully deterministic), prediction is the best-overlap language.
     Op("llm_lang_id",
-      (s, d) => {
-        val docs = T.t(s, d, "documents")
-        val tok = T.spread(docs).select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("token"))
-        val wp = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
-        val profile = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-          .withColumn("rnk", row_number().over(wp)).where("rnk <= 20")
-          .select(col("lang").as("p_lang"), col("token"))
-        val docTok = tok.select("doc_id", "token").distinct()
-        val wb = Window.partitionBy("doc_id").orderBy(desc("matches"), col("p_lang"))
-        val best = docTok.join(broadcast(profile), "token")
-          .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("matches"))
-          .withColumn("rn", row_number().over(wb)).where("rn = 1")
-          .select(col("doc_id"), col("p_lang").as("pred_lang"), col("matches"))
-        docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
-            coalesce(col("matches"), lit(0L)).as("matches"))
-          .orderBy("doc_id")
-      },
-      Some("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "profile AS (SELECT p_lang, token FROM (SELECT lang AS p_lang, token, count(*) AS cnt, " +
-        "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rnk " +
-        "FROM tok GROUP BY lang, token) WHERE rnk <= 20), " +
-        "doctok AS (SELECT DISTINCT doc_id, token FROM tok), " +
-        "scores AS (SELECT doc_id, p_lang, count(*) AS matches FROM doctok JOIN profile USING (token) GROUP BY doc_id, p_lang), " +
-        "best AS (SELECT doc_id, p_lang, matches FROM (SELECT doc_id, p_lang, matches, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, p_lang) AS rn FROM scores) WHERE rn = 1) " +
-        "SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unknown') AS pred_lang, " +
+      (s, d) => langIdPredictions(s, d).orderBy("doc_id"),
+      Some(oLangIdCtes +
+        " SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unknown') AS pred_lang, " +
         "COALESCE(b.matches, 0) AS matches FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id " +
         "ORDER BY d.doc_id")),
 

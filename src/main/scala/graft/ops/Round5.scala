@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 operator additions (SURVEY.md §2 F2 continuation).
@@ -107,5 +108,150 @@ object Round5 {
         "SELECT count(*) AS n_probes, 5 AS k, " +
         "CAST(SUM(hits) AS DOUBLE) / (5 * count(*)) AS mean_recall, " +
         "CAST(MIN(hits) AS DOUBLE) / 5 AS min_recall FROM h")),
+
+    // Content-defined chunking (the FastCDC/rsync idea on tokens): a
+    // chunk boundary falls AFTER any token whose 32-bit hash is 0 mod
+    // 16, so chunk boundaries are a function of CONTENT, not position —
+    // an insertion shifts at most one chunk instead of re-windowing the
+    // whole doc, which is what makes chunk-level dedup/storage survive
+    // edits. Expected chunk length 16 tokens. The running boundary
+    // count is a per-doc window (bounded by doc length, never global).
+    Op("llm_cdc_chunk",
+      (s, d) => {
+        val tok = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tok.withColumn("chunk_id",
+            coalesce(sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).over(wDoc), lit(0L)))
+          .groupBy("doc_id", "chunk_id")
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            sum("h").as("tok_sum"), min("h").as("min_h"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("WITH tk AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+        "i -> {'pos': i, 'tok': ts[i + 1]})) AS u " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)), " +
+        "t2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, " +
+        "CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
+        "t3 AS (SELECT doc_id, pos, h, COALESCE(CAST(SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id FROM t2) " +
+        "SELECT doc_id, chunk_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+        "CAST(SUM(h) AS BIGINT) AS tok_sum, min(h) AS min_h " +
+        "FROM t3 GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id")),
+
+    // Deterministic training-order shuffle: every doc gets a
+    // pseudorandom (md5-keyed) position inside one of 8 shards — the
+    // reproducible global shuffle a training loader consumes. The
+    // REFERENCE semantics is one rank per shard (the oracle's single
+    // window); the engine computes it two-level like llm_pack_shards:
+    // rank inside (shard, 2-hex-digit key prefix) plus an exclusive
+    // prefix-sum of the 256-row-per-shard prefix counts — numerically
+    // identical, but the dominant shard splits across 256 window
+    // partitions instead of one (add prefix digits as the corpus
+    // grows).
+    Op("llm_dataset_shuffle",
+      (s, d) => {
+        val base = T.t(s, d, "documents").select("doc_id")
+          .withColumn("hkey", expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)"))
+          .withColumn("shard", expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 8 AS INT)"))
+          .withColumn("pfx", expr("substring(hkey, 1, 2)"))
+        val wOff = Window.partitionBy("shard").orderBy("pfx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = base.groupBy("shard", "pfx").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+          .select("shard", "pfx", "off")
+        val wLocal = Window.partitionBy("shard", "pfx").orderBy("hkey", "doc_id")
+        base.withColumn("lpos", row_number().over(wLocal))
+          .join(offsets, Seq("shard", "pfx"))
+          .select(col("doc_id"), col("shard"),
+            (col("off") + col("lpos") - 1).as("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some("SELECT doc_id, shard, CAST(row_number() OVER " +
+        "(PARTITION BY shard ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos " +
+        "FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hkey, " +
+        "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard " +
+        "FROM documents) ORDER BY shard, pos")),
+
+    // Composite-key as-of through the native merge exec: for each even
+    // event, the latest EARLIER odd event of the same (user_id,
+    // event_type) — "what did this user last do of this kind". Both
+    // sides shuffle once on the two-column key; the oracle is the
+    // window emulation.
+    Op("rel_join_asof_multikey",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val left = ev.where("event_id % 2 = 0")
+          .select("event_id", "user_id", "event_type", "ts")
+        val right = ev.where("event_id % 2 = 1")
+          .select(col("user_id"), col("event_type"), col("ts").as("rts"),
+            col("event_id").as("prev_event_id"), col("value").as("prev_value"))
+        graft.plans.AsOf.join(left, right, Seq("user_id", "event_type"), "ts", "rts",
+            payload = Seq("prev_event_id", "prev_value"), tiebreak = Seq("prev_event_id"))
+          .select("event_id", "user_id", "event_type", "prev_event_id", "prev_value")
+          .orderBy("event_id")
+      },
+      Some("WITH l AS (SELECT event_id, user_id, event_type, ts FROM events WHERE event_id % 2 = 0), " +
+        "r AS (SELECT user_id, event_type, ts AS rts, event_id AS prev_event_id, value AS prev_value " +
+        "FROM events WHERE event_id % 2 = 1), " +
+        "j AS (SELECT l.event_id, l.user_id, l.event_type, r.prev_event_id, r.prev_value, " +
+        "row_number() OVER (PARTITION BY l.event_id ORDER BY r.rts DESC, r.prev_event_id DESC) AS rn " +
+        "FROM l LEFT JOIN r ON l.user_id = r.user_id AND l.event_type = r.event_type AND r.rts <= l.ts) " +
+        "SELECT event_id, user_id, event_type, prev_event_id, prev_value FROM j WHERE rn = 1 " +
+        "ORDER BY event_id")),
+
+    // Embedding mean-centering (the whitening first step SemDeDup-style
+    // pipelines run before cosine comparisons): per-dimension corpus
+    // means via the same floor-scaled integer sums as the k-means
+    // rebuild (exact rationals, bit-identical across engines), then one
+    // broadcast map subtracts them. Output: first two centered dims +
+    // the fixed-point centered norm.
+    Op("llm_embedding_center",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val means = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)")).as("sx"),
+            count(lit(1)).as("n"))
+          .agg(expr("array_sort(collect_list(struct(pos, sx, n)))").as("ss"))
+          .select(expr("transform(ss, e -> CAST(e.sx AS DOUBLE) / (10000.0 * e.n))")
+            .as("mean_vec"))
+        emb.crossJoin(broadcast(means))
+          .select(col("vec_id"),
+            expr("CAST(element_at(embedding, 1) AS DOUBLE) - element_at(mean_vec, 1)").as("c1"),
+            expr("CAST(element_at(embedding, 2) AS DOUBLE) - element_at(mean_vec, 2)").as("c2"),
+            expr("CAST(floor(aggregate(zip_with(embedding, mean_vec, " +
+              "(x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)), " +
+              "CAST(0 AS DOUBLE), (a, v) -> a + v) * 10000 + 0.000001) AS BIGINT)").as("cnorm2_fp"))
+          .orderBy("vec_id")
+      },
+      Some("WITH s AS (SELECT t.range AS pos, " +
+        "CAST(SUM(CAST(floor(CAST(embedding[t.range] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sx, " +
+        "count(*) AS n FROM embeddings, range(1, 65) t GROUP BY pos), " +
+        "m AS (SELECT list(CAST(sx AS DOUBLE) / (10000.0 * n) ORDER BY pos) AS mean_vec FROM s) " +
+        "SELECT vec_id, CAST(embedding[1] AS DOUBLE) - mean_vec[1] AS c1, " +
+        "CAST(embedding[2] AS DOUBLE) - mean_vec[2] AS c2, " +
+        "CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> (CAST(embedding[i] AS DOUBLE) - mean_vec[i]) * " +
+        "(CAST(embedding[i] AS DOUBLE) - mean_vec[i]))), (a, v) -> a + v) * 10000 + 0.000001) AS BIGINT) AS cnorm2_fp " +
+        "FROM embeddings, m ORDER BY vec_id")),
+
+    // Language-ID confusion matrix: the n-gram classifier's predictions
+    // (same shared pipeline as llm_lang_id — they can never drift)
+    // against the labeled lang column — the evaluation table read
+    // before trusting the classifier to route a 100-TB crawl.
+    Op("llm_langid_confusion",
+      (s, d) => LlmOps.langIdPredictions(s, d)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("pred_lang"))
+        .orderBy("lang", "pred_lang"),
+      Some(LlmOps.oLangIdCtes +
+        ", p AS (SELECT d.doc_id, d.lang, COALESCE(b.p_lang, 'unknown') AS pred_lang " +
+        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id) " +
+        "SELECT lang, pred_lang, count(*) AS n, lang = pred_lang AS correct " +
+        "FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang")),
   )
 }

@@ -82,7 +82,9 @@ object ScaleProbe {
       // round 5: winnowing/novelty shingle sweeps and the trained-IVF
       // pair under the 20x corpus
       "llm_winnow_fingerprint", "llm_ngram_novelty",
-      "llm_ann_ivf_trained", "llm_ann_ivf_trained_recall")
+      "llm_ann_ivf_trained", "llm_ann_ivf_trained_recall",
+      "llm_cdc_chunk", "llm_dataset_shuffle", "llm_langid_confusion",
+      "llm_embedding_center", "rel_join_asof_multikey")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
