@@ -94,6 +94,12 @@ object ScaleProbe {
         case e: Throwable =>
           println(s"PROBE $k FAILED: ${e.getMessage.take(200)}")
       }
+      // measurement hygiene: consumed frames' localCheckpoint blocks
+      // linger until the ContextCleaner notices; 70 queries of that in
+      // one JVM turns late keys' numbers into storage-pressure noise
+      // (observed: llm_ann_ivf_trained 33 s in-sequence vs 3.3 s alone)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     // Pathological levenshtein corpus: ONE (lang, n_chars) block holding

@@ -135,6 +135,34 @@ class Round5Spec extends AnyFunSuite {
     assert(api.DedupIndex.read(spark, dir).count() == before)
   }
 
+  test("AnnIndex.searchIndex reads only the probe cells' partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annprune_").toString + "/idx"
+    val emb = Tables.t(spark, TestSpark.sf, "embeddings")
+    api.AnnIndex.build(emb, dir, k = 10, iters = 3)
+    val probes = emb.where("vec_id = 0")
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val search = api.AnnIndex.searchIndex(spark, dir, probes, k = 5, nProbe = 2)
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(search).toString
+    // the assignment scan must carry the cell filter as a PARTITION
+    // filter (c_id is the partition column) — the property that makes
+    // a stored search a 2-cell read instead of a corpus scan
+    assert(plan.contains("PartitionFilters: [c_id#") ||
+      plan.matches("(?s).*PartitionFilters: \\[.*c_id.*IN.*\\].*") ||
+      plan.matches("(?s).*PartitionFilters: \\[.*c_id.*\\].*"),
+      s"expected a c_id partition filter on the assignments scan in:\n${plan.take(3000)}")
+  }
+
+  test("round-5 doc ops survive an empty corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r5empty_").toString
+    Seq.empty[(Long, String, String, String, Int)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (key <- Seq("llm_cdc_chunk", "llm_dataset_shuffle", "llm_langid_confusion")) {
+      assert(Registry.byKey(key).query(spark, dir).count() == 0, key)
+    }
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
