@@ -30,6 +30,40 @@ object Round5 {
       s"(CAST($pEmb[k] AS DOUBLE) - c.c_vec[k]) * " +
       s"(CAST($pEmb[k] AS DOUBLE) - c.c_vec[k]))), (x, y) -> x + y)"
 
+  /** Content-defined chunks (shared by llm_cdc_chunk, llm_chunk_dedup,
+    * and the edit-locality property test): token-hash mod-16
+    * boundaries, one row per (doc_id, chunk_id) with token count and
+    * the (tok_sum, min_h) content fingerprint.
+    */
+  private[ops] def cdcChunks(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tok = T.spread(T.t(s, d, "documents"))
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("chunk_id",
+        coalesce(sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).over(wDoc), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum("h").as("tok_sum"), min("h").as("min_h"))
+  }
+
+  /** DuckDB CTE list matching [[cdcChunks]]; terminal CTE is
+    * `chunks(doc_id, chunk_id, n_tokens, tok_sum, min_h)`.
+    */
+  private val oCdcChunks: String =
+    "tk AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+      "i -> {'pos': i, 'tok': ts[i + 1]})) AS u " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)), " +
+      "t2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, " +
+      "CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
+      "t3 AS (SELECT doc_id, pos, h, COALESCE(CAST(SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id FROM t2), " +
+      "chunks AS (SELECT doc_id, chunk_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
+      "CAST(SUM(h) AS BIGINT) AS tok_sum, min(h) AS min_h FROM t3 GROUP BY doc_id, chunk_id)"
+
   val ops: Seq[Op] = Seq(
 
     // IVF search over the TRAINED index: nearest-2-cells candidate scan
@@ -117,30 +151,43 @@ object Round5 {
     // edits. Expected chunk length 16 tokens. The running boundary
     // count is a per-doc window (bounded by doc length, never global).
     Op("llm_cdc_chunk",
+      (s, d) => cdcChunks(s, d).orderBy("doc_id", "chunk_id"),
+      Some(s"WITH $oCdcChunks " +
+        "SELECT doc_id, chunk_id, n_tokens, tok_sum, min_h " +
+        "FROM chunks ORDER BY doc_id, chunk_id")),
+
+    // Chunk-level dedup — the payoff of content-defined chunking: per
+    // doc, how many of its chunks (by content fingerprint) first
+    // occurred in an EARLIER doc, and the token volume a chunk store
+    // would therefore not re-store. One fingerprint aggregation over
+    // the chunk table; no pair join at any scale.
+    Op("llm_chunk_dedup",
       (s, d) => {
-        val tok = T.spread(T.t(s, d, "documents"))
-          .select(col("doc_id"),
-            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-          .withColumn("h", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        tok.withColumn("chunk_id",
-            coalesce(sum(when(col("h") % 16 === 0, 1L).otherwise(0L)).over(wDoc), lit(0L)))
-          .groupBy("doc_id", "chunk_id")
-          .agg(count(lit(1)).cast("int").as("n_tokens"),
-            sum("h").as("tok_sum"), min("h").as("min_h"))
-          .orderBy("doc_id", "chunk_id")
+        val chunks = cdcChunks(s, d)
+        val first = chunks.groupBy("n_tokens", "tok_sum", "min_h")
+          .agg(min("doc_id").as("first_doc"))
+        chunks.join(first, Seq("n_tokens", "tok_sum", "min_h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_chunks"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_chunks"),
+            sum(expr("CAST(n_tokens AS BIGINT)")).as("n_tokens_total"),
+            sum(when(col("first_doc") < col("doc_id"),
+              expr("CAST(n_tokens AS BIGINT)")).otherwise(0L)).as("n_tokens_dedup"))
+          .withColumn("savings",
+            expr("floor(CAST(n_tokens_dedup AS DOUBLE) / n_tokens_total * 1000000) / 1000000"))
+          .orderBy("doc_id")
       },
-      Some("WITH tk AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
-        "i -> {'pos': i, 'tok': ts[i + 1]})) AS u " +
-        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)), " +
-        "t2 AS (SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, " +
-        "CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS BIGINT) AS h FROM tk), " +
-        "t3 AS (SELECT doc_id, pos, h, COALESCE(CAST(SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) " +
-        "OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id FROM t2) " +
-        "SELECT doc_id, chunk_id, CAST(count(*) AS INTEGER) AS n_tokens, " +
-        "CAST(SUM(h) AS BIGINT) AS tok_sum, min(h) AS min_h " +
-        "FROM t3 GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id")),
+      Some(s"WITH $oCdcChunks, " +
+        "f AS (SELECT n_tokens, tok_sum, min_h, min(doc_id) AS first_doc " +
+        "FROM chunks GROUP BY n_tokens, tok_sum, min_h) " +
+        "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total, " +
+        "CAST(SUM(CASE WHEN first_doc < doc_id THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_dedup, " +
+        "floor(CAST(SUM(CASE WHEN first_doc < doc_id THEN n_tokens ELSE 0 END) AS DOUBLE) " +
+        "/ SUM(n_tokens) * 1000000) / 1000000 AS savings " +
+        "FROM chunks JOIN f USING (n_tokens, tok_sum, min_h) " +
+        "GROUP BY doc_id ORDER BY doc_id")),
 
     // Deterministic training-order shuffle: every doc gets a
     // pseudorandom (md5-keyed) position inside one of 8 shards — the

@@ -163,6 +163,35 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking edit locality: one edited token perturbs at most 2 chunks per side") {
+    // the defining guarantee of content-defined chunking (vs fixed
+    // windows, where one edit shifts EVERY later window): an edit can
+    // change only the chunk containing it, plus one split/merge at its
+    // boundary — so the chunk-fingerprint symmetric difference between
+    // original and edited doc is <= 2 on each side. 8 random pairs run
+    // through the REAL operator in one fixture.
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val pairs = (0 until 8).map { p =>
+      val toks = (0 until (20 + rnd.nextInt(60))).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val pos = rnd.nextInt(toks.size)
+      val edited = toks.updated(pos, s"edit${p}x")
+      (2L * p, toks.mkString(" "), 2L * p + 1, edited.mkString(" "))
+    }
+    val dir = writeDocs(pairs.flatMap { case (i1, t1, i2, t2) => Seq(i1 -> t1, i2 -> t2) })
+    val byDoc = Registry.byKey("llm_cdc_chunk").query(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    pairs.foreach { case (i1, _, i2, _) =>
+      val a = byDoc(i1); val b = byDoc(i2)
+      def minus(x: Seq[(Int, Long, Long)], y: Seq[(Int, Long, Long)]) =
+        y.foldLeft(x) { (acc, e) => acc.diff(Seq(e)) }
+      assert(minus(a, b).size <= 2 && minus(b, a).size <= 2,
+        s"docs $i1/$i2 differ in one token but ${minus(a, b).size}/${minus(b, a).size} chunks changed")
+    }
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
