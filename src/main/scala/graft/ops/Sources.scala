@@ -48,6 +48,22 @@ object Sources {
     s.read.schema(schema).json(tmp).orderBy("r_regionkey")
   }
 
+  /** XML leg (Spark 4 native StAX source — no external package): write
+    * region as row-per-record XML, read back with a declared schema.
+    * The remaining format a warehouse exchange actually ships.
+    */
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"target/tmp/xml_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    T.t(s, d, "region").write.mode("overwrite")
+      .option("rootTag", "regions").option("rowTag", "region")
+      .format("xml").save(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).option("rowTag", "region").format("xml").load(tmp)
+      .orderBy("r_regionkey")
+  }
+
   private def parquetSink(s: SparkSession, d: String): DataFrame = {
     val tmp = s"target/tmp/snk_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     T.t(s, d, "supplier").write.mode("overwrite").parquet(tmp)
@@ -128,6 +144,10 @@ object Sources {
 
     Op("src_json_roundtrip",
       jsonRoundtrip,
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    Op("src_xml_roundtrip",
+      xmlRoundtrip,
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
     // generator source: deterministic synthetic rows from a range — the
