@@ -347,6 +347,21 @@ object LlmOps {
       "best AS (SELECT doc_id, p_lang, matches FROM (SELECT doc_id, p_lang, matches, " +
       "row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, p_lang) AS rn FROM scores) WHERE rn = 1)"
 
+  /** DuckDB CTE list for the 20-token shared-window (exact-substring)
+    * pairs; terminal CTE is `spairs(d1, d2, n_shared)`. Shared by
+    * llm_dedup_substring and the composed llm_dedup_verdicts oracle.
+    * MUST be declared before `ops` (vals initialize in order).
+    */
+  private[ops] val oSubstringCtes: String =
+    "w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+      "WHERE len(toks) >= 20), " +
+      "rare AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 256), " +
+      "wr AS (SELECT doc_id, w FROM w JOIN rare USING (w)), " +
+      "spairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared " +
+      "FROM wr x JOIN wr y ON x.w = y.w AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+
   val ops: Seq[Op] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -1799,14 +1814,7 @@ object LlmOps {
         out.orderBy("d1", "d2")
         }
       },
-      Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
-        "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
-        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
-        "WHERE len(toks) >= 20), " +
-        "rare AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 256), " +
-        "wr AS (SELECT doc_id, w FROM w JOIN rare USING (w)) " +
-        "SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared " +
-        "FROM wr x JOIN wr y ON x.w = y.w AND x.doc_id < y.doc_id " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")),
+      Some("WITH " + oSubstringCtes +
+        " SELECT d1, d2, n_shared FROM spairs ORDER BY d1, d2")),
   )
 }

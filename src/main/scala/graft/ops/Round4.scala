@@ -46,6 +46,33 @@ object Round4 {
     (base, cand)
   }
 
+  /** DuckDB CTE list replaying the full MinHash-LSH + exact-jaccard
+    * verify pipeline; terminal CTE is `mvpairs(d1, d2, jaccard)`.
+    * Shared by llm_minhash_verified and the round-5 composed
+    * llm_dedup_verdicts oracle.
+    */
+  private[ops] val oMinhashVerifiedCtes: String =
+    "ths AS (SELECT doc_id, list_transform(" +
+      "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+      "tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS ths " +
+      "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
+      "sigs AS (SELECT doc_id, ths, list_reduce(list_prepend(" +
+      "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
+      "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
+      "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
+      "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
+      "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
+      "banded AS (SELECT doc_id, b.band AS band, " +
+      "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
+      "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
+      "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id), " +
+      "mvpairs AS (SELECT d1, d2, jaccard FROM (" +
+      "SELECT d1, d2, CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE) / " +
+      "(len(a.ths) + len(b.ths) - len(list_intersect(a.ths, b.ths))) AS jaccard " +
+      "FROM cand JOIN ths a ON cand.d1 = a.doc_id JOIN ths b ON cand.d2 = b.doc_id) " +
+      "WHERE jaccard >= 0.5)"
+
   /** Winnowing building blocks (k=3 token shingles, window w=8) —
     * shared by the operator and the guarantee property test, which
     * asserts the scheme's defining invariant (shared runs of >= k+w-1
@@ -242,26 +269,8 @@ object Round4 {
         base.unpersist()
         out.orderBy("d1", "d2")
       },
-      Some("WITH ths AS (SELECT doc_id, list_transform(" +
-        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
-        "tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS ths " +
-        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
-        "sigs AS (SELECT doc_id, ths, list_reduce(list_prepend(" +
-        "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
-        "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
-        "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
-        "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
-        "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
-        "banded AS (SELECT doc_id, b.band AS band, " +
-        "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
-        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y " +
-        "ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id) " +
-        "SELECT d1, d2, jaccard FROM (" +
-        "SELECT d1, d2, CAST(len(list_intersect(a.ths, b.ths)) AS DOUBLE) / " +
-        "(len(a.ths) + len(b.ths) - len(list_intersect(a.ths, b.ths))) AS jaccard " +
-        "FROM cand JOIN ths a ON cand.d1 = a.doc_id JOIN ths b ON cand.d2 = b.doc_id) " +
-        "WHERE jaccard >= 0.5 ORDER BY d1, d2")),
+      Some("WITH " + Round4.oMinhashVerifiedCtes +
+        " SELECT d1, d2, jaccard FROM mvpairs ORDER BY d1, d2")),
 
     // Duplicate-group-size histogram: how many identical-text groups of
     // each multiplicity the corpus holds, plus the doc and share view —

@@ -286,6 +286,54 @@ object Round5 {
         "(CAST(embedding[i] AS DOUBLE) - mean_vec[i]))), (a, v) -> a + v) * 10000 + 0.000001) AS BIGINT) AS cnorm2_fp " +
         "FROM embeddings, m ORDER BY vec_id")),
 
+    // The one-stop dedup decision a curation pipeline actually ships:
+    // per doc, keep/drop with the STRONGEST signal that condemned it —
+    // exact (normalized-text group, priority 1) beats near
+    // (MinHash-LSH candidates verified by exact jaccard, priority 2)
+    // beats substring (shared 20-token window, priority 3) — plus the
+    // owning representative id. Composes the three existing generators
+    // (each bucketed/verified exactly as its standalone op; the
+    // registry functions are reused directly, so this op can never
+    // drift from them). Every doc appears exactly once.
+    Op("llm_dedup_verdicts",
+      (s, d) => {
+        val docs = T.t(s, d, "documents")
+        val keyed = docs.select(col("doc_id"),
+          sha2(lower(trim(col("text"))), 256).as("h"))
+        val exactRep = keyed.groupBy("h").agg(min("doc_id").as("exact_rep"))
+        val nearMin = graft.Registry.byKey("llm_minhash_verified").query(s, d)
+          .groupBy(col("d2").as("doc_id")).agg(min("d1").as("near_rep"))
+        val subMin = graft.Registry.byKey("llm_dedup_substring").query(s, d)
+          .groupBy(col("d2").as("doc_id")).agg(min("d1").as("sub_rep"))
+        keyed.join(exactRep, "h")
+          .join(nearMin, Seq("doc_id"), "left")
+          .join(subMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("exact_rep") < col("doc_id"), "exact")
+              .when(col("near_rep").isNotNull, "near")
+              .when(col("sub_rep").isNotNull, "substring")
+              .otherwise("keep").as("verdict"),
+            when(col("exact_rep") < col("doc_id"), col("exact_rep"))
+              .when(col("near_rep").isNotNull, col("near_rep"))
+              .otherwise(col("sub_rep")).as("match_id"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + Round4.oMinhashVerifiedCtes + ", " + LlmOps.oSubstringCtes + ", " +
+        "ek AS (SELECT doc_id, lower(trim(text)) AS h FROM documents), " +
+        "er AS (SELECT h, min(doc_id) AS exact_rep FROM ek GROUP BY h), " +
+        "nm AS (SELECT d2 AS doc_id, min(d1) AS near_rep FROM mvpairs GROUP BY d2), " +
+        "sm AS (SELECT d2 AS doc_id, min(d1) AS sub_rep FROM spairs GROUP BY d2) " +
+        "SELECT ek.doc_id, " +
+        "CASE WHEN exact_rep < ek.doc_id THEN 'exact' " +
+        "WHEN near_rep IS NOT NULL THEN 'near' " +
+        "WHEN sub_rep IS NOT NULL THEN 'substring' ELSE 'keep' END AS verdict, " +
+        "CASE WHEN exact_rep < ek.doc_id THEN exact_rep " +
+        "WHEN near_rep IS NOT NULL THEN near_rep ELSE sub_rep END AS match_id " +
+        "FROM ek JOIN er USING (h) " +
+        "LEFT JOIN nm ON ek.doc_id = nm.doc_id " +
+        "LEFT JOIN sm ON ek.doc_id = sm.doc_id " +
+        "ORDER BY ek.doc_id")),
+
     // Language-ID confusion matrix: the n-gram classifier's predictions
     // (same shared pipeline as llm_lang_id — they can never drift)
     // against the labeled lang column — the evaluation table read

@@ -21,6 +21,13 @@ class OpsSpec extends AnyFunSuite {
     // without an oracle silently downgrades its check and fails here
     val missing = Registry.all.filter(_.oracle.isEmpty).map(_.key)
     assert(missing.isEmpty, s"ops without oracles: $missing")
+    // object-initialization-order guard: an oracle built from a shared
+    // CTE val declared AFTER `ops` captures the literal string "null"
+    // (seen live with oSubstringCtes) — every oracle keeps uppercase
+    // NULL, so a lowercase standalone token is always that bug
+    val nullCaptured = Registry.all.filter(_.oracle.exists(
+      _.matches("(?s).*(?<![A-Za-z_])null(?![A-Za-z_(]).*"))).map(_.key)
+    assert(nullCaptured.isEmpty, s"oracles with captured-null fragments: $nullCaptured")
   }
 
   test("entry returns rows") {
