@@ -84,7 +84,8 @@ object ScaleProbe {
       "llm_winnow_fingerprint", "llm_ngram_novelty",
       "llm_ann_ivf_trained", "llm_ann_ivf_trained_recall",
       "llm_cdc_chunk", "llm_dataset_shuffle", "llm_langid_confusion",
-      "llm_embedding_center", "rel_join_asof_multikey", "llm_chunk_dedup")
+      "llm_embedding_center", "rel_join_asof_multikey", "llm_chunk_dedup",
+      "llm_dedup_verdicts")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
