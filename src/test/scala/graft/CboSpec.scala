@@ -75,6 +75,52 @@ class CboSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog stats drive join reorder: the selective dimension joins first") {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // pure SMJ tree
+      val dir = "/root/testdata/sf0.01"
+      for (t <- Seq("lineitem_cbo" -> "lineitem", "orders_cbo2" -> "orders",
+          "customer_cbo2" -> "customer")) {
+        spark.sql(s"DROP TABLE IF EXISTS ${t._1}")
+        api.Stats.registerParquetTable(spark, t._1, s"$dir/${t._2}.parquet")
+      }
+      // written in the WORST order: the two big facts join first, the
+      // tiny filtered dimension last
+      val q = "SELECT count(*) AS n FROM lineitem_cbo l " +
+        "JOIN orders_cbo2 o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer_cbo2 c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_custkey <= 15"
+      def bottomJoinTables(): Set[String] = {
+        val plan = GraftSqlBridge.executedPlan(spark.sql(q))
+        // innermost join = the one whose children contain no other join
+        val joins = plan.collect { case j: SortMergeJoinExec => j }
+        val inner = joins.filter(j => collectJoins(j.left).isEmpty && collectJoins(j.right).isEmpty)
+        inner.flatMap(_.collectLeaves().map(_.toString)).flatMap { s =>
+          Seq("lineitem_cbo", "orders_cbo2", "customer_cbo2").filter(s.contains)
+        }.toSet
+      }
+      assert(bottomJoinTables() == Set("lineitem_cbo", "orders_cbo2"),
+        "without stats the syntactic order stands: facts join first")
+      Seq("lineitem_cbo", "orders_cbo2", "customer_cbo2")
+        .foreach(api.Stats.analyze(spark, _))
+      assert(bottomJoinTables() == Set("orders_cbo2", "customer_cbo2"),
+        "with row counts + NDV the reorderer joins the filtered dimension first")
+    } finally {
+      Seq("lineitem_cbo", "orders_cbo2", "customer_cbo2")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("columnStats one-scan frame matches direct per-column aggregates") {
     val df = Tables.t(spark, TestSpark.sf, "orders")
     val got = api.Stats.columnStats(df, Seq("o_custkey", "o_orderstatus"))
