@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the dedup-clustering ops.
+  *
+  * The one that matters at 100 TB is min-label connected components:
+  * pairwise near-dup hits (from ANY generator — jaccard inverted index,
+  * MinHash+verify, substring windows) become dedup groups by taking
+  * each component's minimum doc id as the group label.
+  */
+object GraphOps {
+
+  /** Min-label connected components over an undirected pair list.
+    *
+    * `pairs` carries one row per undirected edge as (d1, d2); nodes are
+    * the edge endpoints plus `extraNodes` (single-column frames of ids
+    * — isolated nodes that must still receive their own label, e.g. the
+    * self-connected duplicate groups of llm_dedup_cluster). Returns
+    * (id, lbl) with lbl = the component's minimum id, localCheckpointed
+    * (safe to use after the caller releases `pairs`).
+    *
+    * Shape: bounded min-label propagation — each round is ONE join +
+    * ONE aggregate over the self-looped edge list (the self-loop
+    * carries the node's own label into the min and doubles as the
+    * fixed-point signal), seeded with the neighborhood minimum so
+    * cliques converge in a single confirming round; non-clique chains
+    * pointer-double between rounds, so convergence is O(log diameter)
+    * and the 16-round cap covers any graph this side of 2^16 hops.
+    * Throws rather than return truncated labels. At 100 TB this is the
+    * alternating large-star/small-star shape; per-round frames persist
+    * so lineage stays flat, and every internal cache is released.
+    */
+  def connectedComponents(pairs: DataFrame, extraNodes: Seq[DataFrame] = Nil): DataFrame = {
+    val nodes = extraNodes
+      .map(_.toDF("d1"))
+      .foldLeft(pairs.select(col("d1")).unionByName(pairs.select(col("d2").as("d1"))))(
+        _.unionByName(_))
+      .distinct()
+    val edges = pairs.select("d1", "d2")
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = edges.groupBy(col("d1").as("id")).agg(min("d2").as("lbl"))
+      .persist()
+    var cached = labels // the frame actually holding the cache
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 16) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "d2"), "d2")
+        .groupBy(col("d1").as("id"))
+        .agg(min("lbl").as("lbl"),
+          min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
+        .persist()
+      converged = prop.where("lbl < old").isEmpty
+      cached.unpersist()
+      if (converged) {
+        cached = prop
+        labels = prop.select("id", "lbl")
+      } else {
+        // pointer-jump: follow each node's new label to THAT node's new
+        // label; labels only ever point at node ids, so the self-join
+        // is total and chain depth halves per round
+        val jumped = prop.as("c")
+          .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
+          .select(col("id"), col("lbl2").as("lbl"))
+          .persist()
+        prop.unpersist()
+        cached = jumped
+        labels = jumped
+      }
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: min-label propagation not converged after $rounds rounds " +
+          "(component diameter > 2^16?) — refusing to return truncated labels")
+    val out = labels.select("id", "lbl").localCheckpoint()
+    cached.unpersist()
+    edges.unpersist()
+    out
+  }
+}

@@ -593,66 +593,12 @@ object LlmOps {
           .join(counts, "doc_id").join(rareCounts, "doc_id")
           .where("3 * r_sh >= n_sh")
           .select(col("doc_id").as("d1"))
-        val nodes = pairs.select(col("d1")).unionByName(pairs.select(col("d2").as("d1")))
-          .unionByName(selfGroups).distinct()
-        // undirected edge list WITH self-loops: each round is then ONE
-        // join + ONE aggregate (the self-loop carries the node's own
-        // label into the same min, and doubles as the `old` value for
-        // the fixed-point test) instead of two joins per round.
-        val edges = pairs
-          .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-          .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
-          .persist()
-        // seed with the neighborhood minimum: labels start as own-id, so
-        // round 1's neighborhood-min-of-labels is just min-neighbor-id —
-        // one aggregate over the self-looped edge list, no join. Cliques
-        // (the common near-dup shape) then converge in the single
-        // confirming loop round.
-        var labels = edges.groupBy(col("d1").as("id")).agg(min("d2").as("lbl"))
-          .persist()
-        var cached = labels // the frame actually holding the cache
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 16) {
-          val prop = edges
-            .join(labels.withColumnRenamed("id", "d2"), "d2")
-            .groupBy(col("d1").as("id"))
-            .agg(min("lbl").as("lbl"),
-              min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
-            .persist()
-          converged = prop.where("lbl < old").isEmpty
-          cached.unpersist()
-          if (converged) {
-            cached = prop
-            labels = prop.select("id", "lbl")
-          } else {
-            // pointer-jump (pointer doubling) before the next round:
-            // follow each node's new label to THAT node's new label.
-            // Labels only ever point at node ids, so the self-join is
-            // total; chain depth halves per round and convergence is
-            // O(log diameter) — the 16-round cap then covers any graph
-            // this side of 2^16 hops instead of silently truncating a
-            // >16-diameter chain. Cliques (the common near-dup shape)
-            // converge on the first propagation and never pay this join.
-            val jumped = prop.as("c")
-              .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
-              .select(col("id"), col("lbl2").as("lbl"))
-              .persist()
-            prop.unpersist()
-            cached = jumped
-            labels = jumped
-          }
-          rounds += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"llm_dedup_cluster: min-label propagation not converged after $rounds rounds " +
-              "(component diameter > 2^16?) — refusing to return truncated cluster ids")
-        // pin the converged labels and the gid->representative map (both
-        // small: one row per node / per distinct text, no payload), then
-        // release every intermediate cache — without this, each
-        // invocation leaked sid/shRare/pairs/edges partitions.
-        val finalLabels = labels.localCheckpoint()
+        // bounded min-label propagation with pointer doubling — the
+        // shared GraphOps primitive (llm_minhash_cluster runs the same
+        // loop over the MinHash-verified pair graph). Labels and the
+        // gid->representative map are small (one row per node / per
+        // distinct text); every intermediate cache is released.
+        val finalLabels = GraphOps.connectedComponents(pairs, Seq(selfGroups))
         // expand representative labels back to every member of the group
         // (identity when every doc is its own representative)
         val expanded =
@@ -665,8 +611,7 @@ object LlmOps {
               .join(finalLabels.withColumnRenamed("id", "rep"), "rep")
               .select(col("doc_id"), col("lbl").as("cluster"))
           }
-        cached.unpersist()
-        Seq(sid, shRare, pairs, edges, gidRep).foreach(_.unpersist())
+        Seq(sid, shRare, pairs, gidRep).foreach(_.unpersist())
         expanded.orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + oJaccardPairs + ", " +

@@ -286,6 +286,27 @@ object Round5 {
         "(CAST(embedding[i] AS DOUBLE) - mean_vec[i]))), (a, v) -> a + v) * 10000 + 0.000001) AS BIGINT) AS cnorm2_fp " +
         "FROM embeddings, m ORDER BY vec_id")),
 
+    // Connected components over the MinHash-VERIFIED pair graph: the
+    // grouping step of the LSH dedup pipeline (llm_dedup_cluster is
+    // the same step over the exact-jaccard inverted-index graph). Both
+    // run GraphOps.connectedComponents — one shared, convergence-
+    // checked label-propagation primitive for every pair generator.
+    Op("llm_minhash_cluster",
+      (s, d) => {
+        val pairs = graft.Registry.byKey("llm_minhash_verified").query(s, d)
+          .select("d1", "d2").persist()
+        val labels = GraphOps.connectedComponents(pairs)
+        pairs.unpersist()
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + Round4.oMinhashVerifiedCtes + ", " +
+        "edges AS (SELECT d1, d2 FROM mvpairs UNION ALL SELECT d2, d1 FROM mvpairs), " +
+        "gnodes AS (SELECT DISTINCT d1 AS id FROM edges), " +
+        "reach(id, lbl) AS (SELECT id, id FROM gnodes " +
+        "UNION SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY doc_id")),
+
     // The one-stop dedup decision a curation pipeline actually ships:
     // per doc, keep/drop with the STRONGEST signal that condemned it —
     // exact (normalized-text group, priority 1) beats near
