@@ -192,6 +192,39 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("GraphOps.connectedComponents == union-find reference on random graphs") {
+    val rnd = new scala.util.Random(41)
+    (1 to 4).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until (n / 2 + rnd.nextInt(n)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val isolated = (n.toLong until n + 3L) // extra nodes with no edges
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      (edges.flatMap { case (a, b) => Seq(a, b) } ++ isolated).foreach(find)
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      // min-label invariant: the reference root IS the component min
+      val minOf = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val wantMin = want.map { case (x, r) => x -> minOf(r) }
+
+      val got = ops.GraphOps.connectedComponents(
+          edges.toDF("d1", "d2"), Seq(isolated.toDF("d1")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantMin)
+    }
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
