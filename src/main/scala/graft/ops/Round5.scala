@@ -355,6 +355,89 @@ object Round5 {
         "LEFT JOIN sm ON ek.doc_id = sm.doc_id " +
         "ORDER BY ek.doc_id")),
 
+    // Language-RELATIVE quality gating: a fixed global threshold
+    // over-prunes low-resource languages, so the gate is each doc's
+    // score against its own language's 25th percentile. Score is a
+    // fixed-point integer (mean word length x 1e6), so the interpolated
+    // quantile (int + 0.25 * int-delta) is exact in binary on both
+    // engines and the boundary comparison can never drift.
+    Op("llm_quality_percentile_gate",
+      (s, d) => {
+        val sc = T.t(s, d, "documents").select(col("doc_id"), col("lang"),
+          expr("CAST(floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) " +
+            "/ size(split(text, ' ')) * 1000000) AS BIGINT)").as("score_fp"))
+        val th = sc.groupBy("lang").agg(expr("percentile(score_fp, 0.25)").as("p25"))
+        sc.join(th, "lang")
+          .select(col("doc_id"), col("lang"), col("score_fp"), col("p25"),
+            (col("score_fp") >= col("p25")).as("pass"))
+          .orderBy("doc_id")
+      },
+      Some("WITH sc AS (SELECT doc_id, lang, " +
+        "CAST(floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) * 1000000) AS BIGINT) AS score_fp FROM documents), " +
+        "th AS (SELECT lang, quantile_cont(score_fp, 0.25) AS p25 FROM sc GROUP BY lang) " +
+        "SELECT doc_id, sc.lang, score_fp, p25, score_fp >= p25 AS pass " +
+        "FROM sc JOIN th ON sc.lang = th.lang ORDER BY doc_id")),
+
+    // Pre-join skew diagnostic: the per-key cardinality profile read
+    // BEFORE choosing salting / AQE skew handling for a 100-TB join —
+    // top-5 heaviest keys with their share of the table, plus the
+    // key-count/max context on every row. One aggregation + a bounded
+    // TakeOrdered; nothing wide ever leaves the executors.
+    Op("core_partition_skew_report",
+      (s, d) => {
+        val counts = T.t(s, d, "orders")
+          .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("cnt"))
+        val totals = counts.agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"), max("cnt").as("max_cnt"))
+        counts.orderBy(desc("cnt"), col("key")).limit(5)
+          .crossJoin(broadcast(totals))
+          .select(col("key"), col("cnt"),
+            expr("floor(CAST(cnt AS DOUBLE) / n_rows * 1000000) / 1000000").as("share"),
+            col("n_keys"), col("max_cnt"))
+          .orderBy(desc("cnt"), col("key"))
+      },
+      Some("WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey), " +
+        "t AS (SELECT count(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+        "CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c) " +
+        "SELECT key, cnt, floor(CAST(cnt AS DOUBLE) / n_rows * 1000000) / 1000000 AS share, " +
+        "n_keys, max_cnt FROM c, t ORDER BY cnt DESC, key LIMIT 5")),
+
+    // Token-frequency drift between the train and validation slices
+    // (doc_id mod 10: 0-7 train, 8-9 val) — the distribution-shift
+    // check run before trusting a held-out split. Drift ranks by the
+    // EXACT integer cross product |c_t * n_v - c_v * n_t| (no double
+    // subtraction ordering to diverge); probabilities are exact
+    // integer ratios.
+    Op("llm_token_freq_drift",
+      (s, d) => {
+        val tok = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+          .withColumn("slice", when(col("doc_id") % 10 < 8, "train").otherwise("val"))
+        val f = tok.groupBy("token").agg(
+          sum(when(col("slice") === "train", 1L).otherwise(0L)).as("c_t"),
+          sum(when(col("slice") === "val", 1L).otherwise(0L)).as("c_v"))
+        val n = tok.groupBy().agg(
+          sum(when(col("slice") === "train", 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("slice") === "val", 1L).otherwise(0L)).as("n_v"))
+        f.crossJoin(broadcast(n))
+          .withColumn("drift_x", expr("abs(c_t * n_v - c_v * n_t)"))
+          .select(col("token"), col("c_t"), col("c_v"),
+            expr("CAST(c_t AS DOUBLE) / n_t").as("p_train"),
+            expr("CAST(c_v AS DOUBLE) / n_v").as("p_val"),
+            col("drift_x"))
+          .orderBy(desc("drift_x"), col("token")).limit(20)
+      },
+      Some("WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token, " +
+        "CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS slice FROM documents), " +
+        "f AS (SELECT token, CAST(SUM(CASE WHEN slice = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_t, " +
+        "CAST(SUM(CASE WHEN slice = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_v FROM tok GROUP BY token), " +
+        "n AS (SELECT CAST(SUM(CASE WHEN slice = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(SUM(CASE WHEN slice = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_v FROM tok) " +
+        "SELECT token, c_t, c_v, CAST(c_t AS DOUBLE) / n_t AS p_train, " +
+        "CAST(c_v AS DOUBLE) / n_v AS p_val, abs(c_t * n_v - c_v * n_t) AS drift_x " +
+        "FROM f, n ORDER BY drift_x DESC, token LIMIT 20")),
+
     // Language-ID confusion matrix: the n-gram classifier's predictions
     // (same shared pipeline as llm_lang_id — they can never drift)
     // against the labeled lang column — the evaluation table read
