@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round-5 second batch (SURVEY.md §2 F2 continuation): pipeline-ops a
+  * 100-TB corpus migration/curation actually runs — content checksums
+  * for cross-engine validation, z-order clustering for multi-dimension
+  * data skipping, LSH design-point tuning, Heaps'-law vocabulary
+  * growth, and class-balance weights.
+  */
+object Round5b {
+
+  /** Per-lang commutative content digest (shared by core_row_checksum
+    * and Streams.checksumSink so the streaming twin can never drift
+    * from the batch op): bit_xor + modular sum over a 60-bit md5 row
+    * hash. Both digests are associative and commutative, so digests of
+    * disjoint batches FOLD into the corpus digest — the property the
+    * incremental/streaming path relies on.
+    */
+  private[graft] def rowDigest(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("h", expr(
+        "CAST(conv(substring(md5(concat_ws('|', CAST(doc_id AS STRING), text)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("digest_xor"),
+        sum(expr("h % 100000007")).as("digest_sum"))
+
+  /** Fold per-batch digest rows (the exact [[rowDigest]] schema) into
+    * the corpus digest: xor of xors, sum of counts/sums.
+    */
+  private[graft] def foldDigests(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.groupBy("lang")
+      .agg(sum("n_rows").as("n_rows"),
+        expr("bit_xor(digest_xor)").as("digest_xor"),
+        sum("digest_sum").as("digest_sum"))
+
+  val ops: Seq[Op] = Seq(
+
+    // Order-independent content digest per language slice — the check a
+    // migration (engine A -> engine B, or one 100-TB copy vs another)
+    // runs to prove the corpora are IDENTICAL without sorting or
+    // co-locating either side. Two commutative digests over a 60-bit
+    // md5-derived row hash: bit_xor (overflow-free at any row count)
+    // and a modular sum (mod 1e8+7 keeps SUM under 2^63 past 10^10
+    // rows). One hash-agg, no shuffle wider than the lang key; any
+    // row-order / partitioning / file-layout difference cancels out.
+    Op("core_row_checksum",
+      (s, d) => rowDigest(T.t(s, d, "documents")).orderBy("lang"),
+      Some("WITH h AS (SELECT lang, " +
+        "CAST(concat('0x', substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS h " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS n_rows, bit_xor(h) AS digest_xor, " +
+        "CAST(SUM(h % 100000007) AS BIGINT) AS digest_sum " +
+        "FROM h GROUP BY lang ORDER BY lang")),
+
+    // Z-order clustering: interleave the bits of two binned dimensions
+    // (customer, total price) into one Morton key, so ONE range
+    // partitioning / sorted write clusters the data in BOTH dimensions
+    // at once — parquet min/max row-group stats then skip files for
+    // predicates on either column (the Delta/Iceberg OPTIMIZE ZORDER
+    // idea, done with plain integer arithmetic Catalyst folds into
+    // codegen). The report aggregates per z-range bucket and shows the
+    // locality: within a bucket both dimension spans stay bounded
+    // (high z-bits pin the high bits of BOTH inputs), which is exactly
+    // why min/max pruning works on either predicate after clustering.
+    Op("core_zorder_cluster",
+      (s, d) => {
+        val pbE = "CAST(least(15, floor(o_totalprice / 31250)) AS BIGINT)"
+        val cbE = "CAST(floor(o_custkey / 10) AS BIGINT)"
+        val z = (0 to 3).map(i =>
+          s"(CAST(floor(cb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i)} + " +
+          s"(CAST(floor(pb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        T.t(s, d, "orders")
+          .select(expr(pbE).as("pb"), expr(cbE).as("cb"))
+          .withColumn("z", expr(z))
+          .groupBy(expr("CAST(floor(z / 32) AS BIGINT)").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("pb").as("min_pb"), max("pb").as("max_pb"),
+            min("cb").as("min_cb"), max("cb").as("max_cb"))
+          .withColumn("pb_span", col("max_pb") - col("min_pb"))
+          .withColumn("cb_span", col("max_cb") - col("min_cb"))
+          .orderBy("z_bucket")
+      },
+      Some {
+        val z = (0 to 3).map(i =>
+          s"(CAST(floor(cb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i)} + " +
+          s"(CAST(floor(pb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        "WITH b AS (SELECT CAST(least(15, floor(o_totalprice / 31250)) AS BIGINT) AS pb, " +
+          "CAST(floor(o_custkey / 10) AS BIGINT) AS cb FROM orders), " +
+          s"zt AS (SELECT pb, cb, $z AS z FROM b), " +
+          "g AS (SELECT CAST(floor(z / 32) AS BIGINT) AS z_bucket, count(*) AS n, " +
+          "min(pb) AS min_pb, max(pb) AS max_pb, min(cb) AS min_cb, max(cb) AS max_cb " +
+          "FROM zt GROUP BY 1) " +
+          "SELECT z_bucket, n, min_pb, max_pb, min_cb, max_cb, " +
+          "max_pb - min_pb AS pb_span, max_cb - min_cb AS cb_span " +
+          "FROM g ORDER BY z_bucket"
+      }),
+
+    // MinHash LSH design-point table: for every (bands, rows) split of
+    // the 128-perm signature, the S-curve threshold (1/b)^(1/r) and the
+    // candidate probability 1-(1-s^r)^b at similarity 0.5/0.7/0.8/0.9 —
+    // the table read BEFORE committing a 100-TB dedup run to a banding
+    // scheme (llm_dedup_minhash uses b=32, r=4: threshold ~0.42, which
+    // this table shows catches s=0.7 pairs with p~0.999 while passing
+    // only ~7% of s=0.3 noise). Fixed-point floor(x*1000 + eps) keeps
+    // the doubles binary-comparable across engines.
+    Op("llm_minhash_band_tuning",
+      (s, d) => {
+        import s.implicits._
+        def p(sim: Double) =
+          s"CAST(floor((1.0 - pow(1.0 - pow($sim, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000 + 0.000001) AS BIGINT)"
+        Seq(4L, 8L, 16L, 32L, 64L).toDF("b")
+          .withColumn("r", expr("CAST(128 / b AS BIGINT)"))
+          .select(col("b"), col("r"),
+            expr("CAST(floor(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)) * 1000 + 0.000001) AS BIGINT)")
+              .as("threshold_fp"),
+            expr(p(0.5)).as("p50_fp"), expr(p(0.7)).as("p70_fp"),
+            expr(p(0.8)).as("p80_fp"), expr(p(0.9)).as("p90_fp"))
+          .orderBy("b")
+      },
+      Some {
+        def p(sim: Double) =
+          s"CAST(floor((1.0 - pow(1.0 - pow($sim, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 1000 + 0.000001) AS BIGINT)"
+        "WITH t AS (SELECT CAST(b AS BIGINT) AS b, CAST(128 / b AS BIGINT) AS r " +
+          "FROM (VALUES (4), (8), (16), (32), (64)) AS v(b)) " +
+          "SELECT b, r, " +
+          "CAST(floor(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)) * 1000 + 0.000001) AS BIGINT) AS threshold_fp, " +
+          s"${p(0.5)} AS p50_fp, ${p(0.7)} AS p70_fp, " +
+          s"${p(0.8)} AS p80_fp, ${p(0.9)} AS p90_fp " +
+          "FROM t ORDER BY b"
+      }),
+
+    // Heaps'-law vocabulary growth: distinct-token count as the corpus
+    // grows decile by decile (in doc_id order) — the curve that says
+    // whether more data still buys new vocabulary or the tokenizer's
+    // OOV budget has saturated. Computed scalably as min(first_doc) per
+    // token (one hash-agg over the token stream, no cumulative window):
+    // the decile of a token's FIRST occurrence is where it increments
+    // the running vocabulary, and the 10-row cumulative sum is a
+    // broadcast theta self-join, so nothing global ever sits in one
+    // partition.
+    Op("llm_vocab_growth",
+      (s, d) => {
+        val docs = T.spread(T.t(s, d, "documents"))
+        val maxId = docs.agg(max("doc_id").as("max_id"))
+        val firstSeen = docs
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy("token").agg(min("doc_id").as("first_doc"))
+        val perDecile = firstSeen.crossJoin(broadcast(maxId))
+          .groupBy(expr("first_doc * 10 div (max_id + 1)").as("decile"))
+          .agg(count(lit(1)).as("new_tokens"))
+        perDecile.as("a")
+          .join(broadcast(perDecile.as("b")), expr("b.decile <= a.decile"))
+          .groupBy(col("a.decile").as("decile"), col("a.new_tokens").as("new_tokens"))
+          .agg(sum("b.new_tokens").as("cum_vocab"))
+          .orderBy("decile")
+      },
+      Some("WITH f AS (SELECT token, min(doc_id) AS first_doc FROM " +
+        "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents) GROUP BY token), " +
+        "m AS (SELECT max(doc_id) AS max_id FROM documents), " +
+        "pd AS (SELECT (first_doc * 10) // (max_id + 1) AS decile, count(*) AS new_tokens FROM f, m GROUP BY 1) " +
+        "SELECT a.decile AS decile, a.new_tokens AS new_tokens, " +
+        "CAST(SUM(b.new_tokens) AS BIGINT) AS cum_vocab " +
+        "FROM pd a JOIN pd b ON b.decile <= a.decile " +
+        "GROUP BY a.decile, a.new_tokens ORDER BY decile")),
+
+    // Inverse-frequency class weights over the embedding labels — the
+    // reweighting table a trainer loads to counter label imbalance
+    // (weight_fp = total * 1e6 / (n_classes * n_label), exact integer
+    // division on both engines). One tiny agg + broadcast; the heavy
+    // table is touched once.
+    Op("llm_class_weights",
+      (s, d) => {
+        val perLabel = T.t(s, d, "embeddings")
+          .groupBy("label").agg(count(lit(1)).as("n"))
+        val totals = perLabel.agg(
+          sum("n").as("n_total"), count(lit(1)).as("n_classes"))
+        perLabel.crossJoin(broadcast(totals))
+          .select(col("label"), col("n"), col("n_total"), col("n_classes"),
+            expr("n_total * 1000000 div (n_classes * n)").as("weight_fp"))
+          .orderBy("label")
+      },
+      Some("WITH pl AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total, count(*) AS n_classes FROM pl) " +
+        "SELECT label, n, n_total, n_classes, " +
+        "(n_total * 1000000) // (n_classes * n) AS weight_fp " +
+        "FROM pl, t ORDER BY label")),
+  )
+}

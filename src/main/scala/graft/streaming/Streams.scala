@@ -385,6 +385,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming corpus checksum — the streaming twin of
+    * `core_row_checksum`: each micro-batch's per-lang digest (computed
+    * by the SAME shared helper as the batch op, so the two can never
+    * drift) appends one tiny row-set to `digestDir`. Both digests are
+    * commutative and associative, so [[corpusChecksum]] folds the
+    * appended batch digests into exactly the digest the batch op
+    * computes over the full corpus — regardless of batch boundaries or
+    * arrival order, and with nothing but an append in the hot path (no
+    * read-modify-write state, nothing to corrupt mid-crash; a replayed
+    * batch is the only dup risk and carries its batch_id for exactly-
+    * once compaction downstream).
+    */
+  def checksumSink(
+      docs: DataFrame,
+      digestDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Round5b.rowDigest(batch.toDF())
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(digestDir)
+        ()
+      }
+      .start()
+
+  /** Fold the digests [[checksumSink]] appended into the corpus digest
+    * (per-lang rows in the `core_row_checksum` schema).
+    */
+  def corpusChecksum(spark: SparkSession, digestDir: String): DataFrame =
+    graft.ops.Round5b.foldDigests(
+      spark.read.parquet(digestDir).drop("batch_id"))
+
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added
     * since the last run, tracked by the checkpoint — then returns.

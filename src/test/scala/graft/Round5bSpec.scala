@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 second batch: content checksums, z-order clustering, LSH
+  * band tuning, vocabulary growth, class weights.
+  */
+class Round5bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("core_row_checksum matches an independent JVM md5 reference") {
+    // Reference digests computed with java.security.MessageDigest over
+    // the collected rows — a second implementation of the whole digest,
+    // not a rerun of the SQL one.
+    val rows = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("lang", "doc_id", "text").collect()
+    val ref = rows.groupBy(_.getString(0)).map { case (lang, rs) =>
+      val hs = rs.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${r.getLong(1)}|${r.getString(2)}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      lang -> ((rs.size.toLong, hs.reduce(_ ^ _), hs.map(_ % 100000007L).sum))
+    }
+    val got = Registry.byKey("core_row_checksum").query(spark, TestSpark.sf).collect()
+    assert(got.map(_.getString(0)).toSet == ref.keySet)
+    got.foreach { r =>
+      val (n, x, s) = ref(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == x && r.getLong(3) == s,
+        s"digest mismatch for lang ${r.getString(0)}")
+    }
+  }
+
+  test("core_zorder_cluster buckets bound BOTH dimension spans") {
+    // A z-range bucket of 32 fixes z-bits 7..5 = (pb bit 3, cb bit 3,
+    // pb bit 2): pb's high 2 bits pinned -> span <= 3; cb's high bit
+    // pinned -> span <= 7. That dual bound IS the data-skipping win.
+    val got = Registry.byKey("core_zorder_cluster").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(6) <= 3, s"pb_span ${r.getLong(6)} > 3 in bucket ${r.getLong(0)}")
+      assert(r.getLong(7) <= 7, s"cb_span ${r.getLong(7)} > 7 in bucket ${r.getLong(0)}")
+    }
+    val total = got.map(_.getLong(1)).sum
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet").count()
+    assert(total == orders, "every order lands in exactly one z bucket")
+  }
+
+  test("zorder Morton key is a bijection on the 16x16 grid") {
+    // Same integer formula as the op, evaluated through Spark SQL on
+    // all 256 (pb, cb) combos: distinct z values == 256 and decode
+    // round-trips (interleave is invertible).
+    import spark.implicits._
+    val z = (0 to 3).map(i =>
+      s"(CAST(floor(cb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i)} + " +
+      s"(CAST(floor(pb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    val grid = (for { pb <- 0 to 15; cb <- 0 to 15 } yield (pb.toLong, cb.toLong))
+      .toDF("pb", "cb").withColumn("z", expr(z))
+    val rows = grid.collect()
+    assert(rows.map(_.getLong(2)).distinct.length == 256)
+    rows.foreach { r =>
+      val zi = r.getLong(2)
+      val cb = (0 to 3).map(i => ((zi >> (2 * i)) & 1L) << i).sum
+      val pb = (0 to 3).map(i => ((zi >> (2 * i + 1)) & 1L) << i).sum
+      assert(pb == r.getLong(0) && cb == r.getLong(1), s"decode($zi) failed")
+    }
+  }
+
+  test("llm_minhash_band_tuning: threshold falls and sensitivity rises with more bands") {
+    val got = Registry.byKey("llm_minhash_band_tuning").query(spark, TestSpark.sf)
+      .orderBy("b").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L, 32L, 64L))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) < a.getLong(2), "threshold strictly decreasing in b")
+      assert(b.getLong(4) >= a.getLong(4), "p70 non-decreasing in b")
+    }
+    got.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5) &&
+        r.getLong(5) <= r.getLong(6), "S-curve monotone in similarity")
+    }
+    // the production banding (b=32, r=4) catches s=0.7 pairs with p > 0.99
+    val prod = got.find(_.getLong(0) == 32L).get
+    assert(prod.getLong(4) >= 990, s"b=32 p70 = ${prod.getLong(4)}")
+  }
+
+  test("llm_vocab_growth accumulates to the exact distinct vocabulary") {
+    val got = Registry.byKey("llm_vocab_growth").query(spark, TestSpark.sf)
+      .orderBy("decile").collect()
+    val vocab = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .distinct().count()
+    assert(got.map(_.getLong(1)).sum == vocab, "new_tokens partitions the vocabulary")
+    assert(got.last.getLong(2) == vocab, "final cumulative == full vocabulary")
+    assert(got.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    got.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + b.getLong(1), "cumulative sums chain")
+    }
+  }
+
+  test("llm_class_weights satisfies the exact floor-division bound") {
+    val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (n, total, k, w) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w * k * n <= total * 1000000L && total * 1000000L < (w + 1) * k * n,
+        s"weight_fp ${w} is not floor(total*1e6/(k*n)) for label ${r.getInt(0)}")
+    }
+  }
+}

@@ -246,6 +246,31 @@ class StreamingParitySpec extends AnyFunSuite {
       "the index must have accumulated phase-1 acceptances")
   }
 
+  test("streaming checksum folds batch digests into the batch op's digest") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cks_").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    // three disjoint slices arriving as three separate stream runs, in
+    // a shuffled order — commutativity must make boundaries irrelevant
+    val slices = docs.groupBy(t => (t._1 % 3).toInt).toSeq.sortBy(-_._1).map(_._2)
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      mem.addData(slice)
+      Streams.checksumSink(
+        mem.toDF().toDF("doc_id", "text", "lang"),
+        s"$base/digest", s"$base/ckpt$i").awaitTermination()
+    }
+
+    val got = Streams.corpusChecksum(spark, s"$base/digest")
+    val want = Registry.byKey("core_row_checksum").query(spark, TestSpark.sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "folded streaming digests must equal the one-shot batch checksum")
+  }
+
   test("mapGroupsWithState running totals == batch aggregation") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(80).map(e => Streams.UserEvent(e.user_id, e.event_id, e.value))
