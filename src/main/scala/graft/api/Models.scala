@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed trainable models beyond clustering (AnnIndex): the
+  * quality-classifier training loop a curation pipeline runs over the
+  * corpus itself (the fastText-style "train a filter on labeled docs,
+  * apply it to 100 TB" pattern).
+  *
+  * Determinism contract (same as AnnIndex.train): inputs quantize to
+  * integers (floor(x * 1e4)), per-row reductions are sequential folds
+  * in a fixed feature order, cross-row reductions are INTEGER sums
+  * (order-independent under any partitioning), and each weight update
+  * is the same IEEE double expression tree on every engine — so the
+  * DuckDB oracle reproduces training bit-for-bit.
+  */
+object Models {
+
+  /** Full-batch gradient-descent logistic regression over the 64-dim
+    * embeddings (y = label >= 5). Driver-coordinated loop: one
+    * map-side-combined aggregation per iteration produces the 64
+    * integer gradient sums (sigmoid output quantized to 1e-6 before it
+    * meets the quantized features, so the sums commute); weights stay
+    * on the driver and re-enter the plan as literals — the classic
+    * treeAggregate shape, no shuffle wider than 64 columns, scans the
+    * corpus `iters + 2` times (persist the input in production).
+    * Returns (weights, n, nCorrect).
+    */
+  def logregTrain(
+      emb: DataFrame,
+      iters: Int = 3,
+      lr: Double = 5.0): (Array[Double], Long, Long) = {
+    val base = emb.select(
+        expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
+      // pin once: iters + 2 driver actions re-read this tiny projection
+      .localCheckpoint()
+    val n = base.count()
+
+    // quantized sigmoid of the current margin; the +1e-9 guard keeps a
+    // last-ulp exp() difference across engines from flipping the floor
+    def sFp(w: Array[Double]): Column = {
+      val m = aggregate(
+        zip_with(array(w.map(lit).toIndexedSeq: _*),
+          transform(col("xq"), _.cast("double")), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      floor(lit(1.0) / (lit(1.0) + exp(-greatest(lit(-30.0), least(lit(30.0), m))))
+        * lit(1000000.0) + lit(0.000000001)).cast("long")
+    }
+
+    var w = Array.fill(64)(0.0)
+    for (_ <- 1 to iters) {
+      val g = base.withColumn("s_fp", sFp(w))
+        .withColumn("resid", col("s_fp") - col("y") * lit(1000000L))
+        .agg(sum(col("resid") * element_at(col("xq"), 1)).as("g1"),
+          (2 to 64).map(j =>
+            sum(col("resid") * element_at(col("xq"), j)).as(s"g$j")): _*)
+        .head()
+      w = Array.tabulate(64)(j => w(j) - lr * (g.getLong(j).toDouble / (1.0e10 * n)))
+    }
+
+    val nCorrect = base.withColumn("s_fp", sFp(w))
+      .agg(sum(when((col("s_fp") >= 500000L) === (col("y") === 1L), 1L)
+        .otherwise(0L)))
+      .head().getLong(0)
+    (w, n, nCorrect)
+  }
+}

@@ -35,7 +35,68 @@ object Round5b {
         expr("bit_xor(digest_xor)").as("digest_xor"),
         sum("digest_sum").as("digest_sum"))
 
+  /** DuckDB margin + quantized-sigmoid CTEs for logreg iteration `k`
+    * reading weights from `wRef`: emits `m$k` and `s$k`. The arithmetic
+    * mirrors [[graft.api.Models.logregTrain]] expression by expression
+    * (same fold order, same clamp, same 1e-6 quantization with the
+    * same eps guard).
+    */
+  private def oLogregMS(k: Int, wRef: String): String =
+    s"m$k AS (SELECT y, xq, list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"j -> w[j] * CAST(xq[j] AS DOUBLE))), (a, b) -> a + b) AS m FROM e, $wRef), " +
+      s"s$k AS (SELECT y, xq, CAST(floor(1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, m)))) " +
+      s"* 1000000.0 + 0.000000001) AS BIGINT) AS s_fp FROM m$k)"
+
+  /** Gradient + weight-update CTEs for logreg iteration `k`: integer
+    * gradient sums (order-independent), then the identical IEEE update
+    * tree `w[j] - 5.0 * (g[j] / (1e10 * n))`.
+    */
+  private def oLogregGW(k: Int, wRef: String): String =
+    s"g$k AS (SELECT list(gs ORDER BY j) AS g FROM (SELECT j, " +
+      s"SUM((s_fp - y * 1000000) * xq[j]) AS gs FROM s$k, range(1, 65) t(j) GROUP BY j)), " +
+      s"w$k AS (SELECT list_transform(range(1, 65), " +
+      s"j -> w[j] - 5.0 * (CAST(g[j] AS DOUBLE) / (10000000000.0 * n))) AS w FROM $wRef, g$k, nn)"
+
   val ops: Seq[Op] = Seq(
+
+    // Distributed quality-classifier training — full-batch GD logistic
+    // regression on the embeddings (y = label >= 5), the fastText-style
+    // "train a filter, then gate the corpus" loop. All cross-row math
+    // is integer sums over quantized values (deterministic under any
+    // partitioning; the oracle replays training bit-for-bit), weights
+    // live on the driver between iterations (treeAggregate shape: one
+    // 64-column map-side-combined agg per iteration, no wide shuffle).
+    Op("llm_logreg_train",
+      (s, d) => {
+        val (w, n, nCorrect) = graft.api.Models.logregTrain(T.t(s, d, "embeddings"))
+        import s.implicits._
+        def fp(x: Double): Long =
+          math.floor(x * 100000000.0 + 0.000000001).toLong
+        Seq((n, nCorrect, nCorrect.toDouble / n,
+            fp(w(0)), fp(w(1)), fp(w(2)), fp(w(3)),
+            fp(w(4)), fp(w(5)), fp(w(6)), fp(w(7))))
+          .toDF("n", "n_correct", "acc",
+            "w1_fp", "w2_fp", "w3_fp", "w4_fp",
+            "w5_fp", "w6_fp", "w7_fp", "w8_fp")
+      },
+      Some("WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y, " +
+        "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq " +
+        "FROM embeddings), " +
+        "nn AS (SELECT count(*) AS n FROM e), " +
+        "w0 AS (SELECT list_transform(range(1, 65), j -> 0.0) AS w), " +
+        oLogregMS(1, "w0") + ", " + oLogregGW(1, "w0") + ", " +
+        oLogregMS(2, "w1") + ", " + oLogregGW(2, "w1") + ", " +
+        oLogregMS(3, "w2") + ", " + oLogregGW(3, "w2") + ", " +
+        oLogregMS(4, "w3") + ", " +
+        "acc_t AS (SELECT CAST(SUM(CASE WHEN (s_fp >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_correct FROM s4) " +
+        "SELECT n, n_correct, CAST(n_correct AS DOUBLE) / n AS acc, " +
+        (1 to 8).map(i =>
+          s"CAST(floor(w[$i] * 100000000.0 + 0.000000001) AS BIGINT) AS w${i}_fp")
+          .mkString(", ") +
+        " FROM nn, acc_t, w3")),
+
+
 
     // Order-independent content digest per language slice — the check a
     // migration (engine A -> engine B, or one 100-TB copy vs another)

@@ -87,7 +87,8 @@ object ScaleProbe {
       "llm_embedding_center", "rel_join_asof_multikey", "llm_chunk_dedup",
       "llm_dedup_verdicts", "llm_minhash_cluster",
       "llm_quality_percentile_gate", "llm_token_freq_drift",
-      "core_row_checksum", "llm_vocab_growth", "llm_class_weights")
+      "core_row_checksum", "llm_vocab_growth", "llm_class_weights",
+      "llm_logreg_train")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

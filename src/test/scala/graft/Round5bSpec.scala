@@ -100,6 +100,46 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_logreg_train matches a sequential reimplementation bit-for-bit") {
+    // Full training replayed in plain Scala (same quantization, same
+    // fold order, same IEEE update tree) — independent of Spark SQL.
+    val rows = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("label", "embedding").collect()
+    val data = rows.map { r =>
+      val y = if (r.getInt(0) >= 5) 1L else 0L
+      val xq = r.getSeq[Float](1).map(v => math.floor(v.toDouble * 10000).toLong).toArray
+      (y, xq)
+    }
+    val n = data.length.toLong
+    var w = Array.fill(64)(0.0)
+    def sfp(xq: Array[Long]): Long = {
+      var m = 0.0
+      var j = 0
+      while (j < 64) { m = m + w(j) * xq(j).toDouble; j += 1 }
+      val mc = math.max(-30.0, math.min(30.0, m))
+      math.floor(1.0 / (1.0 + math.exp(-mc)) * 1000000.0 + 0.000000001).toLong
+    }
+    for (_ <- 1 to 3) {
+      val g = Array.fill(64)(0L)
+      data.foreach { case (y, xq) =>
+        val r = sfp(xq) - y * 1000000L
+        var j = 0
+        while (j < 64) { g(j) += r * xq(j); j += 1 }
+      }
+      w = Array.tabulate(64)(j => w(j) - 5.0 * (g(j).toDouble / (1.0e10 * n)))
+    }
+    val nCorrect = data.count { case (y, xq) => (sfp(xq) >= 500000L) == (y == 1L) }.toLong
+    def fp(x: Double) = math.floor(x * 100000000.0 + 0.000000001).toLong
+
+    val got = Registry.byKey("llm_logreg_train").query(spark, TestSpark.sf).head()
+    assert(got.getLong(0) == n && got.getLong(1) == nCorrect,
+      s"n/accuracy mismatch: got (${got.getLong(0)}, ${got.getLong(1)}), want ($n, $nCorrect)")
+    (0 until 8).foreach(i =>
+      assert(got.getLong(3 + i) == fp(w(i)), s"weight w${i + 1} diverged"))
+    assert((0 until 8).exists(i => got.getLong(3 + i) != 0L),
+      "training moved the weights off the origin")
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
