@@ -66,4 +66,41 @@ object Models {
       .head().getLong(0)
     (w, n, nCorrect)
   }
+
+  /** Top principal direction of the (uncentered) embedding matrix by
+    * power iteration — the spectral health check run before trusting a
+    * similarity index built on these vectors. Same determinism scheme
+    * as [[logregTrain]]: quantized features, per-row sequential folds,
+    * the cross-row reduction an INTEGER sum (floor-quantized
+    * projections), and the normalization an IEEE sqrt/divide tree the
+    * oracle repeats verbatim. One 64-column aggregation per iteration.
+    * Returns (unit direction, ||u|| of the last un-normalized iterate
+    * — the dominant-eigenvalue proxy).
+    */
+  def pcaPower(emb: DataFrame, iters: Int = 3): (Array[Double], Double) = {
+    val base = emb.select(
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
+      .localCheckpoint()
+    // exact unit start: 64 * (1/8)^2 = 1, and 0.125 is a dyadic double
+    var v = Array.fill(64)(0.125)
+    var lastNorm = 0.0
+    for (_ <- 1 to iters) {
+      val sFp = floor(aggregate(
+        zip_with(array(v.map(lit).toIndexedSeq: _*),
+          transform(col("xq"), _.cast("double")), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) + lit(0.000001)).cast("long")
+      val g = base.withColumn("s_fp", sFp)
+        .agg(sum(col("s_fp") * element_at(col("xq"), 1)).as("u1"),
+          (2 to 64).map(j =>
+            sum(col("s_fp") * element_at(col("xq"), j)).as(s"u$j")): _*)
+        .head()
+      val u = Array.tabulate(64)(j => g.getLong(j).toDouble)
+      var norm2 = 0.0
+      var j = 0
+      while (j < 64) { norm2 = norm2 + u(j) * u(j); j += 1 }
+      lastNorm = math.sqrt(norm2)
+      v = Array.tabulate(64)(j => u(j) / lastNorm)
+    }
+    (v, lastNorm)
+  }
 }

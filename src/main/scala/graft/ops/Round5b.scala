@@ -57,7 +57,53 @@ object Round5b {
       s"w$k AS (SELECT list_transform(range(1, 65), " +
       s"j -> w[j] - 5.0 * (CAST(g[j] AS DOUBLE) / (10000000000.0 * n))) AS w FROM $wRef, g$k, nn)"
 
+  /** DuckDB CTEs for one power iteration `k` reading `v${k-1}`: the
+    * floor-quantized projection, the integer component sums, then the
+    * IEEE sqrt/divide normalization — mirroring
+    * [[graft.api.Models.pcaPower]] expression by expression.
+    */
+  private def oPcaIter(k: Int): String =
+    s"p$k AS (SELECT xq, CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"j -> v[j] * CAST(xq[j] AS DOUBLE))), (a, b) -> a + b) + 0.000001) AS BIGINT) AS s_fp " +
+      s"FROM e, v${k - 1}), " +
+      s"u$k AS (SELECT list(us ORDER BY j) AS u FROM (SELECT j, SUM(s_fp * xq[j]) AS us " +
+      s"FROM p$k, range(1, 65) t(j) GROUP BY j)), " +
+      s"n$k AS (SELECT u, sqrt(list_reduce(list_prepend(0.0, list_transform(u, " +
+      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS nrm FROM u$k), " +
+      s"v$k AS (SELECT list_transform(range(1, 65), j -> CAST(u[j] AS DOUBLE) / nrm) AS v, nrm FROM n$k)"
+
   val ops: Seq[Op] = Seq(
+
+    // Spectral health of the embedding space — dominant principal
+    // direction by power iteration (graft.api.Models.pcaPower): the
+    // check run before trusting a cosine-similarity index or IVF
+    // clustering built on these vectors (a collapsed dominant
+    // direction means mean-centering/whitening is overdue). Same
+    // determinism scheme as llm_logreg_train: integer-quantized
+    // projections make every cross-row sum order-independent, and the
+    // oracle replays all three iterations bit-for-bit.
+    Op("llm_embedding_pca",
+      (s, d) => {
+        val (v, nrm) = graft.api.Models.pcaPower(T.t(s, d, "embeddings"))
+        import s.implicits._
+        def fp(x: Double): Long =
+          math.floor(x * 100000000.0 + 0.000000001).toLong
+        Seq((math.floor(nrm + 0.000001).toLong,
+            fp(v(0)), fp(v(1)), fp(v(2)), fp(v(3)),
+            fp(v(4)), fp(v(5)), fp(v(6)), fp(v(7))))
+          .toDF("norm_fp",
+            "v1_fp", "v2_fp", "v3_fp", "v4_fp",
+            "v5_fp", "v6_fp", "v7_fp", "v8_fp")
+      },
+      Some("WITH e AS (SELECT list_transform(embedding, " +
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq FROM embeddings), " +
+        "v0 AS (SELECT list_transform(range(1, 65), j -> 0.125) AS v), " +
+        oPcaIter(1) + ", " + oPcaIter(2) + ", " + oPcaIter(3) + " " +
+        "SELECT CAST(floor(nrm + 0.000001) AS BIGINT) AS norm_fp, " +
+        (1 to 8).map(i =>
+          s"CAST(floor(v[$i] * 100000000.0 + 0.000000001) AS BIGINT) AS v${i}_fp")
+          .mkString(", ") +
+        " FROM v3")),
 
     // Distributed quality-classifier training — full-batch GD logistic
     // regression on the embeddings (y = label >= 5), the fastText-style

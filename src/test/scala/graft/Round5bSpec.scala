@@ -140,6 +140,37 @@ class Round5bSpec extends AnyFunSuite {
       "training moved the weights off the origin")
   }
 
+  test("llm_embedding_pca matches a sequential power-iteration replay") {
+    val xs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 10000).toLong).toArray)
+    var v = Array.fill(64)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val u = Array.fill(64)(0L)
+      xs.foreach { xq =>
+        var m = 0.0
+        var j = 0
+        while (j < 64) { m = m + v(j) * xq(j).toDouble; j += 1 }
+        val s = math.floor(m + 0.000001).toLong
+        j = 0
+        while (j < 64) { u(j) += s * xq(j); j += 1 }
+      }
+      var norm2 = 0.0
+      var j = 0
+      while (j < 64) { norm2 = norm2 + u(j).toDouble * u(j).toDouble; j += 1 }
+      nrm = math.sqrt(norm2)
+      v = Array.tabulate(64)(j => u(j).toDouble / nrm)
+    }
+    def fp(x: Double) = math.floor(x * 100000000.0 + 0.000000001).toLong
+    val got = Registry.byKey("llm_embedding_pca").query(spark, TestSpark.sf).head()
+    assert(got.getLong(0) == math.floor(nrm + 0.000001).toLong, "eigenvalue proxy")
+    (0 until 8).foreach(i =>
+      assert(got.getLong(1 + i) == fp(v(i)), s"component v${i + 1} diverged"))
+    // the direction is unit-norm: sum over ALL 64 of v^2 == 1 (replay side)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
