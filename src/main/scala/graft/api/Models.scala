@@ -37,6 +37,7 @@ object Models {
       // pin once: iters + 2 driver actions re-read this tiny projection
       .localCheckpoint()
     val n = base.count()
+    if (n == 0) return (Array.fill(64)(0.0), 0L, 0L)
 
     // quantized sigmoid of the current margin; the +1e-9 guard keeps a
     // last-ulp exp() difference across engines from flipping the floor
@@ -81,6 +82,7 @@ object Models {
     val base = emb.select(
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
       .localCheckpoint()
+    if (base.isEmpty) return (Array.fill(64)(0.0), 0.0)
     // exact unit start: 64 * (1/8)^2 = 1, and 0.125 is a dyadic double
     var v = Array.fill(64)(0.125)
     var lastNorm = 0.0
