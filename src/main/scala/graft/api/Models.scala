@@ -27,28 +27,37 @@ object Models {
     * corpus `iters + 2` times (persist the input in production).
     * Returns (weights, n, nCorrect).
     */
+  /** The quantized-feature column both training and scoring read. */
+  private[graft] def xq: Column =
+    expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
+
+  /** Quantized sigmoid of the margin of `xq` against literal weights
+    * `w` — shared by training and corpus scoring so apply can never
+    * drift from train. The +1e-9 guard keeps a last-ulp exp()
+    * difference across engines from flipping the floor.
+    */
+  private[graft] def sigmoidFp(w: Array[Double]): Column = {
+    val m = aggregate(
+      zip_with(array(w.map(lit).toIndexedSeq: _*),
+        transform(col("xq"), _.cast("double")), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    floor(lit(1.0) / (lit(1.0) + exp(-greatest(lit(-30.0), least(lit(30.0), m))))
+      * lit(1000000.0) + lit(0.000000001)).cast("long")
+  }
+
   def logregTrain(
       emb: DataFrame,
       iters: Int = 3,
       lr: Double = 5.0): (Array[Double], Long, Long) = {
     val base = emb.select(
         expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
+        xq.as("xq"))
       // pin once: iters + 2 driver actions re-read this tiny projection
       .localCheckpoint()
     val n = base.count()
     if (n == 0) return (Array.fill(64)(0.0), 0L, 0L)
 
-    // quantized sigmoid of the current margin; the +1e-9 guard keeps a
-    // last-ulp exp() difference across engines from flipping the floor
-    def sFp(w: Array[Double]): Column = {
-      val m = aggregate(
-        zip_with(array(w.map(lit).toIndexedSeq: _*),
-          transform(col("xq"), _.cast("double")), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
-      floor(lit(1.0) / (lit(1.0) + exp(-greatest(lit(-30.0), least(lit(30.0), m))))
-        * lit(1000000.0) + lit(0.000000001)).cast("long")
-    }
+    def sFp(w: Array[Double]): Column = sigmoidFp(w)
 
     var w = Array.fill(64)(0.0)
     for (_ <- 1 to iters) {
@@ -79,8 +88,7 @@ object Models {
     * — the dominant-eigenvalue proxy).
     */
   def pcaPower(emb: DataFrame, iters: Int = 3): (Array[Double], Double) = {
-    val base = emb.select(
-        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
+    val base = emb.select(xq.as("xq"))
       .localCheckpoint()
     if (base.isEmpty) return (Array.fill(64)(0.0), 0.0)
     // exact unit start: 64 * (1/8)^2 = 1, and 0.125 is a dyadic double

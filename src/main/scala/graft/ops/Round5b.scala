@@ -57,6 +57,19 @@ object Round5b {
       s"w$k AS (SELECT list_transform(range(1, 65), " +
       s"j -> w[j] - 5.0 * (CAST(g[j] AS DOUBLE) / (10000000000.0 * n))) AS w FROM $wRef, g$k, nn)"
 
+  /** Shared DuckDB training chain for the logreg family: quantized
+    * features, three GD iterations ending in `w3` (plus `e`, `nn`).
+    */
+  private val oLogregChain: String =
+    "WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y, " +
+      "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq " +
+      "FROM embeddings), " +
+      "nn AS (SELECT count(*) AS n FROM e), " +
+      "w0 AS (SELECT list_transform(range(1, 65), j -> 0.0) AS w), " +
+      oLogregMS(1, "w0") + ", " + oLogregGW(1, "w0") + ", " +
+      oLogregMS(2, "w1") + ", " + oLogregGW(2, "w1") + ", " +
+      oLogregMS(3, "w2") + ", " + oLogregGW(3, "w2")
+
   /** DuckDB CTEs for one power iteration `k` reading `v${k-1}`: the
     * floor-quantized projection, the integer component sums, then the
     * IEEE sqrt/divide normalization — mirroring
@@ -125,14 +138,7 @@ object Round5b {
             "w1_fp", "w2_fp", "w3_fp", "w4_fp",
             "w5_fp", "w6_fp", "w7_fp", "w8_fp")
       },
-      Some("WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y, " +
-        "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq " +
-        "FROM embeddings), " +
-        "nn AS (SELECT count(*) AS n FROM e), " +
-        "w0 AS (SELECT list_transform(range(1, 65), j -> 0.0) AS w), " +
-        oLogregMS(1, "w0") + ", " + oLogregGW(1, "w0") + ", " +
-        oLogregMS(2, "w1") + ", " + oLogregGW(2, "w1") + ", " +
-        oLogregMS(3, "w2") + ", " + oLogregGW(3, "w2") + ", " +
+      Some(oLogregChain + ", " +
         oLogregMS(4, "w3") + ", " +
         "acc_t AS (SELECT CAST(SUM(CASE WHEN (s_fp >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_correct FROM s4) " +
@@ -141,6 +147,37 @@ object Round5b {
           s"CAST(floor(w[$i] * 100000000.0 + 0.000000001) AS BIGINT) AS w${i}_fp")
           .mkString(", ") +
         " FROM nn, acc_t, w3")),
+
+    // The full train-then-gate loop: the classifier llm_logreg_train
+    // fits is applied back to EVERY vector (same shared scoring
+    // expression — apply cannot drift from train), and the gate report
+    // shows per-label pass rates: which strata survive the quality
+    // filter before it runs over 100 TB. Scoring is one broadcast-free
+    // map stage (weights travel as 64 literals inside the codegen'd
+    // expression); the report is one tiny agg.
+    Op("llm_quality_classifier_gate",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        emb.select(col("label"), graft.api.Models.xq.as("xq"))
+          .withColumn("s_fp", graft.api.Models.sigmoidFp(w))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s_fp") >= 500000L, 1L).otherwise(0L)).as("n_pass"))
+          .withColumn("pass_rate", expr("CAST(n_pass AS DOUBLE) / n"))
+          .orderBy("label")
+      },
+      Some(oLogregChain + ", " +
+        "e2 AS (SELECT label, list_transform(embedding, " +
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq FROM embeddings), " +
+        "sc AS (SELECT label, CAST(floor(1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, m)))) " +
+        "* 1000000.0 + 0.000000001) AS BIGINT) AS s_fp FROM " +
+        "(SELECT label, list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        "j -> w[j] * CAST(xq[j] AS DOUBLE))), (a, b) -> a + b) AS m FROM e2, w3)) " +
+        "SELECT label, count(*) AS n, " +
+        "CAST(SUM(CASE WHEN s_fp >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+        "CAST(SUM(CASE WHEN s_fp >= 500000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate " +
+        "FROM sc GROUP BY label ORDER BY label")),
 
 
 

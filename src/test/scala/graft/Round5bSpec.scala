@@ -171,6 +171,24 @@ class Round5bSpec extends AnyFunSuite {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("llm_quality_classifier_gate is consistent with the trainer's accuracy") {
+    // pass = predicted positive. For y=1 labels (>= 5) passes are the
+    // correct predictions; for y=0 labels the correct ones are the
+    // non-passes — so the gate's per-label counts must reassemble the
+    // trainer's global n_correct exactly.
+    val gate = Registry.byKey("llm_quality_classifier_gate").query(spark, TestSpark.sf).collect()
+    val train = Registry.byKey("llm_logreg_train").query(spark, TestSpark.sf).head()
+    val total = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    assert(gate.map(_.getLong(1)).sum == total, "every vector is gated exactly once")
+    val reassembled = gate.map { r =>
+      val (label, n, nPass) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      if (label >= 5) nPass else n - nPass
+    }.sum
+    assert(reassembled == train.getLong(1),
+      s"gate counts reassemble n_correct: $reassembled vs ${train.getLong(1)}")
+    gate.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
