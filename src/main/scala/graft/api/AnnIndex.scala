@@ -30,7 +30,7 @@ object AnnIndex {
     * in DOUBLE, sequentially — the deterministic distance every
     * assignment in the engine uses.
     */
-  private def d2(v: String): String =
+  private[graft] def d2(v: String): String =
     s"aggregate(zip_with($v, c_vec, (x, c) -> " +
       "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
       "CAST(0 AS DOUBLE), (a, v) -> a + v)"

@@ -181,6 +181,38 @@ object Round5b {
 
 
 
+    // Clustering-quality audit over the TRAINED k-means (same
+    // AnnIndex.train the IVF index uses, so this audits the production
+    // centroids): per-cluster size, total and mean squared distance to
+    // the assigned centroid (the inertia a pipeline tracks to decide
+    // k / whether to re-train before building the next IVF index).
+    // Distances quantize per row (floor(d2 * 1e4)) so the cross-row
+    // sums are exact integers; one broadcast join + one agg.
+    Op("llm_kmeans_inertia",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val cent = graft.api.AnnIndex.train(emb, k = 10, iters = 3)
+        graft.api.AnnIndex.assign(emb, cent)
+          .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
+          .withColumn("d2", expr(graft.api.AnnIndex.d2("embedding")))
+          .withColumn("d2_fp", expr("CAST(floor(d2 * 10000 + 0.000001) AS BIGINT)"))
+          .groupBy("c_id")
+          .agg(count(lit(1)).as("n"), sum("d2_fp").as("inertia_fp"))
+          .withColumn("avg_d2_fp", expr("inertia_fp div n"))
+          .orderBy("c_id")
+      },
+      Some(LlmOps.oKmeansTrainedPrefix + ", " +
+        "a4 AS (SELECT e.vec_id, c.c_id, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), k -> " +
+        "(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]) * " +
+        "(CAST(e.embedding[k] AS DOUBLE) - c.c_vec[k]))), (x, y) -> x + y) AS d2 " +
+        "FROM embeddings e, c3 c), " +
+        "b4 AS (SELECT c_id, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM a4), " +
+        "w AS (SELECT c_id, CAST(floor(d2 * 10000 + 0.000001) AS BIGINT) AS d2_fp FROM b4 WHERE rn = 1) " +
+        "SELECT c_id, count(*) AS n, CAST(SUM(d2_fp) AS BIGINT) AS inertia_fp, " +
+        "CAST(SUM(d2_fp) AS BIGINT) // count(*) AS avg_d2_fp " +
+        "FROM w GROUP BY c_id ORDER BY c_id")),
+
     // Order-independent content digest per language slice — the check a
     // migration (engine A -> engine B, or one 100-TB copy vs another)
     // runs to prove the corpora are IDENTICAL without sorting or

@@ -189,6 +189,25 @@ class Round5bSpec extends AnyFunSuite {
     gate.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("llm_kmeans_inertia covers every vector and Lloyd iterations reduce it") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    def inertia(iters: Int): Long = {
+      val cent = api.AnnIndex.train(emb, k = 10, iters = iters)
+      api.AnnIndex.assign(emb, cent)
+        .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
+        .withColumn("d2", expr(api.AnnIndex.d2("embedding")))
+        .agg(sum(expr("CAST(floor(d2 * 10000 + 0.000001) AS BIGINT)")))
+        .head().getLong(0)
+    }
+    val got = Registry.byKey("llm_kmeans_inertia").query(spark, TestSpark.sf).collect()
+    assert(got.map(_.getLong(1)).sum == emb.count(), "every vector is assigned once")
+    assert(got.map(_.getLong(2)).sum == inertia(3), "op total == direct recomputation")
+    // Lloyd monotonicity (0.1% slack for the fixed-point centroid
+    // quantization, which can nudge an update off the exact mean)
+    assert(got.map(_.getLong(2)).sum <= (inertia(1) * 1.001).toLong,
+      "three iterations must not be worse than one")
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
