@@ -181,6 +181,80 @@ object Round5b {
 
 
 
+    // Calibration audit of the trained classifier: scores bucketed
+    // into deciles, each with count, mean predicted probability (exact
+    // integer mean of the quantized score) and the empirical positive
+    // rate — the reliability table read before using the scores as
+    // sampling weights (a miscalibrated filter silently reweights the
+    // corpus). Reuses the shared scoring expression; one agg.
+    Op("llm_classifier_calibration",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        emb.select(expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
+            graft.api.Models.xq.as("xq"))
+          .withColumn("s_fp", graft.api.Models.sigmoidFp(w))
+          .withColumn("bin", expr("least(CAST(9 AS BIGINT), s_fp div 100000)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(s_fp) div count(1)").as("mean_score_fp"),
+            sum("y").as("n_pos"))
+          .withColumn("pos_rate", expr("CAST(n_pos AS DOUBLE) / n"))
+          .orderBy("bin")
+      },
+      Some(oLogregChain + ", " +
+        "sc AS (SELECT y, CAST(floor(1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, m)))) " +
+        "* 1000000.0 + 0.000000001) AS BIGINT) AS s_fp FROM " +
+        "(SELECT y, list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        "j -> w[j] * CAST(xq[j] AS DOUBLE))), (a, b) -> a + b) AS m FROM e, w3)) " +
+        "SELECT least(CAST(9 AS BIGINT), s_fp // 100000) AS bin, count(*) AS n, " +
+        "CAST(SUM(s_fp) AS BIGINT) // count(*) AS mean_score_fp, " +
+        "CAST(SUM(y) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(y) AS DOUBLE) / count(*) AS pos_rate " +
+        "FROM sc GROUP BY 1 ORDER BY bin")),
+
+    // Operating-point sweep for the same classifier: TP/FP/TN/FN and
+    // exact precision/recall at five candidate thresholds — the table
+    // that picks the gate threshold for a target yield BEFORE the
+    // filter runs over the corpus. One scan, one agg per nothing: the
+    // thresholds are a 5-row broadcast cross join.
+    Op("llm_classifier_roc",
+      (s, d) => {
+        val emb = T.t(s, d, "embeddings")
+        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        import s.implicits._
+        val th = Seq(300000L, 400000L, 500000L, 600000L, 700000L).toDF("th_fp")
+        emb.select(expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
+            graft.api.Models.xq.as("xq"))
+          .withColumn("s_fp", graft.api.Models.sigmoidFp(w))
+          .crossJoin(broadcast(th))
+          .groupBy("th_fp")
+          .agg(sum(when(col("s_fp") >= col("th_fp") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("s_fp") >= col("th_fp") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("s_fp") < col("th_fp") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+            sum(when(col("s_fp") < col("th_fp") && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+          .withColumn("precision_fp", expr("CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 1000000 div (tp + fp) END"))
+          .withColumn("recall_fp", expr("CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 1000000 div (tp + fn) END"))
+          .orderBy("th_fp")
+      },
+      Some(oLogregChain + ", " +
+        "sc AS (SELECT y, CAST(floor(1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, m)))) " +
+        "* 1000000.0 + 0.000000001) AS BIGINT) AS s_fp FROM " +
+        "(SELECT y, list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        "j -> w[j] * CAST(xq[j] AS DOUBLE))), (a, b) -> a + b) AS m FROM e, w3)), " +
+        "th AS (SELECT CAST(th_fp AS BIGINT) AS th_fp FROM (VALUES (300000), (400000), " +
+        "(500000), (600000), (700000)) v(th_fp)), " +
+        "c AS (SELECT th_fp, " +
+        "CAST(SUM(CASE WHEN s_fp >= th_fp AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN s_fp >= th_fp AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN s_fp < th_fp AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+        "CAST(SUM(CASE WHEN s_fp < th_fp AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn " +
+        "FROM sc, th GROUP BY th_fp) " +
+        "SELECT th_fp, tp, fp, tn, fn, " +
+        "CASE WHEN tp + fp = 0 THEN -1 ELSE (tp * 1000000) // (tp + fp) END AS precision_fp, " +
+        "CASE WHEN tp + fn = 0 THEN -1 ELSE (tp * 1000000) // (tp + fn) END AS recall_fp " +
+        "FROM c ORDER BY th_fp")),
+
     // Clustering-quality audit over the TRAINED k-means (same
     // AnnIndex.train the IVF index uses, so this audits the production
     // centroids): per-cluster size, total and mean squared distance to

@@ -208,6 +208,30 @@ class Round5bSpec extends AnyFunSuite {
       "three iterations must not be worse than one")
   }
 
+  test("classifier calibration and ROC sweep are internally consistent") {
+    val total = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    val cal = Registry.byKey("llm_classifier_calibration").query(spark, TestSpark.sf).collect()
+    assert(cal.map(_.getLong(1)).sum == total, "calibration bins partition the corpus")
+    cal.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000, "mean score in [0, 1]")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      // a decile's mean quantized score lies inside the decile (top bin
+      // absorbs the s_fp = 1e6 edge)
+      val bin = r.getLong(0)
+      assert(r.getLong(2) >= bin * 100000 &&
+        r.getLong(2) <= (if (bin == 9) 1000000L else (bin + 1) * 100000 - 1))
+    }
+    val roc = Registry.byKey("llm_classifier_roc").query(spark, TestSpark.sf)
+      .orderBy("th_fp").collect()
+    assert(roc.length == 5)
+    roc.foreach(r => assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == total))
+    val positives = roc.map(r => r.getLong(1) + r.getLong(4)).distinct
+    assert(positives.length == 1, "tp + fn is the positive count at every threshold")
+    roc.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1), "tp non-increasing as the threshold rises")
+    }
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
