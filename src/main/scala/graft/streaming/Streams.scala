@@ -420,6 +420,34 @@ object Streams {
     graft.ops.Round5b.foldDigests(
       spark.read.parquet(digestDir).drop("batch_id"))
 
+  /** Streaming twin of the classifier gate: score arriving vectors
+    * with OFFLINE-trained weights (the "train once, score the stream"
+    * deployment shape). Scoring goes through the same shared
+    * expression as training/batch apply (`Models.sigmoidFp` with the
+    * weights as codegen literals — a pure map stage, nothing to join
+    * or broadcast), so streamed scores can never drift from the batch
+    * gate; each micro-batch appends (input columns + s_fp) to
+    * `scoreDir`.
+    */
+  def scoringSink(
+      vectors: DataFrame,
+      weights: Array[Double],
+      scoreDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF()
+          .withColumn("xq", graft.api.Models.xq)
+          .withColumn("s_fp", graft.api.Models.sigmoidFp(weights))
+          .drop("xq")
+          .write.mode("append").parquet(scoreDir)
+        ()
+      }
+      .start()
+
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added
     * since the last run, tracked by the checkpoint — then returns.

@@ -523,4 +523,27 @@ class PlansSpec extends AnyFunSuite {
     val out = AsOf.join(clicks, buys, Seq("k"), "lts", "rts", Seq("bid")).collect()
     assert(out.length == 1 && out.head.getLong(out.head.fieldIndex("bid")) == 9L)
   }
+
+  test("classifier scoring is a pure map stage: one shuffle, no join") {
+    // the weights are codegen literals — the scored aggregation must
+    // plan as scan -> project -> partial agg -> ONE exchange -> final
+    // agg, with no join or broadcast anywhere (the property that makes
+    // "score 100 TB" embarrassingly parallel)
+    val w = Array.tabulate(64)(j => 0.01 * (j % 5 + 1))
+    val df = Tables.t(spark, TestSpark.sf, "embeddings")
+      .select(col("label"), api.Models.xq.as("xq"))
+      .withColumn("s_fp", api.Models.sigmoidFp(w))
+      .groupBy("label").agg(count(lit(1)).as("n"),
+        sum(when(col("s_fp") >= 500000L, 1L).otherwise(0L)).as("n_pass"))
+    df.count()
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = plan.collect { case n => n }
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"expected exactly the final-agg shuffle:\n$plan")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
+      s"scoring must not join anything:\n$plan")
+  }
 }

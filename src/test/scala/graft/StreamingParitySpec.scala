@@ -11,6 +11,8 @@ case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
 
 case class Doc(doc_id: Long, text: String)
 
+case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
+
 /** §2-E parity: each Structured Streaming op over a MemoryStream must
   * equal its batch-equivalent query on the same rows (SURVEY.md §5.4).
   */
@@ -269,6 +271,30 @@ class StreamingParitySpec extends AnyFunSuite {
     val want = Registry.byKey("core_row_checksum").query(spark, TestSpark.sf)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "folded streaming digests must equal the one-shot batch checksum")
+  }
+
+  test("streaming scoring == batch scoring with offline-trained weights") {
+    implicit val ctx = spark.sqlContext
+    val embDf = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val (w, _, _) = api.Models.logregTrain(embDf)
+    val base = java.nio.file.Files.createTempDirectory("graft_score_").toString
+    val rows = embDf.collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+
+    // the same corpus arriving as two separate stream runs
+    rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach { case (slice, i) =>
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EmbRow]
+      mem.addData(slice.toSeq)
+      Streams.scoringSink(mem.toDF(), w, s"$base/scores", s"$base/ckpt$i")
+        .awaitTermination()
+    }
+
+    val got = spark.read.parquet(s"$base/scores").select("vec_id", "s_fp")
+    val want = embDf.withColumn("xq", api.Models.xq)
+      .withColumn("s_fp", api.Models.sigmoidFp(w))
+      .select("vec_id", "s_fp")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed scores must equal batch scoring exactly")
   }
 
   test("mapGroupsWithState running totals == batch aggregation") {
