@@ -35,6 +35,28 @@ object AnnIndex {
       "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
       "CAST(0 AS DOUBLE), (a, v) -> a + v)"
 
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
+  /** Training-job counter, observable by tests. */
+  @volatile private[graft] var trainJobs: Long = 0L
+
+  /** [[train]] memoized per (session, embeddings dir, k, iters): the
+    * kmeans-train op, the trained-IVF pair and the inertia audit all
+    * consume the SAME centroids, so one Lloyd run serves the family
+    * within a session (train ends in localCheckpoint, so the cached
+    * 10-row table is materialized, not recomputed lineage).
+    */
+  def trainFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int = 10,
+      iters: Int = 3): DataFrame =
+    trainCache.getOrElseUpdate((s, dir, k, iters), {
+      trainJobs += 1
+      train(s.read.parquet(s"$dir/embeddings.parquet"), k, iters)
+    })
+
   /** `iters` unrolled Lloyd iterations from the first-k seed vectors:
     * broadcast-assignment (argmin with c_id tiebreak) + fixed-point
     * integer centroid rebuild per iteration; per-iteration

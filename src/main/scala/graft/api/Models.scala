@@ -27,6 +27,29 @@ object Models {
     * corpus `iters + 2` times (persist the input in production).
     * Returns (weights, n, nCorrect).
     */
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (Array[Double], Long, Long)]
+
+  /** Training-job counter, observable by tests (pins the
+    * one-training-per-session-and-dir contract across the classifier
+    * op family).
+    */
+  @volatile private[graft] var trains: Long = 0L
+
+  /** [[logregTrain]] memoized per (session, dir) — the train/gate/
+    * calibration/ROC ops all audit the SAME classifier, so one
+    * training job serves the whole family within a session (the
+    * CorpusStats pattern: a mid-session corpus mutation could only
+    * resurface stale weights, never wrong results for a fixed input).
+    */
+  def logregTrainFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Double], Long, Long) =
+    trainCache.getOrElseUpdate((s, dir), {
+      trains += 1
+      logregTrain(s.read.parquet(s"$dir/embeddings.parquet"))
+    })
+
   /** The quantized-feature column both training and scoring read. */
   private[graft] def xq: Column =
     expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))")

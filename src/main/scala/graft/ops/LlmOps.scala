@@ -770,7 +770,7 @@ object LlmOps {
     // rational, hence the same double everywhere. Clusters that lose all
     // members drop out on both engines.
     Op("llm_kmeans_train",
-      (s, d) => graft.api.AnnIndex.train(T.t(s, d, "embeddings"), k = 10, iters = 3)
+      (s, d) => graft.api.AnnIndex.trainFor(s, d, k = 10, iters = 3)
         .select(col("c_id"), col("n"),
           expr("element_at(c_vec, 1)").as("c1"),
           expr("element_at(c_vec, 2)").as("c2"))

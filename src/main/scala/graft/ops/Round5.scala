@@ -76,7 +76,7 @@ object Round5 {
     Op("llm_ann_ivf_trained",
       (s, d) => {
         val emb = T.spread(T.t(s, d, "embeddings"))
-        val cent = graft.api.AnnIndex.train(T.t(s, d, "embeddings"), k = 10, iters = 3)
+        val cent = graft.api.AnnIndex.trainFor(s, d, k = 10, iters = 3)
         val assigned = graft.api.AnnIndex.assign(emb, cent)
         val probes = emb.where("vec_id = 0")
           .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
@@ -102,7 +102,7 @@ object Round5 {
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
         val emb = T.spread(T.t(s, d, "embeddings"))
-        val cent = graft.api.AnnIndex.train(T.t(s, d, "embeddings"), k = 10, iters = 3)
+        val cent = graft.api.AnnIndex.trainFor(s, d, k = 10, iters = 3)
         val assigned = graft.api.AnnIndex.assign(emb, cent)
         val probes = emb
           .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))

@@ -127,7 +127,7 @@ object Round5b {
     // 64-column map-side-combined agg per iteration, no wide shuffle).
     Op("llm_logreg_train",
       (s, d) => {
-        val (w, n, nCorrect) = graft.api.Models.logregTrain(T.t(s, d, "embeddings"))
+        val (w, n, nCorrect) = graft.api.Models.logregTrainFor(s, d)
         import s.implicits._
         def fp(x: Double): Long =
           math.floor(x * 100000000.0 + 0.000000001).toLong
@@ -158,7 +158,7 @@ object Round5b {
     Op("llm_quality_classifier_gate",
       (s, d) => {
         val emb = T.t(s, d, "embeddings")
-        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        val (w, _, _) = graft.api.Models.logregTrainFor(s, d)
         emb.select(col("label"), graft.api.Models.xq.as("xq"))
           .withColumn("s_fp", graft.api.Models.sigmoidFp(w))
           .groupBy("label")
@@ -190,7 +190,7 @@ object Round5b {
     Op("llm_classifier_calibration",
       (s, d) => {
         val emb = T.t(s, d, "embeddings")
-        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        val (w, _, _) = graft.api.Models.logregTrainFor(s, d)
         emb.select(expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
             graft.api.Models.xq.as("xq"))
           .withColumn("s_fp", graft.api.Models.sigmoidFp(w))
@@ -221,7 +221,7 @@ object Round5b {
     Op("llm_classifier_roc",
       (s, d) => {
         val emb = T.t(s, d, "embeddings")
-        val (w, _, _) = graft.api.Models.logregTrain(emb)
+        val (w, _, _) = graft.api.Models.logregTrainFor(s, d)
         import s.implicits._
         val th = Seq(300000L, 400000L, 500000L, 600000L, 700000L).toDF("th_fp")
         emb.select(expr("CASE WHEN label >= 5 THEN 1L ELSE 0L END").as("y"),
@@ -265,7 +265,7 @@ object Round5b {
     Op("llm_kmeans_inertia",
       (s, d) => {
         val emb = T.t(s, d, "embeddings")
-        val cent = graft.api.AnnIndex.train(emb, k = 10, iters = 3)
+        val cent = graft.api.AnnIndex.trainFor(s, d, k = 10, iters = 3)
         graft.api.AnnIndex.assign(emb, cent)
           .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
           .withColumn("d2", expr(graft.api.AnnIndex.d2("embedding")))

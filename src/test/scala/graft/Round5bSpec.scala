@@ -232,6 +232,28 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("one training job serves the whole classifier family per session") {
+    val before = api.Models.trains
+    Registry.byKey("llm_quality_classifier_gate").query(spark, TestSpark.sf).count()
+    Registry.byKey("llm_classifier_calibration").query(spark, TestSpark.sf).count()
+    Registry.byKey("llm_classifier_roc").query(spark, TestSpark.sf).count()
+    Registry.byKey("llm_logreg_train").query(spark, TestSpark.sf).count()
+    assert(api.Models.trains - before <= 1,
+      s"classifier family must share one training (ran ${api.Models.trains - before})")
+    val snap = api.Models.trains
+    Registry.byKey("llm_quality_classifier_gate").query(spark, TestSpark.sf).count()
+    assert(api.Models.trains == snap, "second pass is fully cached")
+  }
+
+  test("one Lloyd run serves kmeans-train, trained-IVF and inertia per session") {
+    val before = api.AnnIndex.trainJobs
+    Registry.byKey("llm_kmeans_train").query(spark, TestSpark.sf).count()
+    Registry.byKey("llm_kmeans_inertia").query(spark, TestSpark.sf).count()
+    Registry.byKey("llm_ann_ivf_trained").query(spark, TestSpark.sf).count()
+    assert(api.AnnIndex.trainJobs - before <= 1,
+      s"kmeans family must share one training (ran ${api.AnnIndex.trainJobs - before})")
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
