@@ -181,6 +181,38 @@ object Round5b {
 
 
 
+    // Per-dimension moment profile of the embedding space — the
+    // mean/variance table whitening consumes and the fastest detector
+    // of a dead or exploding dimension before an index build. Exact
+    // integer sums of quantized values (order-independent), then the
+    // identical IEEE mean/var/std expression trees on both engines.
+    // One aggregation over 64 posexplode keys; partial aggs keep the
+    // shuffle at 64 rows x partitions regardless of corpus size.
+    Op("llm_embedding_dim_stats",
+      (s, d) => T.t(s, d, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))"))
+          .as(Seq("pos0", "xq")))
+        .groupBy(expr("CAST(pos0 + 1 AS BIGINT)").as("pos"))
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"),
+          sum(expr("xq * xq")).as("sxx"))
+        .withColumn("mean_fp", expr(
+          "CAST(floor(CAST(sx AS DOUBLE) / n / 10000.0 * 1000000 + 0.000001) AS BIGINT)"))
+        .withColumn("var_fp", expr(
+          "CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) " +
+            "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT)"))
+        .select("pos", "n", "mean_fp", "var_fp")
+        .orderBy("pos"),
+      Some("WITH e AS (SELECT list_transform(embedding, " +
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq FROM embeddings), " +
+        "m AS (SELECT j AS pos, count(*) AS n, CAST(SUM(xq[j]) AS BIGINT) AS sx, " +
+        "CAST(SUM(xq[j] * xq[j]) AS BIGINT) AS sxx FROM e, range(1, 65) t(j) GROUP BY j) " +
+        "SELECT pos, n, " +
+        "CAST(floor(CAST(sx AS DOUBLE) / n / 10000.0 * 1000000 + 0.000001) AS BIGINT) AS mean_fp, " +
+        "CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) " +
+        "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT) AS var_fp " +
+        "FROM m ORDER BY pos")),
+
     // Calibration audit of the trained classifier: scores bucketed
     // into deciles, each with count, mean predicted probability (exact
     // integer mean of the quantized score) and the empirical positive

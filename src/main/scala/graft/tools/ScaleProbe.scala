@@ -89,7 +89,8 @@ object ScaleProbe {
       "llm_quality_percentile_gate", "llm_token_freq_drift",
       "core_row_checksum", "llm_vocab_growth", "llm_class_weights",
       "llm_logreg_train", "llm_embedding_pca", "llm_quality_classifier_gate",
-      "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc")
+      "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc",
+      "llm_embedding_dim_stats")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

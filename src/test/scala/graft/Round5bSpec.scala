@@ -232,6 +232,25 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_embedding_dim_stats matches a driver-side recomputation") {
+    val xs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 10000).toLong).toArray)
+    val got = Registry.byKey("llm_embedding_dim_stats").query(spark, TestSpark.sf)
+      .orderBy("pos").collect()
+    assert(got.length == 64 && got.forall(_.getLong(1) == xs.length.toLong))
+    val n = xs.length.toLong
+    (0 until 64).foreach { j =>
+      val sx = xs.map(_(j)).sum
+      val sxx = xs.map(x => x(j) * x(j)).sum
+      val meanFp = math.floor(sx.toDouble / n / 10000.0 * 1000000 + 0.000001).toLong
+      val varFp = math.floor((sxx.toDouble - sx.toDouble * sx.toDouble / n)
+        / (100000000.0 * n) * 1000000 + 0.000001).toLong
+      assert(got(j).getLong(2) == meanFp && got(j).getLong(3) == varFp,
+        s"dimension ${j + 1} moments diverged")
+    }
+  }
+
   test("one training job serves the whole classifier family per session") {
     val before = api.Models.trains
     Registry.byKey("llm_quality_classifier_gate").query(spark, TestSpark.sf).count()
