@@ -213,6 +213,75 @@ object Round5b {
         "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT) AS var_fp " +
         "FROM m ORDER BY pos")),
 
+    // Whitening self-check: standardize every vector with the
+    // per-dimension moments (the llm_embedding_dim_stats table as
+    // codegen literals — no join), re-profile the WHITENED space and
+    // report post-whitening moments, which must sit at mean ~0 /
+    // var ~1e6 fixed-point. The composition a pipeline runs to prove
+    // its preprocessing actually standardized before an index build.
+    // Whitened values re-quantize to integers so the second-pass
+    // moment sums stay order-independent; zero-variance (dead) dims
+    // guard to sd=1 on both engines. Two scans (stats + re-profile).
+    Op("llm_embedding_whiten_check",
+      (s, d) => {
+        import s.implicits._
+        val base = T.t(s, d, "embeddings")
+          .select(expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))").as("xq"))
+        val stats = base
+          .select(posexplode(col("xq")).as(Seq("pos0", "x")))
+          .groupBy(expr("CAST(pos0 + 1 AS BIGINT)").as("pos"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+          .orderBy("pos").collect()
+        if (stats.isEmpty) {
+          Seq.empty[(Long, Long, Long)].toDF("pos", "post_mean_fp", "post_var_fp")
+        } else {
+          val n = stats.head.getLong(1)
+          val m = stats.map(r => r.getLong(2).toDouble / n)
+          val sd = stats.map { r =>
+            val v = (r.getLong(3).toDouble - r.getLong(2).toDouble * r.getLong(2).toDouble / n) / n
+            val s0 = math.sqrt(v)
+            if (s0 > 0) s0 else 1.0
+          }
+          def wq(j: Int) = expr(
+            s"CAST(floor((CAST(element_at(xq, $j) AS DOUBLE) - ${"m"}l_$j) / sd_$j * 10000 + 0.000001) AS BIGINT)")
+          // bind the literals by name to keep the expression readable
+          val bound = (1 to 64).foldLeft(base) { (df, j) =>
+            df.withColumn(s"ml_$j", lit(m(j - 1))).withColumn(s"sd_$j", lit(sd(j - 1)))
+          }
+          val g = bound
+            .agg(sum(wq(1)).as("s1"), ((2 to 64).map(j => sum(wq(j)).as(s"s$j")) ++
+              (1 to 64).map(j => sum(wq(j) * wq(j)).as(s"q$j"))): _*)
+            .head()
+          val rows = (1 to 64).map { j =>
+            val swq = g.getLong(j - 1)
+            val swq2 = g.getLong(64 + j - 1)
+            val meanFp = math.floor(swq.toDouble / n / 10000.0 * 1000000 + 0.000001).toLong
+            val varFp = math.floor((swq2.toDouble - swq.toDouble * swq.toDouble / n)
+              / (100000000.0 * n) * 1000000 + 0.000001).toLong
+            (j.toLong, meanFp, varFp)
+          }
+          rows.toDF("pos", "post_mean_fp", "post_var_fp").orderBy("pos")
+        }
+      },
+      Some("WITH e AS (SELECT list_transform(embedding, " +
+        "v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS xq FROM embeddings), " +
+        "st0 AS (SELECT j AS pos, count(*) AS n, CAST(SUM(xq[j]) AS BIGINT) AS sx, " +
+        "CAST(SUM(xq[j] * xq[j]) AS BIGINT) AS sxx FROM e, range(1, 65) t(j) GROUP BY j), " +
+        "st AS (SELECT pos, n, CAST(sx AS DOUBLE) / n AS m, " +
+        "CASE WHEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) > 0 " +
+        "THEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n) " +
+        "ELSE 1.0 END AS sd FROM st0), " +
+        "w AS (SELECT st.pos AS pos, st.n AS n, " +
+        "CAST(floor((CAST(xq[j] AS DOUBLE) - m) / sd * 10000 + 0.000001) AS BIGINT) AS wq " +
+        "FROM e, range(1, 65) r(j) JOIN st ON st.pos = j), " +
+        "p AS (SELECT pos, max(n) AS n, CAST(SUM(wq) AS BIGINT) AS swq, " +
+        "CAST(SUM(wq * wq) AS BIGINT) AS swq2 FROM w GROUP BY pos) " +
+        "SELECT pos, " +
+        "CAST(floor(CAST(swq AS DOUBLE) / n / 10000.0 * 1000000 + 0.000001) AS BIGINT) AS post_mean_fp, " +
+        "CAST(floor((CAST(swq2 AS DOUBLE) - CAST(swq AS DOUBLE) * CAST(swq AS DOUBLE) / n) " +
+        "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT) AS post_var_fp " +
+        "FROM p ORDER BY pos")),
+
     // Calibration audit of the trained classifier: scores bucketed
     // into deciles, each with count, mean predicted probability (exact
     // integer mean of the quantized score) and the empirical positive

@@ -251,6 +251,18 @@ class Round5bSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_embedding_whiten_check lands on mean ~0 / var ~1 per dimension") {
+    val got = Registry.byKey("llm_embedding_whiten_check").query(spark, TestSpark.sf)
+      .orderBy("pos").collect()
+    assert(got.length == 64)
+    got.foreach { r =>
+      assert(math.abs(r.getLong(1)) <= 1500,
+        s"post-whitening mean off zero at dim ${r.getLong(0)}: ${r.getLong(1)}")
+      assert(math.abs(r.getLong(2) - 1000000L) <= 10000,
+        s"post-whitening var off 1.0 at dim ${r.getLong(0)}: ${r.getLong(2)}")
+    }
+  }
+
   test("one training job serves the whole classifier family per session") {
     val before = api.Models.trains
     Registry.byKey("llm_quality_classifier_gate").query(spark, TestSpark.sf).count()
