@@ -82,4 +82,40 @@ object GraphOps {
     edges.unpersist()
     out
   }
+
+  /** Damped PageRank over the undirected pair list, ENTIRELY in
+    * fixed-point integer arithmetic: ranks carry 1e6 units, the 0.85
+    * damping is the exact floor division `r * 85 div (100 * deg)`, and
+    * the teleport term is the integer 150000 — so there is NO floating
+    * point anywhere, and the result is bit-identical under any
+    * partitioning or engine. Every node of this graph has degree >= 1
+    * (nodes ARE edge endpoints), so there is no dangling-mass term.
+    * Each iteration is one join + one aggregate over the symmetric
+    * edge list; per-iteration localCheckpoint keeps lineage flat; all
+    * internal caches are released. Returns (id, pr_fp, deg).
+    */
+  def pagerankFp(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select("d1", "d2")
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    val deg = edges.groupBy(col("d1").as("id")).agg(count(lit(1)).as("deg"))
+      .persist()
+    var r = deg.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = edges
+        .join(r.withColumnRenamed("id", "u"), col("d1") === col("u"))
+        .join(deg.select(col("id").as("u2"), col("deg").as("du")),
+          col("d1") === col("u2"))
+        .select(col("d2").as("id"), expr("r * 85 div (100 * du)").as("c"))
+        .groupBy("id")
+        .agg((lit(150000L) + sum("c")).as("r"))
+        .localCheckpoint()
+    }
+    val out = r.join(deg, "id")
+      .select(col("id"), col("r").as("pr_fp"), col("deg"))
+      .localCheckpoint()
+    edges.unpersist()
+    deg.unpersist()
+    out
+  }
 }

@@ -213,6 +213,34 @@ object Round5b {
         "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT) AS var_fp " +
         "FROM m ORDER BY pos")),
 
+    // PageRank centrality over the MinHash-verified near-dup graph:
+    // the canonical-document selector — inside a dup cluster the
+    // highest-centrality doc is the best representative to KEEP (most
+    // connected to its variants), a step beyond min-id. Pure
+    // fixed-point integer PageRank (GraphOps.pagerankFp: 1e6-unit
+    // ranks, damping as exact floor division) — no floating point, so
+    // bit-identical under any partitioning. Reuses the registry's
+    // verified-pair generator directly; top-20 by centrality.
+    Op("llm_pagerank_centrality",
+      (s, d) => {
+        val pairs = graft.Registry.byKey("llm_minhash_verified").query(s, d)
+          .select("d1", "d2").persist()
+        val pr = GraphOps.pagerankFp(pairs, iters = 3)
+        pairs.unpersist()
+        pr.select(col("id").as("doc_id"), col("pr_fp"), col("deg"))
+          .orderBy(desc("pr_fp"), col("doc_id")).limit(20)
+      },
+      Some("WITH " + Round4.oMinhashVerifiedCtes + ", " +
+        "edges AS (SELECT d1, d2 FROM mvpairs UNION ALL SELECT d2, d1 FROM mvpairs), " +
+        "dg AS (SELECT d1 AS id, count(*) AS deg FROM edges GROUP BY d1), " +
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM dg), " +
+        (1 to 3).map(k =>
+          s"r$k AS (SELECT e.d2 AS id, 150000 + CAST(SUM((r.r * 85) // (100 * g.deg)) AS BIGINT) AS r " +
+          s"FROM r${k - 1} r JOIN edges e ON e.d1 = r.id JOIN dg g ON g.id = r.id GROUP BY e.d2)")
+          .mkString(", ") + " " +
+        "SELECT r3.id AS doc_id, r3.r AS pr_fp, g.deg AS deg FROM r3 " +
+        "JOIN dg g ON g.id = r3.id ORDER BY pr_fp DESC, doc_id LIMIT 20")),
+
     // Whitening self-check: standardize every vector with the
     // per-dimension moments (the llm_embedding_dim_stats table as
     // codegen literals — no join), re-profile the WHITENED space and

@@ -90,7 +90,8 @@ object ScaleProbe {
       "core_row_checksum", "llm_vocab_growth", "llm_class_weights",
       "llm_logreg_train", "llm_embedding_pca", "llm_quality_classifier_gate",
       "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc",
-      "llm_embedding_dim_stats", "llm_embedding_whiten_check")
+      "llm_embedding_dim_stats", "llm_embedding_whiten_check",
+      "llm_pagerank_centrality")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

@@ -225,6 +225,31 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("GraphOps.pagerankFp == sequential integer replay on a fixture graph") {
+    import spark.implicits._
+    // path 1-2-3, triangle 10-11-12, bridge 3-10: mixed degrees 1..3
+    val edgeList = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val pairs = edgeList.toDF("d1", "d2")
+    val got = ops.GraphOps.pagerankFp(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val sym = edgeList ++ edgeList.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) * 85 / (100 * deg(u)) }.sum
+      }
+      r = contrib.map { case (v, c) => v -> (150000L + c) }
+    }
+    assert(got.keySet == r.keySet)
+    r.foreach { case (id, rv) =>
+      assert(got(id) == ((rv, deg(id))), s"node $id: got ${got(id)}, want ($rv, ${deg(id)})")
+    }
+    // integer rank mass stays bounded by the initial mass
+    assert(r.values.sum <= 1000000L * r.size)
+  }
+
   test("adaptive decision aggregation runs once per (session, dir)") {
     val dir = writeDocs((0L until 50L).map(i => i -> s"wholly unique text number $i"))
     val before = ops.CorpusStats.computes
