@@ -52,10 +52,14 @@ object AnnIndex {
       dir: String,
       k: Int = 10,
       iters: Int = 3): DataFrame =
-    trainCache.getOrElseUpdate((s, dir, k, iters), {
-      trainJobs += 1
-      train(s.read.parquet(s"$dir/embeddings.parquet"), k, iters)
-    })
+    // coarse lock: see Models.logregTrainFor — prevents double Lloyd
+    // runs (one leaked) and lost counter increments under races
+    trainCache.synchronized {
+      trainCache.getOrElseUpdate((s, dir, k, iters), {
+        trainJobs += 1
+        train(s.read.parquet(s"$dir/embeddings.parquet"), k, iters)
+      })
+    }
 
   /** `iters` unrolled Lloyd iterations from the first-k seed vectors:
     * broadcast-assignment (argmin with c_id tiebreak) + fixed-point

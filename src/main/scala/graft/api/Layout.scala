@@ -24,11 +24,15 @@ object Layout {
     * result on any engine; no shift operators needed).
     */
   def mortonKey(dims: Seq[(Column, Double, Double)], bits: Int): Column = {
-    require(dims.nonEmpty && bits * dims.size <= 62, "morton key must fit a long")
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
+      "morton key must fit a long")
     val n = dims.size
     val buckets = dims.map { case (c, lo, hi) =>
-      least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((c.cast("double") - lit(lo)) / lit((hi - lo) / (1 << bits))).cast("long")))
+      // Long shifts throughout: an Int `1 << bits` silently wraps for
+      // bits >= 31 and would collapse every key to bucket 0
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit((hi - lo) / (1L << bits).toDouble))
+          .cast("long")))
     }
     buckets.zipWithIndex.map { case (b, i) =>
       (0 until bits).map { j =>

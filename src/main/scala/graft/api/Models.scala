@@ -45,10 +45,15 @@ object Models {
   def logregTrainFor(
       s: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Double], Long, Long) =
-    trainCache.getOrElseUpdate((s, dir), {
-      trains += 1
-      logregTrain(s.read.parquet(s"$dir/embeddings.parquet"))
-    })
+    // coarse lock: getOrElseUpdate evaluates its thunk BEFORE the CAS,
+    // so two racing callers would both run the full training (and the
+    // counter += is not atomic); training dominates the lock hold
+    trainCache.synchronized {
+      trainCache.getOrElseUpdate((s, dir), {
+        trains += 1
+        logregTrain(s.read.parquet(s"$dir/embeddings.parquet"))
+      })
+    }
 
   /** The quantized-feature column both training and scoring read. */
   private[graft] def xq: Column =

@@ -27,13 +27,18 @@ object CorpusStats {
 
   /** (total docs, approx distinct lowered texts) of `dir`'s documents. */
   def dupStats(s: SparkSession, dir: String): (Long, Long) =
-    cache.getOrElseUpdate((s, dir), {
-      computes += 1
-      val r = T.t(s, dir, "documents")
-        .agg(count(lit(1)), approx_count_distinct(xxhash64(lower(col("text")))))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    })
+    // coarse lock: getOrElseUpdate evaluates the thunk before its CAS,
+    // so racing callers would run the decision job twice and could
+    // lose counter increments
+    cache.synchronized {
+      cache.getOrElseUpdate((s, dir), {
+        computes += 1
+        val r = T.t(s, dir, "documents")
+          .agg(count(lit(1)), approx_count_distinct(xxhash64(lower(col("text")))))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      })
+    }
 
   /** True when the corpus is (approximately) duplicate-free: >= ~90%
     * distinct texts — the regime where the exact-dedup-first quotient's

@@ -270,13 +270,13 @@ object Round5b {
             val s0 = math.sqrt(v)
             if (s0 > 0) s0 else 1.0
           }
-          def wq(j: Int) = expr(
-            s"CAST(floor((CAST(element_at(xq, $j) AS DOUBLE) - ${"m"}l_$j) / sd_$j * 10000 + 0.000001) AS BIGINT)")
-          // bind the literals by name to keep the expression readable
-          val bound = (1 to 64).foldLeft(base) { (df, j) =>
-            df.withColumn(s"ml_$j", lit(m(j - 1))).withColumn(s"sd_$j", lit(sd(j - 1)))
-          }
-          val g = bound
+          // literals straight into the Column tree (exact doubles, no
+          // string round-trip, ONE projection instead of 128 chained
+          // withColumn analysis passes)
+          def wq(j: Int) =
+            floor((element_at(col("xq"), j).cast("double") - lit(m(j - 1)))
+              / lit(sd(j - 1)) * lit(10000) + lit(0.000001)).cast("long")
+          val g = base
             .agg(sum(wq(1)).as("s1"), ((2 to 64).map(j => sum(wq(j)).as(s"s$j")) ++
               (1 to 64).map(j => sum(wq(j) * wq(j)).as(s"q$j"))): _*)
             .head()
@@ -446,7 +446,7 @@ object Round5b {
     Op("core_zorder_cluster",
       (s, d) => {
         val pbE = "CAST(least(15, floor(o_totalprice / 31250)) AS BIGINT)"
-        val cbE = "CAST(floor(o_custkey / 10) AS BIGINT)"
+        val cbE = "CAST(least(15, floor(o_custkey / 10)) AS BIGINT)"
         val z = (0 to 3).map(i =>
           s"(CAST(floor(cb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i)} + " +
           s"(CAST(floor(pb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}")
@@ -468,7 +468,7 @@ object Round5b {
           s"(CAST(floor(pb / ${1 << i}) AS BIGINT) % 2) * ${1L << (2 * i + 1)}")
           .mkString(" + ")
         "WITH b AS (SELECT CAST(least(15, floor(o_totalprice / 31250)) AS BIGINT) AS pb, " +
-          "CAST(floor(o_custkey / 10) AS BIGINT) AS cb FROM orders), " +
+          "CAST(least(15, floor(o_custkey / 10)) AS BIGINT) AS cb FROM orders), " +
           s"zt AS (SELECT pb, cb, $z AS z FROM b), " +
           "g AS (SELECT CAST(floor(z / 32) AS BIGINT) AS z_bucket, count(*) AS n, " +
           "min(pb) AS min_pb, max(pb) AS max_pb, min(cb) AS min_cb, max(cb) AS max_cb " +
@@ -531,6 +531,9 @@ object Round5b {
         val perDecile = firstSeen.crossJoin(broadcast(maxId))
           .groupBy(expr("first_doc * 10 div (max_id + 1)").as("decile"))
           .agg(count(lit(1)).as("new_tokens"))
+          // pin the <=10-row table: both sides of the cumulative
+          // self-join would otherwise re-run the full token scan
+          .localCheckpoint()
         perDecile.as("a")
           .join(broadcast(perDecile.as("b")), expr("b.decile <= a.decile"))
           .groupBy(col("a.decile").as("decile"), col("a.new_tokens").as("new_tokens"))

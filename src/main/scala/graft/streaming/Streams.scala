@@ -385,40 +385,56 @@ object Streams {
       }
       .start()
 
+  /** Stable key for one logical stream run: the checkpoint IS the
+    * run's identity (a crash-restart resumes the same checkpoint and
+    * must land on the same partitions; a new checkpoint is a new run).
+    */
+  private def runKeyOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
   /** Streaming corpus checksum — the streaming twin of
     * `core_row_checksum`: each micro-batch's per-lang digest (computed
     * by the SAME shared helper as the batch op, so the two can never
-    * drift) appends one tiny row-set to `digestDir`. Both digests are
+    * drift) lands in `digestDir` partitioned by (run_key, batch_id)
+    * with dynamic partition overwrite — foreachBatch is at-least-once,
+    * and a replayed batch OVERWRITES its own partition instead of
+    * appending a duplicate digest (which would double-count sums and
+    * xor-cancel that batch's contribution). Both digests are
     * commutative and associative, so [[corpusChecksum]] folds the
-    * appended batch digests into exactly the digest the batch op
-    * computes over the full corpus — regardless of batch boundaries or
-    * arrival order, and with nothing but an append in the hot path (no
-    * read-modify-write state, nothing to corrupt mid-crash; a replayed
-    * batch is the only dup risk and carries its batch_id for exactly-
-    * once compaction downstream).
+    * batch digests into exactly the digest the batch op computes over
+    * the full corpus — regardless of batch boundaries or arrival
+    * order, with no read-modify-write state anywhere.
     */
   def checksumSink(
       docs: DataFrame,
       digestDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.Round5b.rowDigest(batch.toDF())
+          .withColumn("run_key", lit(runKey))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(digestDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_key", "batch_id")
+          .parquet(digestDir)
         ()
       }
       .start()
+  }
 
-  /** Fold the digests [[checksumSink]] appended into the corpus digest
+  /** Fold the digests [[checksumSink]] wrote into the corpus digest
     * (per-lang rows in the `core_row_checksum` schema).
     */
   def corpusChecksum(spark: SparkSession, digestDir: String): DataFrame =
     graft.ops.Round5b.foldDigests(
-      spark.read.parquet(digestDir).drop("batch_id"))
+      spark.read.parquet(digestDir).drop("run_key", "batch_id"))
 
   /** Streaming twin of the classifier gate: score arriving vectors
     * with OFFLINE-trained weights (the "train once, score the stream"
@@ -426,27 +442,36 @@ object Streams {
     * expression as training/batch apply (`Models.sigmoidFp` with the
     * weights as codegen literals — a pure map stage, nothing to join
     * or broadcast), so streamed scores can never drift from the batch
-    * gate; each micro-batch appends (input columns + s_fp) to
-    * `scoreDir`.
+    * gate; each micro-batch writes (input columns + s_fp) to
+    * `scoreDir` partitioned by (run_key, batch_id) with dynamic
+    * overwrite, so an at-least-once replay lands on its own partition
+    * instead of double-counting vectors downstream.
     */
   def scoringSink(
       vectors: DataFrame,
       weights: Array[Double],
       scoreDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.toDF()
           .withColumn("xq", graft.api.Models.xq)
           .withColumn("s_fp", graft.api.Models.sigmoidFp(weights))
           .drop("xq")
-          .write.mode("append").parquet(scoreDir)
+          .withColumn("run_key", lit(runKey))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_key", "batch_id")
+          .parquet(scoreDir)
         ()
       }
       .start()
+  }
 
   /** Incremental consumption of a parquet directory (snapflow's "process
     * only unconsumed blocks"): each call processes exactly the files added

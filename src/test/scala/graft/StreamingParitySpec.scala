@@ -271,6 +271,18 @@ class StreamingParitySpec extends AnyFunSuite {
     val want = Registry.byKey("core_row_checksum").query(spark, TestSpark.sf)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "folded streaming digests must equal the one-shot batch checksum")
+
+    // replay pin: re-driving slice 0 against ITS OWN checkpoint (the
+    // at-least-once shape) must leave the fold unchanged — the batch
+    // lands on its (run_key, batch_id) partition instead of appending
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    mem.addData(slices.head)
+    Streams.checksumSink(mem.toDF().toDF("doc_id", "text", "lang"),
+      s"$base/digest", s"$base/ckpt0").awaitTermination()
+    val again = Streams.corpusChecksum(spark, s"$base/digest")
+    assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty,
+      "a replayed batch must not change the folded digest")
   }
 
   test("streaming scoring == batch scoring with offline-trained weights") {
