@@ -165,7 +165,7 @@ object LlmOps {
     * caching a corpus-wide text column is exactly the memory footprint
     * that kills a 100-TB run. Scans stay O(n); memory stays O(reps).
     */
-  private def jaccardPairs(
+  private[ops] def jaccardPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     // gid pairs the 64-bit hash with the text length: collisions then
     // require equal lengths too — the negligible-at-any-scale fingerprint
@@ -246,7 +246,7 @@ object LlmOps {
   /** DuckDB CTE list matching [[jaccardPairs]]; terminal CTE is
     * `pairs(d1, d2, jaccard)`. Callers prepend WITH / WITH RECURSIVE.
     */
-  private val oJaccardPairs: String =
+  private[ops] val oJaccardPairs: String =
     "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
       "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
       "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +

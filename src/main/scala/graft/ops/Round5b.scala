@@ -213,6 +213,34 @@ object Round5b {
         "/ (100000000.0 * n) * 1000000 + 0.000001) AS BIGINT) AS var_fp " +
         "FROM m ORDER BY pos")),
 
+    // MEASURED MinHash recall per jaccard decile — the empirical
+    // S-curve to hold against llm_minhash_band_tuning's predicted one
+    // (and the counterpart of llm_lsh_precision_audit): of the exact
+    // inverted-index jaccard pairs (truth), which fraction did the
+    // banded MinHash candidate path recover? Composes the two existing
+    // registry generators directly, so the audit measures exactly the
+    // production pipelines; one left join + one agg on top.
+    Op("llm_minhash_recall",
+      (s, d) => {
+        val truth = LlmOps.jaccardPairs(s, d)
+        val cand = graft.Registry.byKey("llm_minhash_verified").query(s, d)
+          .select(col("d1"), col("d2"), lit(1L).as("hit"))
+        truth.join(cand, Seq("d1", "d2"), "left")
+          .select(expr("least(9, CAST(floor(jaccard * 10) AS BIGINT))").as("bucket"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_true"), sum("hit").as("n_hit"))
+          .withColumn("recall_fp", expr("n_hit * 1000000 div n_true"))
+          .orderBy("bucket")
+      },
+      Some("WITH " + LlmOps.oJaccardPairs + ", " + Round4.oMinhashVerifiedCtes + ", " +
+        "jj AS (SELECT p.jaccard, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit " +
+        "FROM pairs p LEFT JOIN mvpairs m ON m.d1 = p.d1 AND m.d2 = p.d2) " +
+        "SELECT least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS bucket, count(*) AS n_true, " +
+        "CAST(SUM(hit) AS BIGINT) AS n_hit, " +
+        "(CAST(SUM(hit) AS BIGINT) * 1000000) // count(*) AS recall_fp " +
+        "FROM jj GROUP BY 1 ORDER BY bucket")),
+
     // PageRank centrality over the MinHash-verified near-dup graph:
     // the canonical-document selector — inside a dup cluster the
     // highest-centrality doc is the best representative to KEEP (most

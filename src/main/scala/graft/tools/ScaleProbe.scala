@@ -91,7 +91,7 @@ object ScaleProbe {
       "llm_logreg_train", "llm_embedding_pca", "llm_quality_classifier_gate",
       "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc",
       "llm_embedding_dim_stats", "llm_embedding_whiten_check",
-      "llm_pagerank_centrality")
+      "llm_pagerank_centrality", "llm_minhash_recall")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

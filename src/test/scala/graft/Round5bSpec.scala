@@ -285,6 +285,20 @@ class Round5bSpec extends AnyFunSuite {
       s"kmeans family must share one training (ran ${api.AnnIndex.trainJobs - before})")
   }
 
+  test("llm_minhash_recall buckets partition the exact-jaccard truth set") {
+    val got = Registry.byKey("llm_minhash_recall").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty, "sf0.001 carries near-dup pairs")
+    got.foreach { r =>
+      assert(r.getLong(0) >= 2 && r.getLong(0) <= 9, "jaccard >= 0.2 => buckets 2..9")
+      assert(r.getLong(2) <= r.getLong(1), "hits bounded by truth")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    val nTrue = got.map(_.getLong(1)).sum
+    val truthViaCluster = Registry.byKey("llm_ngram_jaccard").query(spark, TestSpark.sf).count()
+    assert(nTrue == truthViaCluster,
+      s"bucket counts must partition the truth pairs ($nTrue vs $truthViaCluster)")
+  }
+
   test("llm_class_weights satisfies the exact floor-division bound") {
     val got = Registry.byKey("llm_class_weights").query(spark, TestSpark.sf).collect()
     assert(got.length == 10)
