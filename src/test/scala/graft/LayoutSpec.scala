@@ -42,6 +42,17 @@ class LayoutSpec extends AnyFunSuite {
       a.exceptAll(orders).isEmpty && orders.exceptAll(a).isEmpty)
   }
 
+  test("mortonKey survives wide bit widths (Int-shift wrap regression)") {
+    // bits >= 31 used to wrap the Int shift and collapse every key to 0
+    import spark.implicits._
+    val df = Seq(0.1, 0.4, 0.7, 0.9).toDF("a")
+      .withColumn("z", Layout.mortonKey(Seq((col("a"), 0.0, 1.0)), bits = 32))
+    val keys = df.collect().map(_.getLong(1))
+    assert(keys.distinct.length == 4, s"keys must spread, got ${keys.toSeq}")
+    assert(keys.forall(k => k >= 0 && k < (1L << 32)))
+    assert(keys.sorted.sameElements(keys), "single-dim morton preserves order")
+  }
+
   test("mortonKey stays within bounds and is monotone in locality") {
     import spark.implicits._
     val df = (for { a <- 0 until 64; b <- 0 until 64 } yield (a.toDouble, b.toDouble))
