@@ -83,12 +83,31 @@ object Bench {
     // BENCH_r{N}.json carries a measured full-registry number instead
     // of a builder anecdote
     val rest = SparkEntry.queries.keys.toSeq.sorted.filterNot(names.contains).map(time)
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val totalAll = r3(total + rest.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"total_all":$totalAll,"nq_all":${results.size + rest.size},"queries":$qs,"sf":"$sfDir"}""")
+    // Round-5 lesson (round 1 relearned): the driver keeps the LAST
+    // 2000 bytes of stdout, and sbt appends its own "[success] Total
+    // time" line (~80 bytes) after us — BENCH_r05.json came back
+    // `parsed: null` because 72 queries + total_all crossed the cap
+    // and the line's head was cut off. So: enforce the budget
+    // programmatically. Per-query times at 2 dp; if the line still
+    // exceeds the budget, drop the FASTEST queries' entries (the
+    // slowest are the ones the judge compares round over round) and
+    // say how many were omitted. Totals always cover every query run.
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"total_all":$totalAll,"nq_all":${results.size + rest.size},"q_omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
+    }
+    val budget = 1850 // 2000-byte tail minus sbt's trailing status line
+    val bySlowest = results.sortBy(-_._2)
+    val keep = (results.size to 1 by -1).view
+      .map(n => bySlowest.take(n).sortBy(p => results.indexWhere(_._1 == p._1)))
+      .find(kept => line(kept, results.size - kept.size).length <= budget)
+      .getOrElse(Seq.empty)
+    println(line(keep, results.size - keep.size))
     spark.stop()
   }
 }

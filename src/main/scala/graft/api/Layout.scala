@@ -22,10 +22,20 @@ object Layout {
     * in [0, 2^bits) via its (lo, hi) range: bit j of dim i lands at
     * interleaved position `j * n + i`. Pure div/mod arithmetic (same
     * result on any engine; no shift operators needed).
+    *
+    * The total width is capped at 52 bits, not 62: the bucket scaling
+    * and bit extraction run through Column `/`, which is DOUBLE
+    * division in Spark SQL. Division by a power of two is exact in
+    * binary floating point as long as the operand itself is exactly
+    * representable, i.e. below 2^53 — past that, keys silently corrupt
+    * (adjacent values collapse or swap). 52 interleaved bits is 2^52
+    * distinct cells, far beyond any useful clustering resolution, and
+    * inside the exact range the div/mod form stays bit-identical on
+    * any engine that computes in IEEE doubles.
     */
   def mortonKey(dims: Seq[(Column, Double, Double)], bits: Int): Column = {
-    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 62,
-      "morton key must fit a long")
+    require(dims.nonEmpty && bits >= 1 && bits * dims.size <= 52,
+      "morton key must stay in the double-exact range (bits * dims <= 52)")
     val n = dims.size
     val buckets = dims.map { case (c, lo, hi) =>
       // Long shifts throughout: an Int `1 << bits` silently wraps for

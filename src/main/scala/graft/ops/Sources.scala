@@ -53,7 +53,10 @@ object Sources {
     * The remaining format a warehouse exchange actually ships.
     */
   private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"target/tmp/xml_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // per-invocation dir: concurrent verify/bench runs of this op must
+    // not interleave writes into one fixed path (same hazard this repo
+    // already fixed for core_incremental_pipeline / src_jdbc_roundtrip)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
     T.t(s, d, "region").write.mode("overwrite")
       .option("rootTag", "regions").option("rowTag", "region")
       .format("xml").save(tmp)

@@ -363,27 +363,48 @@ object Streams {
     * DedupIndex, so the streaming path can never drift from the batch
     * operator (StreamingParitySpec pins them equal on a one-batch
     * stream, and pins the accumulation across batches).
+    *
+    * foreachBatch is at-least-once, and this sink is the worst case
+    * for a replay: if a crash lands between the index update and the
+    * checkpoint commit, the re-driven batch re-checks against the
+    * ALREADY-UPDATED index and its verdicts flip ('keep' → 'exact').
+    * A plain append would then leave BOTH verdict sets side by side —
+    * duplicate and mutually contradictory rows per doc_id. So verdicts
+    * land partitioned by (run_key, batch_id) with dynamic partition
+    * overwrite, exactly like [[checksumSink]]/[[scoringSink]]: a
+    * replayed batch REPLACES its own partition and downstream readers
+    * always see one self-consistent verdict set per batch (the last
+    * replay wins — and the index update itself is idempotent, since
+    * re-accepted docs hash to the same signatures).
     */
   def dedupIngestSink(
       docs: DataFrame,
       indexDir: String,
       verdictDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // pin the verdicts before update() swaps index generations, so
         // nothing downstream re-reads files the swap retires
         val verdicts = graft.api.DedupIndex.check(batch, indexDir).localCheckpoint()
-        verdicts.write.mode("append").parquet(verdictDir)
+        verdicts
+          .withColumn("run_key", lit(runKey))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_key", "batch_id")
+          .parquet(verdictDir)
         val accepted = batch.join(
           verdicts.where("verdict = 'keep'").select("doc_id"), "doc_id")
         graft.api.DedupIndex.update(accepted, indexDir)
         ()
       }
       .start()
+  }
 
   /** Stable key for one logical stream run: the checkpoint IS the
     * run's identity (a crash-restart resumes the same checkpoint and

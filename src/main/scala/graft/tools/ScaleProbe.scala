@@ -104,9 +104,19 @@ object ScaleProbe {
       // measurement hygiene: consumed frames' localCheckpoint blocks
       // linger until the ContextCleaner notices; 70 queries of that in
       // one JVM turns late keys' numbers into storage-pressure noise
-      // (observed: llm_ann_ivf_trained 33 s in-sequence vs 3.3 s alone)
+      // (observed: llm_ann_ivf_trained 33 s in-sequence vs 3.3 s alone).
+      // BUT: checkpoint-backed RDDs must survive — the session memos
+      // (AnnIndex.trainFor / Models.logregTrainFor / CorpusStats) hand
+      // out localCheckpointed frames whose lineage is GONE; dropping
+      // their blocks would turn the next memo hit into a dead
+      // 'Checkpoint block not found' failure instead of a timing.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // (isCheckpointed is true for a MATERIALIZED local checkpoint —
+      // exactly the case whose lineage is truncated; an unmaterialized
+      // mark still has its full lineage and can recompute)
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+        .foreach(_.unpersist(blocking = false))
     }
 
     // Pathological levenshtein corpus: ONE (lang, n_chars) block holding

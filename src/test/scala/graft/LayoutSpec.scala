@@ -51,6 +51,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(keys.distinct.length == 4, s"keys must spread, got ${keys.toSeq}")
     assert(keys.forall(k => k >= 0 && k < (1L << 32)))
     assert(keys.sorted.sameElements(keys), "single-dim morton preserves order")
+
+    // the full admitted boundary: 52 bits is the last width where the
+    // double-division bucket/bit arithmetic is exact (2^52 < 2^53);
+    // order preservation at the boundary proves no silent corruption,
+    // and 53 bits must be rejected up front rather than corrupt
+    val wide = Seq(0.1, 0.4, 0.7, 0.9).toDF("a")
+      .withColumn("z", Layout.mortonKey(Seq((col("a"), 0.0, 1.0)), bits = 52))
+      .collect().map(_.getLong(1))
+    assert(wide.distinct.length == 4 && wide.sorted.sameElements(wide))
+    assert(wide.forall(k => k >= 0 && k < (1L << 52)))
+    intercept[IllegalArgumentException] {
+      Layout.mortonKey(Seq((col("a"), 0.0, 1.0)), bits = 53)
+    }
   }
 
   test("mortonKey stays within bounds and is monotone in locality") {

@@ -233,7 +233,7 @@ class StreamingParitySpec extends AnyFunSuite {
     mem.addData(batchRows)
     Streams.dedupIngestSink(mem.toDF(), s"$base/idx", s"$base/v1", s"$base/ckpt1")
       .awaitTermination()
-    val got = spark.read.parquet(s"$base/v1")
+    val got = spark.read.parquet(s"$base/v1").drop("run_key", "batch_id")
     val want = Registry.byKey("llm_dedup_incremental").query(spark, TestSpark.sf)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streaming verdicts must equal the batch operator")
@@ -246,6 +246,27 @@ class StreamingParitySpec extends AnyFunSuite {
       .awaitTermination()
     assert(spark.read.parquet(s"$base/v2").where("verdict = 'keep'").isEmpty,
       "the index must have accumulated phase-1 acceptances")
+
+    // replay pin: the at-least-once crash shape — the index update
+    // LANDED but the checkpoint commit was lost. Simulate it literally
+    // by deleting batch 0's commit marker, then re-driving the same
+    // data against the same checkpoint: the engine re-executes batch 0,
+    // whose verdicts now flip ('keep' → 'exact' against the updated
+    // index). The rewrite must OVERWRITE the batch's (run_key,
+    // batch_id) partition, not append a second, contradictory set.
+    assert(new java.io.File(s"$base/ckpt1/commits/0").delete(),
+      "test setup: batch-0 commit marker must exist to simulate the crash")
+    new java.io.File(s"$base/ckpt1/commits/.0.crc").delete() // hadoop sidecar
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem3.addData(batchRows)
+    Streams.dedupIngestSink(mem3.toDF(), s"$base/idx", s"$base/v1", s"$base/ckpt1")
+      .awaitTermination()
+    val replayed = spark.read.parquet(s"$base/v1")
+    assert(replayed.count() == batchRows.size &&
+      replayed.select("doc_id").distinct().count() == batchRows.size,
+      "a replayed batch must replace its partition, one verdict per doc")
+    assert(replayed.where("verdict = 'keep'").isEmpty,
+      "replayed verdicts must reflect the already-updated index")
   }
 
   test("streaming checksum folds batch digests into the batch op's digest") {
