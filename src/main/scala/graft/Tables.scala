@@ -31,18 +31,28 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` rebuilt as a microsecond TIMESTAMP_NTZ.
+  /** `events` with `ts` normalized to a microsecond TIMESTAMP_NTZ,
+    * whatever physical type the generator wrote.
     *
-    * The parquet column is TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it arrives as
-    * Long nanos. `timestamp_micros(ts div 1000)` equals DuckDB's natively
-    * read, microsecond-truncated naive TIMESTAMP (session TZ is UTC).
+    * Early testdata generations wrote TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively ([PARQUET_TYPE_ILLEGAL]); with
+    * `nanosAsLong` it arrives as Long nanos and
+    * `timestamp_micros(ts div 1000)` rebuilds DuckDB's natively read,
+    * microsecond-truncated naive TIMESTAMP (session TZ is UTC). Current
+    * generations write TIMESTAMP(MICROS), which arrives as
+    * TIMESTAMP_NTZ already — the shim must not touch it. Branching on
+    * the read schema keeps both vintages working.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case _ =>
+        df.withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    }
   }
 
   /** Register temp views for spark.sql-authored operators. */

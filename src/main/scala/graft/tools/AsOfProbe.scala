@@ -27,8 +27,13 @@ object AsOfProbe {
     val big = "target/tmp/sfbig"
     require(new java.io.File(s"$big/events.parquet").exists(),
       "run graft.tools.ScaleProbe once to build target/tmp/sfbig")
-    val ev = spark.read.parquet(s"$big/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+    val ev0 = spark.read.parquet(s"$big/events.parquet")
+    // sfbig may predate or postdate the generator's nanos→micros switch
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev0.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+      case _ => ev0
+    }
     val clicks = ev.where("event_type = 'click'")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
     val buys = ev.where("event_type = 'purchase'")
