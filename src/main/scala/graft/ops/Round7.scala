@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import graft.functions.KmvAggregator
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch (SURVEY.md §2 F2 continuation): mergeable sketches and
+  * estimator audits — the structures a 100-TB profiling pass carries
+  * instead of exact state. Every sketch here has a FIXED size per group
+  * regardless of input rows (k longs for KMV, d×w cells for count-min),
+  * is map-side combinable (the shuffle carries sketches, not keys), and
+  * is audited against exact truth inside the same query so the error
+  * the estimator ships with is measured, not assumed.
+  */
+object Round7 {
+
+  /** 60-bit md5 prefix hash of `e` — the house portable hash: Spark
+    * `conv(hex,16,10)`, DuckDB `'0x'||hex` cast, identical value.
+    */
+  private def h60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def oH60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** 32-bit md5 prefix (bucket hashing). */
+  private def h32(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+  private def oH32(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  val ops: Seq[Op] = Seq(
+
+    // K-minimum-values distinct sketch per language: the bounded
+    // alternative to count(DISTINCT text) when the key set itself is
+    // 100-TB-sized. The KmvAggregator keeps the k=64 smallest DISTINCT
+    // 60-bit text hashes per group with map-side partial aggregation,
+    // so the shuffle carries at most k longs per (group, mapper) —
+    // never the keys. Estimate: exact size while the sketch is not
+    // full (it then holds every distinct hash), else the KMV estimator
+    // (k-1)·2^60 / h_(k). The oracle replays the sketch definition
+    // exactly (k smallest distinct hashes via one window) so tri-SF
+    // data exercises both the exact and the estimating branch.
+    Op("rel_agg_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        val h = T.spread(
+            T.t(s, d, "documents")
+              .where("lang IS NOT NULL AND text IS NOT NULL"))
+          .select(col("lang"), expr(h60("text")).as("h"))
+        h.groupBy("lang")
+          .agg(KmvAggregator.kmv(k)(col("h")).as("mins"))
+          .select(col("lang"),
+            when(expr(s"size(mins) = $k"), expr(s"element_at(mins, $k)"))
+              .otherwise(lit(-1L)).as("kth_min"),
+            when(expr(s"size(mins) < $k"), expr("CAST(size(mins) AS BIGINT)"))
+              .otherwise(expr(
+                s"CAST(floor((CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0) " +
+                  s"/ CAST(element_at(mins, $k) AS DOUBLE)) AS BIGINT)"))
+              .as("n_est"))
+          .orderBy("lang")
+      },
+      Some("WITH h AS (SELECT DISTINCT lang, " + oH60("text") + " AS h " +
+        "FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL), " +
+        "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h), " +
+        "s AS (SELECT lang, count(*) AS nd, max(CASE WHEN rn = 64 THEN h END) AS kth " +
+        "FROM r GROUP BY lang) " +
+        "SELECT lang, COALESCE(kth, -1) AS kth_min, " +
+        "CASE WHEN nd < 64 THEN nd ELSE " +
+        "CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / CAST(kth AS DOUBLE)) AS BIGINT) " +
+        "END AS n_est FROM s ORDER BY lang")),
+
+    // Count-min-sketch heavy-hitter audit: build the real CMS (d=4
+    // hash rows × w=1024 counters — 4096 cells total, map-side
+    // combined, fixed size at any corpus scale) over whitespace
+    // tokens, then audit the top-20 exact heavy hitters against their
+    // sketch estimates. est >= exact always (one-sided error); the
+    // overcount column is the measured collision bias a production
+    // run would ship alongside the sketch. Exact counts here are the
+    // audit's ground truth — the production artifact is the counter
+    // table, which never grows with vocabulary.
+    Op("llm_heavy_hitters_cms",
+      (s, d) => {
+        val tokCnt = T.spread(T.t(s, d, "documents"))
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where("tok <> ''")
+          .groupBy("tok").agg(count(lit(1)).as("exact"))
+        def withBuckets(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("tok"), col("exact"),
+            posexplode(expr(
+              "transform(sequence(0, 3), i -> CAST(" +
+                h32("concat(CAST(i AS STRING), ':', tok)") +
+                " % 1024 AS INT))")))
+          .withColumnRenamed("pos", "row_i")
+          .withColumnRenamed("col", "bucket")
+        val counters = withBuckets(tokCnt)
+          .groupBy("row_i", "bucket").agg(sum("exact").as("c"))
+        val top = tokCnt.orderBy(desc("exact"), col("tok")).limit(20)
+        withBuckets(top)
+          .join(broadcast(counters), Seq("row_i", "bucket"))
+          .groupBy("tok", "exact").agg(min("c").as("est_cms"))
+          .select(col("tok"), col("exact"), col("est_cms"),
+            (col("est_cms") - col("exact")).as("overcount"))
+          .orderBy(desc("exact"), col("tok"))
+      },
+      Some("WITH tc AS (SELECT tok, count(*) AS exact FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok), " +
+        "tb AS (SELECT tok, exact, i AS row_i, " +
+        "CAST(" + oH32("concat(CAST(i AS VARCHAR), ':', tok)") +
+        " % 1024 AS INTEGER) AS bucket FROM tc, range(0, 4) t(i)), " +
+        "cnt AS (SELECT row_i, bucket, CAST(SUM(exact) AS BIGINT) AS c " +
+        "FROM tb GROUP BY row_i, bucket), " +
+        "top AS (SELECT tok, exact FROM tc ORDER BY exact DESC, tok LIMIT 20) " +
+        "SELECT t.tok, t.exact, MIN(c.c) AS est_cms, MIN(c.c) - t.exact AS overcount " +
+        "FROM top t JOIN tb b ON t.tok = b.tok " +
+        "JOIN cnt c ON b.row_i = c.row_i AND b.bucket = c.bucket " +
+        "GROUP BY t.tok, t.exact ORDER BY t.exact DESC, t.tok")),
+
+    // Interpolated Kneser–Ney bigram probabilities — the smoothing
+    // actually used for n-gram LM scoring (llm_perplexity_proxy's
+    // add-one is the classroom version; KN is the production one).
+    // Every ingredient is an exact integer aggregate (bigram counts,
+    // head totals, distinct-successor and distinct-predecessor type
+    // counts, total bigram types), and the final probability is the
+    // identical IEEE expression tree on both engines, so doubles
+    // hash-match bit-for-bit. Three partial-aggregated shuffles, all
+    // on token keys; nothing scales with corpus size beyond the
+    // bigram-type vocabulary.
+    Op("llm_kn_bigram_lm",
+      (s, d) => {
+        val bi = T.spread(T.t(s, d, "documents"))
+          .withColumn("toks", split(lower(col("text")), " "))
+          .where("size(toks) >= 2")
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val heads = bi.groupBy("w1").agg(
+          sum("c12").as("c1"), count(lit(1)).as("n_succ"))
+        val cont = bi.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+        val types = bi.agg(count(lit(1)).as("n_types"))
+        bi.join(heads, "w1").join(cont, "w2").crossJoin(broadcast(types))
+          .where("c12 >= 3")
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("CAST(c1 AS BIGINT)").as("c1"),
+            col("n_succ"), col("n_pred"), col("n_types"),
+            expr("(greatest(CAST(c12 AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)) + " +
+              "((0.75 * CAST(n_succ AS DOUBLE)) / CAST(c1 AS DOUBLE)) * " +
+              "(CAST(n_pred AS DOUBLE) / CAST(n_types AS DOUBLE))").as("p_kn"))
+          .orderBy("w1", "w2")
+      },
+      Some("WITH bi AS (SELECT w1, w2, count(*) AS c12 FROM (" +
+        "SELECT toks[i] AS w1, toks[i + 1] AS w2 " +
+        "FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents), " +
+        "unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2) GROUP BY w1, w2), " +
+        "heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS n_succ FROM bi GROUP BY w1), " +
+        "cont AS (SELECT w2, count(*) AS n_pred FROM bi GROUP BY w2), " +
+        "types AS (SELECT count(*) AS n_types FROM bi) " +
+        "SELECT bi.w1, bi.w2, c12, c1, n_succ, n_pred, n_types, " +
+        "(greatest(CAST(c12 AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)) + " +
+        "((0.75 * CAST(n_succ AS DOUBLE)) / CAST(c1 AS DOUBLE)) * " +
+        "(CAST(n_pred AS DOUBLE) / CAST(n_types AS DOUBLE)) AS p_kn " +
+        "FROM bi JOIN heads ON bi.w1 = heads.w1 JOIN cont ON bi.w2 = cont.w2, types " +
+        "WHERE c12 >= 3 ORDER BY bi.w1, bi.w2")),
+
+    // Temperature-scaled domain mixing (τ = 1/2): the up/down-sampling
+    // weights multilingual pretraining uses to keep head languages
+    // from drowning tail ones (w_d ∝ n_d^τ). τ = 1/2 makes the power
+    // an IEEE sqrt — exact-rounded and engine-identical — and the
+    // sqrt is immediately floor-quantized to a 1e6 integer so every
+    // cross-row reduction (the normalizer) is an order-independent
+    // integer sum; weights and target counts are then exact integer
+    // floor divisions. One 5-row aggregate + a broadcast total: the
+    // plan is scale-free.
+    Op("llm_temperature_mix",
+      (s, d) => {
+        val n = T.t(s, d, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("sq_fp",
+            expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        val tot = n.agg(
+          sum("sq_fp").as("tot_sq"), sum("n_docs").as("n_total"))
+        n.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            expr("CAST(sq_fp * CAST(1000000000 AS BIGINT) div tot_sq AS BIGINT)").as("weight_fp"),
+            expr("CAST(n_total * sq_fp div tot_sq AS BIGINT)").as("target_n"))
+          .orderBy("lang")
+      },
+      Some("WITH n AS (SELECT lang, count(*) AS n_docs, " +
+        "CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS sq_fp " +
+        "FROM documents GROUP BY lang), " +
+        "tot AS (SELECT CAST(SUM(sq_fp) AS BIGINT) AS tot_sq, " +
+        "CAST(SUM(n_docs) AS BIGINT) AS n_total FROM n) " +
+        "SELECT lang, n_docs, " +
+        "CAST(sq_fp * 1000000000 // tot_sq AS BIGINT) AS weight_fp, " +
+        "CAST(n_total * sq_fp // tot_sq AS BIGINT) AS target_n " +
+        "FROM n, tot ORDER BY lang"))
+  )
+}
