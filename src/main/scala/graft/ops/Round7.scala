@@ -29,6 +29,42 @@ object Round7 {
   private def oH32(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Exact whitespace token counts (the CMS input). */
+  private[graft] def tokenCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .where("tok <> ''")
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+
+  /** The 4 (row_i, bucket) CMS cells of each token (d=4, w=1024). */
+  private[graft] def cmsBuckets(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+    .select(col("tok"), col("exact"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> CAST(" +
+          h32("concat(CAST(i AS STRING), ':', tok)") +
+          " % 1024 AS INT))")))
+    .withColumnRenamed("pos", "row_i")
+    .withColumnRenamed("col", "bucket")
+
+  /** The count-min counter table of a document set: 4×1024 cells,
+    * additive across disjoint document sets (cell-wise sum) — the
+    * property [[graft.streaming.Streams.cmsSink]] relies on.
+    */
+  private[graft] def cmsCounters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cmsBuckets(tokenCounts(docs))
+      .groupBy("row_i", "bucket").agg(sum("exact").as("c"))
+
+  /** Per-element KMV estimate expression over a sketch array column:
+    * exact size while under-filled, (k-1)·2^60 / h_(k) once full.
+    */
+  private def estOf(c: String): String =
+    s"CASE WHEN size($c) < 64 THEN CAST(size($c) AS BIGINT) ELSE " +
+      s"CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / " +
+      s"CAST(element_at($c, 64) AS DOUBLE)) AS BIGINT) END"
+  private def oEstOf(c: String): String =
+    s"CASE WHEN len($c) < 64 THEN CAST(len($c) AS BIGINT) ELSE " +
+      s"CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / " +
+      s"CAST($c[64] AS DOUBLE)) AS BIGINT) END"
+
   val ops: Seq[Op] = Seq(
 
     // K-minimum-values distinct sketch per language: the bounded
@@ -81,22 +117,11 @@ object Round7 {
     // table, which never grows with vocabulary.
     Op("llm_heavy_hitters_cms",
       (s, d) => {
-        val tokCnt = T.spread(T.t(s, d, "documents"))
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .where("tok <> ''")
-          .groupBy("tok").agg(count(lit(1)).as("exact"))
-        def withBuckets(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("tok"), col("exact"),
-            posexplode(expr(
-              "transform(sequence(0, 3), i -> CAST(" +
-                h32("concat(CAST(i AS STRING), ':', tok)") +
-                " % 1024 AS INT))")))
-          .withColumnRenamed("pos", "row_i")
-          .withColumnRenamed("col", "bucket")
-        val counters = withBuckets(tokCnt)
+        val tokCnt = tokenCounts(T.spread(T.t(s, d, "documents")))
+        val counters = cmsBuckets(tokCnt)
           .groupBy("row_i", "bucket").agg(sum("exact").as("c"))
         val top = tokCnt.orderBy(desc("exact"), col("tok")).limit(20)
-        withBuckets(top)
+        cmsBuckets(top)
           .join(broadcast(counters), Seq("row_i", "bucket"))
           .groupBy("tok", "exact").agg(min("c").as("est_cms"))
           .select(col("tok"), col("exact"), col("est_cms"),
@@ -197,6 +222,61 @@ object Round7 {
         "SELECT lang, n_docs, " +
         "CAST(sq_fp * 1000000000 // tot_sq AS BIGINT) AS weight_fp, " +
         "CAST(n_total * sq_fp // tot_sq AS BIGINT) AS target_n " +
-        "FROM n, tot ORDER BY lang"))
+        "FROM n, tot ORDER BY lang")),
+
+    // KMV sketch ALGEBRA: pairwise source-overlap estimated purely
+    // from the per-source sketches — union(A,B) is the k smallest of
+    // the merged sketch arrays (KMV closure under union, the reason
+    // this sketch and not HLL backs overlap planning), intersection
+    // by inclusion–exclusion. At 100 TB this answers "which sources
+    // duplicate each other" from 20 sketch rows of k longs each —
+    // no text ever crosses the wire — while the exact_inter column
+    // (a linear hash equi-join, audit-only) measures the estimator
+    // error the sketch ships with. 20 sources → 190 pair rows.
+    Op("llm_source_overlap_kmv",
+      (s, d) => {
+        val k = 64
+        val base = T.spread(
+            T.t(s, d, "documents")
+              .where("source IS NOT NULL AND text IS NOT NULL"))
+          .select(col("source"), expr(h60("text")).as("h"))
+        val sk = base.groupBy("source")
+          .agg(KmvAggregator.kmv(k)(col("h")).as("mins"))
+        val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+        val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+        val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+          .withColumn("mu", expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+          .select(col("src_a"), col("src_b"),
+            expr(estOf("ma")).as("est_a"),
+            expr(estOf("mb")).as("est_b"),
+            expr(estOf("mu")).as("est_union"))
+          .withColumn("est_inter",
+            expr("greatest(est_a + est_b - est_union, CAST(0 AS BIGINT))"))
+        val dist = base.distinct()
+        val exact = dist.as("x").join(dist.as("y"),
+            expr("x.h = y.h AND x.source < y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs.join(exact, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter",
+            coalesce(col("exact_inter"), lit(0L)))
+          .orderBy("src_a", "src_b")
+      },
+      Some("WITH h AS (SELECT DISTINCT source, " + oH60("text") + " AS h " +
+        "FROM documents WHERE source IS NOT NULL AND text IS NOT NULL), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "sk AS (SELECT source, list(h ORDER BY h) FILTER (WHERE rn <= 64) AS mins FROM r GROUP BY source), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "list_sort(list_distinct(a.mins || b.mins))[1:64] AS mu, " +
+        oEstOf("a.mins") + " AS est_a, " + oEstOf("b.mins") + " AS est_b " +
+        "FROM sk a JOIN sk b ON a.source < b.source), " +
+        "e AS (SELECT src_a, src_b, est_a, est_b, " + oEstOf("mu") + " AS est_union FROM p), " +
+        "x AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter " +
+        "FROM h a JOIN h b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT e.src_a, e.src_b, est_a, est_b, est_union, " +
+        "greatest(est_a + est_b - est_union, 0) AS est_inter, " +
+        "COALESCE(x.exact_inter, 0) AS exact_inter " +
+        "FROM e LEFT JOIN x ON e.src_a = x.src_a AND e.src_b = x.src_b " +
+        "ORDER BY e.src_a, e.src_b"))
   )
 }

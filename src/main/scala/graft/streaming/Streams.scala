@@ -457,6 +457,46 @@ object Streams {
     graft.ops.Round5b.foldDigests(
       spark.read.parquet(digestDir).drop("run_key", "batch_id"))
 
+  /** Streaming twin of the count-min counter build (the production
+    * artifact behind `llm_heavy_hitters_cms`): each micro-batch's
+    * 4×1024 counter table — computed by the SAME shared helper as the
+    * batch op — lands in `cmsDir` partitioned by (run_key, batch_id)
+    * with dynamic partition overwrite, so an at-least-once replay
+    * overwrites its own partition instead of double-counting. CMS
+    * cells are plain sums, hence additive over disjoint batches:
+    * [[corpusCms]]'s cell-wise fold equals the batch-built sketch of
+    * the full corpus whatever the batch boundaries. Total state is
+    * 4096 rows per batch — the sketch never grows with vocabulary.
+    */
+  def cmsSink(
+      docs: DataFrame,
+      cmsDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Round7.cmsCounters(batch.toDF())
+          .withColumn("run_key", lit(runKey))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_key", "batch_id")
+          .parquet(cmsDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the per-batch counter tables [[cmsSink]] wrote into the
+    * corpus CMS (cell-wise sum, the sketch's merge operation).
+    */
+  def corpusCms(spark: SparkSession, cmsDir: String): DataFrame =
+    spark.read.parquet(cmsDir).drop("run_key", "batch_id")
+      .groupBy("row_i", "bucket").agg(sum("c").as("c"))
+
   /** Streaming twin of the classifier gate: score arriving vectors
     * with OFFLINE-trained weights (the "train once, score the stream"
     * deployment shape). Scoring goes through the same shared

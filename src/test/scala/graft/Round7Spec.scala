@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 batch: mergeable sketches and estimator audits. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("KMV sketch is partition-independent and collapses duplicates") {
+    import spark.implicits._
+    val kmv4 = graft.functions.KmvAggregator.kmv(4)
+    // 6 distinct values, heavy duplication; k=4 keeps the 4 smallest
+    // DISTINCT values whatever the partitioning or merge order.
+    val vals = Seq(50L, 10L, 40L, 10L, 10L, 30L, 60L, 20L, 20L, 50L)
+    def sketch(parts: Int): Seq[Long] =
+      vals.toDF("h").repartition(parts)
+        .agg(kmv4(col("h")).as("mins"))
+        .head().getSeq[Long](0)
+    assert(sketch(1) == Seq(10L, 20L, 30L, 40L))
+    assert(sketch(7) == Seq(10L, 20L, 30L, 40L))
+    // under-filled sketch holds EVERY distinct value (exact mode)
+    val under = Seq(9L, 7L, 9L, 7L, 8L).toDF("h")
+      .agg(kmv4(col("h"))).head().getSeq[Long](0)
+    assert(under == Seq(7L, 8L, 9L))
+  }
+
+  test("rel_agg_kmv_distinct: exact below k, within 4 sigma above") {
+    val got = Registry.byKey("rel_agg_kmv_distinct").query(spark, TestSpark.sf).collect()
+    val exact = Tables.t(spark, TestSpark.sf, "documents")
+      .where("lang IS NOT NULL AND text IS NOT NULL")
+      .groupBy("lang").agg(countDistinct("text").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lang, kth, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (kth == -1L) assert(est == exact(lang), s"under-k branch must be exact for $lang")
+      else {
+        // KMV relative std err ~ 1/sqrt(k-2) ~ 12.7% at k=64; 4 sigma.
+        val rel = math.abs(est.toDouble / exact(lang) - 1.0)
+        assert(rel < 0.51, s"KMV estimate $est vs exact ${exact(lang)} for $lang (rel $rel)")
+      }
+    }
+  }
+
+  test("llm_heavy_hitters_cms: one-sided error, exact counts verified") {
+    val got = Registry.byKey("llm_heavy_hitters_cms").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never undercount: ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // ground-truth the single most frequent token independently
+    val top = got.head
+    val n = Tables.t(spark, TestSpark.sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") === top.getString(0)).count()
+    assert(top.getLong(1) == n, "exact column must be the true count")
+  }
+
+  test("llm_kn_bigram_lm == independent Scala replay on a fixture") {
+    import spark.implicits._
+    val dir = s"target/tmp/r7kn_${System.nanoTime()}"
+    val texts = Seq(
+      "a b a b a b c", "b a b a b", "a b a b", "c a b a", "a c a b a b")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // second implementation: plain Scala maps, same IEEE formula tree
+    val bi = texts.map(_.toLowerCase.split(" ").toSeq)
+      .filter(_.size >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nSucc = bi.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nPred = bi.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = bi.size.toLong
+    val expect = bi.collect { case ((w1, w2), c12) if c12 >= 3 =>
+      (w1, w2) -> ((math.max(c12 - 0.75, 0.0) / c1(w1)) +
+        ((0.75 * nSucc(w1)) / c1(w1)) * (nPred(w2).toDouble / b))
+    }.toMap
+    val got = Registry.byKey("llm_kn_bigram_lm").query(spark, dir).collect()
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getDouble(7) == expect(k), s"p_kn mismatch for $k")
+    }
+    // discounted + continuation mass stays a probability
+    got.foreach(r => assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0))
+  }
+
+  test("cmsSink fold == batch CMS counters regardless of batch boundaries") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val stamp = System.nanoTime()
+    val srcDir = s"target/tmp/r7cms_src_$stamp"
+    val cmsDir = s"target/tmp/r7cms_out_$stamp"
+    val ckDir = s"target/tmp/r7cms_ck_$stamp"
+    // 4 files -> maxFilesPerTrigger(1) yields 4 micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.Streams.cmsSink(stream, cmsDir, ckDir)
+    q.awaitTermination()
+    val folded = graft.streaming.Streams.corpusCms(spark, cmsDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Round7.cmsCounters(docs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(folded == batch)
+    assert(spark.read.parquet(cmsDir).select("batch_id").distinct().count() > 1,
+      "parity must be across MULTIPLE micro-batches")
+  }
+
+  test("llm_source_overlap_kmv: union bounds, symmetry inputs, exact audit") {
+    val got = Registry.byKey("llm_source_overlap_kmv").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ea, eb, eu, ei, xi) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(eu >= math.max(ea, eb) - 1, s"union below max component: $r")
+      assert(eu <= ea + eb, s"union above sum: $r")
+      assert(ei >= 0 && ei <= math.min(ea, eb) + (ea + eb) / 4, s"inter out of range: $r")
+      assert(xi >= 0)
+    }
+    // under-k sketches are exact sets, so inclusion-exclusion is exact:
+    // whenever BOTH sketches and the union are under-filled the
+    // estimated intersection must equal the audited exact one.
+    val exact = got.filter(r => r.getLong(2) < 64 && r.getLong(3) < 64 && r.getLong(4) < 64)
+    exact.foreach(r => assert(r.getLong(5) == r.getLong(6), s"under-k pair must be exact: $r"))
+  }
+
+  test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
+    val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    val nTotal = Tables.t(spark, TestSpark.sf, "documents").count()
+    val wSum = got.map(_.getLong(2)).sum
+    // floor division loses < 1 unit per group
+    assert(wSum <= 1000000000L && wSum > 1000000000L - got.length)
+    assert(got.map(_.getLong(3)).sum <= nTotal)
+    // temperature flattens but never reorders the distribution
+    val byN = got.sortBy(_.getLong(1))
+    assert(byN.map(_.getLong(2)).toSeq == byN.map(_.getLong(2)).sorted.toSeq)
+    // tail langs are upsampled relative to proportional share: the
+    // smallest lang's weight share must exceed its doc share
+    val small = byN.head
+    assert(small.getLong(2).toDouble / 1e9 > small.getLong(1).toDouble / nTotal)
+  }
+}
