@@ -117,7 +117,10 @@ object Round7 {
     // table, which never grows with vocabulary.
     Op("llm_heavy_hitters_cms",
       (s, d) => {
+        // pin the vocab-bounded token counts: the counter build and the
+        // top-20 selection would otherwise each re-tokenize the corpus
         val tokCnt = tokenCounts(T.spread(T.t(s, d, "documents")))
+          .localCheckpoint()
         val counters = cmsBuckets(tokCnt)
           .groupBy("row_i", "bucket").agg(sum("exact").as("c"))
         val top = tokCnt.orderBy(desc("exact"), col("tok")).limit(20)
@@ -163,6 +166,10 @@ object Round7 {
             .as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          // pin the bigram-type table (vocab^2-bounded, tiny next to the
+          // corpus): heads/cont/types would otherwise each re-run the
+          // full token-stream explode
+          .localCheckpoint()
         val heads = bi.groupBy("w1").agg(
           sum("c12").as("c1"), count(lit(1)).as("n_succ"))
         val cont = bi.groupBy("w2").agg(count(lit(1)).as("n_pred"))

@@ -91,7 +91,12 @@ object ScaleProbe {
       "llm_logreg_train", "llm_embedding_pca", "llm_quality_classifier_gate",
       "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc",
       "llm_embedding_dim_stats", "llm_embedding_whiten_check",
-      "llm_pagerank_centrality", "llm_minhash_recall")
+      "llm_pagerank_centrality", "llm_minhash_recall",
+      // round 7: the sketch family under the 20x all-duplicate corpus —
+      // KMV buffers must stay k longs and CMS cells 4096 rows however
+      // duplicated the input; the KN LM sweeps the full bigram stream
+      "rel_agg_kmv_distinct", "llm_heavy_hitters_cms", "llm_kn_bigram_lm",
+      "llm_temperature_mix", "llm_source_overlap_kmv")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
