@@ -284,6 +284,83 @@ object Round7 {
         "greatest(est_a + est_b - est_union, 0) AS est_inter, " +
         "COALESCE(x.exact_inter, 0) AS exact_inter " +
         "FROM e LEFT JOIN x ON e.src_a = x.src_a AND e.src_b = x.src_b " +
-        "ORDER BY e.src_a, e.src_b"))
+        "ORDER BY e.src_a, e.src_b")),
+
+    // CMS inner-product join-cardinality estimation (AMS/count-min
+    // style): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated per hash row
+    // as Σ_bucket c_A·c_B, taking the min across the 4 rows — a
+    // one-sided overestimate. This is the join-size oracle an
+    // optimizer consults BEFORE committing a 100-TB shuffle when
+    // catalog stats are missing: each side is profiled independently
+    // (one scan, 4096-cell sketch), the estimate is a 4096-row join
+    // of the two sketches, and the exact join here is audit-only.
+    Op("rel_join_size_estimate",
+      (s, d) => {
+        def cms(df: org.apache.spark.sql.DataFrame, key: String, cName: String) = df
+          .groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+          .select(col("f"), posexplode(expr(
+            "transform(sequence(0, 3), i -> CAST(" +
+              h32("concat(CAST(i AS STRING), ':', CAST(k AS STRING))") +
+              " % 1024 AS INT))")))
+          .withColumnRenamed("pos", "row_i")
+          .withColumnRenamed("col", "bucket")
+          .groupBy("row_i", "bucket").agg(sum("f").as(cName))
+        val ca = cms(T.t(s, d, "orders"), "o_orderkey", "ca")
+        val cb = cms(T.t(s, d, "lineitem"), "l_orderkey", "cb")
+        val est = ca.join(cb, Seq("row_i", "bucket"))
+          .groupBy("row_i").agg(sum(expr("ca * cb")).as("ip"))
+          .agg(min("ip").as("est_rows"))
+        val exact = T.t(s, d, "orders").join(
+            T.t(s, d, "lineitem"),
+            expr("o_orderkey = l_orderkey"))
+          .agg(count(lit(1)).as("exact_rows"))
+        est.crossJoin(exact)
+          .select(col("est_rows"), col("exact_rows"),
+            expr("(est_rows - exact_rows) * 1000000 div exact_rows")
+              .as("over_ppm"))
+      },
+      Some("WITH fa AS (SELECT o_orderkey AS k, count(*) AS f FROM orders GROUP BY 1), " +
+        "fb AS (SELECT l_orderkey AS k, count(*) AS f FROM lineitem GROUP BY 1), " +
+        "ba AS (SELECT f, i AS row_i, CAST(" +
+        oH32("concat(CAST(i AS VARCHAR), ':', CAST(k AS VARCHAR))") +
+        " % 1024 AS INTEGER) AS bucket FROM fa, range(0, 4) t(i)), " +
+        "bb AS (SELECT f, i AS row_i, CAST(" +
+        oH32("concat(CAST(i AS VARCHAR), ':', CAST(k AS VARCHAR))") +
+        " % 1024 AS INTEGER) AS bucket FROM fb, range(0, 4) t(i)), " +
+        "ca AS (SELECT row_i, bucket, CAST(SUM(f) AS BIGINT) AS ca FROM ba GROUP BY 1, 2), " +
+        "cb AS (SELECT row_i, bucket, CAST(SUM(f) AS BIGINT) AS cb FROM bb GROUP BY 1, 2), " +
+        "ip AS (SELECT ca.row_i, CAST(SUM(ca * cb) AS BIGINT) AS ip " +
+        "FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.bucket = cb.bucket GROUP BY 1), " +
+        "e AS (SELECT MIN(ip) AS est_rows FROM ip), " +
+        "x AS (SELECT count(*) AS exact_rows FROM orders o JOIN lineitem l " +
+        "ON o.o_orderkey = l.l_orderkey) " +
+        "SELECT est_rows, exact_rows, " +
+        "(est_rows - exact_rows) * 1000000 // exact_rows AS over_ppm FROM e, x")),
+
+    // Per-document lexical diversity: type/token ratio and hapax
+    // (once-only) ratio — the repetitiveness quality signal next to
+    // llm_repetition_filter's n-gram view. One explode + two hash
+    // aggregations, all ratios exact integer fixed-point.
+    Op("llm_lexical_diversity",
+      (s, d) => T.spread(T.t(s, d, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where("tok <> ''")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_fp"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_types, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "count(*) * 1000000 // CAST(SUM(c) AS BIGINT) AS ttr_fp, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS hapax_fp " +
+        "FROM (SELECT doc_id, tok, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY doc_id, tok) GROUP BY doc_id ORDER BY doc_id"))
   )
 }

@@ -130,6 +130,52 @@ class Round7Spec extends AnyFunSuite {
     exact.foreach(r => assert(r.getLong(5) == r.getLong(6), s"under-k pair must be exact: $r"))
   }
 
+  test("SketchStore: incremental updates land on the build-once sketches") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val stamp = System.nanoTime()
+    val onceDir = s"target/tmp/r7store_once_$stamp"
+    val incrDir = s"target/tmp/r7store_incr_$stamp"
+    graft.api.SketchStore.build(docs, onceDir)
+    // three arbitrary disjoint batches, ingested one update at a time
+    val b = docs.withColumn("b", pmod(col("doc_id"), lit(3)))
+    (0 to 2).foreach(i =>
+      graft.api.SketchStore.update(b.where(s"b = $i").drop("b"), incrDir))
+    def kmv(dir: String) = spark.read.parquet(s"$dir/kmv")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def cms(dir: String) = spark.read.parquet(s"$dir/cms")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(kmv(onceDir) == kmv(incrDir), "KMV union must be batch-invariant")
+    assert(cms(onceDir) == cms(incrDir), "CMS add must be batch-invariant")
+    // the stored sketch answers the operator's question without data:
+    // estimates from the store equal the registry op's n_est column
+    val fromStore = graft.api.SketchStore.distinctEstimate(spark, incrDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromOp = Registry.byKey("rel_agg_kmv_distinct").query(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fromStore == fromOp)
+    // point lookups against the stored CMS match the op's estimates
+    val opTop = Registry.byKey("llm_heavy_hitters_cms").query(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val lookups = graft.api.SketchStore.freqEstimate(
+        spark, incrDir, opTop.keys.toSeq.sorted)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lookups == opTop)
+  }
+
+  test("rel_join_size_estimate: one-sided overestimate, audit consistent") {
+    val r = Registry.byKey("rel_join_size_estimate").query(spark, TestSpark.sf).head()
+    val (est, exact, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val trueExact = Tables.t(spark, TestSpark.sf, "orders").join(
+      Tables.t(spark, TestSpark.sf, "lineitem"),
+      org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey")).count()
+    assert(exact == trueExact)
+    assert(est >= exact, "CM inner product must overestimate")
+    assert(ppm == (est - exact) * 1000000L / exact)
+    // 4096 cells on ~unique keys: collision bias stays moderate
+    assert(est < exact * 3, s"estimate $est implausibly far from $exact")
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
