@@ -337,6 +337,62 @@ object Round7 {
         "SELECT est_rows, exact_rows, " +
         "(est_rows - exact_rows) * 1000000 // exact_rows AS over_ppm FROM e, x")),
 
+    // Bloom-filter false-positive-rate audit: build a deterministic
+    // Bloom filter (m=131072 bits, j=6 double-hashed probes) over the
+    // customer keys, probe it with 10k keys disjoint by construction,
+    // and report the MEASURED false-positive rate next to the
+    // (1-e^{-jn/m})^j theory value — the check run before trusting a
+    // Bloom prefilter (rel_join_bloom_prefilter) to gate a 100-TB
+    // shuffle. The filter is a distinct-bit-position table (≤ m rows,
+    // broadcast); build and probe are one explode + one join each.
+    Op("rel_bloom_fpr_audit",
+      (s, d) => {
+        val m = 131072
+        def bitsOf(k: String) =
+          s"transform(sequence(0, 5), i -> (" +
+            h32(s"concat('b1:', CAST($k AS STRING))") + " + i * " +
+            h32(s"concat('b2:', CAST($k AS STRING))") + s") % $m)"
+        val keys = T.t(s, d, "customer").select(col("c_custkey").as("k"))
+        val bits = keys.select(explode(expr(bitsOf("k"))).as("bit")).distinct()
+        val probes = s.range(1000000000L, 1000010000L).select(col("id").as("k"))
+        val hit = probes
+          .select(col("k"), explode(expr(bitsOf("k"))).as("bit"))
+          .join(broadcast(bits.withColumn("b1", lit(1L))), Seq("bit"), "left")
+          .groupBy("k").agg(sum(coalesce(col("b1"), lit(0L))).as("nset"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("nset") === 6L, 1L).otherwise(0L)).as("false_pos"))
+        keys.agg(count(lit(1)).as("n_keys"))
+          .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+          .crossJoin(hit)
+          .withColumn("p", expr(
+            s"1.0 - exp((0.0 - CAST(6 * n_keys AS DOUBLE)) / $m.0)"))
+          .select(col("n_keys"), col("bits_set"), col("n_probes"), col("false_pos"),
+            expr("false_pos * 1000000 div n_probes").as("fpr_ppm"),
+            expr("CAST(floor((((((p * p) * p) * p) * p) * p) * 1000000.0) AS BIGINT)")
+              .as("theory_ppm"))
+      },
+      Some("WITH keys AS (SELECT c_custkey AS k FROM customer), " +
+        "kh AS (SELECT k, " +
+        oH32("concat('b1:', CAST(k AS VARCHAR))") + " AS h1, " +
+        oH32("concat('b2:', CAST(k AS VARCHAR))") + " AS h2 FROM keys), " +
+        "bits AS (SELECT DISTINCT (h1 + i * h2) % 131072 AS bit FROM kh, range(0, 6) t(i)), " +
+        "ph AS (SELECT k, " +
+        oH32("concat('b1:', CAST(k AS VARCHAR))") + " AS h1, " +
+        oH32("concat('b2:', CAST(k AS VARCHAR))") + " AS h2 " +
+        "FROM range(1000000000, 1000010000) t(k)), " +
+        "pb AS (SELECT k, (h1 + i * h2) % 131072 AS bit FROM ph, range(0, 6) t(i)), " +
+        "hit AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, " +
+        "CAST(SUM(CASE WHEN nset = 6 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos FROM (" +
+        "SELECT pb.k, SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nset " +
+        "FROM pb LEFT JOIN bits b ON pb.bit = b.bit GROUP BY pb.k)), " +
+        "agg AS (SELECT (SELECT count(*) FROM keys) AS n_keys, " +
+        "(SELECT count(*) FROM bits) AS bits_set, n_probes, false_pos FROM hit), " +
+        "pp AS (SELECT *, 1.0 - exp((0.0 - CAST(6 * n_keys AS DOUBLE)) / 131072.0) AS p FROM agg) " +
+        "SELECT n_keys, bits_set, n_probes, false_pos, " +
+        "false_pos * 1000000 // n_probes AS fpr_ppm, " +
+        "CAST(floor((((((p * p) * p) * p) * p) * p) * 1000000.0) AS BIGINT) AS theory_ppm " +
+        "FROM pp")),
+
     // Per-document lexical diversity: type/token ratio and hapax
     // (once-only) ratio — the repetitiveness quality signal next to
     // llm_repetition_filter's n-gram view. One explode + two hash

@@ -176,6 +176,45 @@ class Round7Spec extends AnyFunSuite {
     assert(est < exact * 3, s"estimate $est implausibly far from $exact")
   }
 
+  test("rel_bloom_fpr_audit: no false negatives by construction, sane FPR") {
+    val r = Registry.byKey("rel_bloom_fpr_audit").query(spark, TestSpark.sf).head()
+    val (nKeys, bitsSet, nProbes, fp, fprPpm, theoryPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nProbes == 10000L)
+    assert(bitsSet <= 6 * nKeys, "at most j bits per inserted key")
+    assert(fprPpm == fp * 1000000L / nProbes)
+    // at sf0.001 load (n=150, m=131072) theory is ~1e-13 — zero false
+    // positives are certain; at larger SFs measured must track theory
+    if (theoryPpm < 10) assert(fp <= 1, s"fp=$fp at near-zero load")
+    else assert(fprPpm <= 6 * theoryPpm + 1000, s"measured $fprPpm vs theory $theoryPpm")
+    // every inserted key must hit all its own bits: probe the filter
+    // with the build keys through the SAME op arithmetic
+    import org.apache.spark.sql.functions._
+    val m = 131072
+    def bitsOf(k: String) =
+      s"transform(sequence(0, 5), i -> (" +
+        s"CAST(conv(substring(md5(concat('b1:', CAST($k AS STRING))), 1, 8), 16, 10) AS BIGINT) + i * " +
+        s"CAST(conv(substring(md5(concat('b2:', CAST($k AS STRING))), 1, 8), 16, 10) AS BIGINT)) % $m)"
+    val keys = Tables.t(spark, TestSpark.sf, "customer").select(col("c_custkey").as("k"))
+    val bits = keys.select(explode(expr(bitsOf("k"))).as("bit")).distinct()
+    val selfMiss = keys.select(col("k"), explode(expr(bitsOf("k"))).as("bit"))
+      .join(bits.withColumn("b1", lit(1L)), Seq("bit"), "left")
+      .where("b1 IS NULL").count()
+    assert(selfMiss == 0L, "a member key missed one of its own bits")
+  }
+
+  test("llm_lexical_diversity: ratios consistent and bounded") {
+    val got = Registry.byKey("llm_lexical_diversity").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nt, ty, hx, ttr, hap) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ty <= nt && hx <= ty)
+      assert(ttr == ty * 1000000L / nt && hap == hx * 1000000L / ty)
+      assert(ttr <= 1000000L && hap <= 1000000L)
+    }
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
