@@ -96,7 +96,8 @@ object ScaleProbe {
       // KMV buffers must stay k longs and CMS cells 4096 rows however
       // duplicated the input; the KN LM sweeps the full bigram stream
       "rel_agg_kmv_distinct", "llm_heavy_hitters_cms", "llm_kn_bigram_lm",
-      "llm_temperature_mix", "llm_source_overlap_kmv")
+      "llm_temperature_mix", "llm_source_overlap_kmv",
+      "llm_lexical_diversity")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

@@ -546,4 +546,41 @@ class PlansSpec extends AnyFunSuite {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("Join")),
       s"scoring must not join anything:\n$plan")
   }
+
+  test("KMV aggregation is two-phase: sketches, not keys, cross the shuffle") {
+    // the whole point of the KMV op is that the map side reduces every
+    // partition to k-long buffers BEFORE the exchange — a single-phase
+    // plan would shuffle the full hash set and reintroduce the
+    // count(DISTINCT) cost the sketch exists to avoid. Also pins the
+    // 2-column pruned scan with both null filters pushed.
+    val df = Registry.byKey("rel_agg_kmv_distinct").query(spark, TestSpark.sf)
+    df.count()
+    val plan = GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("partial_kmvaggregator"),
+      s"no map-side partial sketch aggregation:\n$s")
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("lang", "text"))
+    assert(scans.head.metadata.getOrElse("PushedFilters", "").contains("IsNotNull"))
+  }
+
+  test("CMS sketch join in the size estimate is cell-bounded, not key-bounded") {
+    // the inner-product join must join the two 4096-cell counter
+    // tables, never the raw key sets: after aggregation each side of
+    // the sketch join is at most 4 x 1024 rows whatever the table
+    // size. Pin by checking the join keys are (row_i, bucket).
+    val df = Registry.byKey("rel_join_size_estimate").query(spark, TestSpark.sf)
+    df.count()
+    val plan = (GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("row_i") && plan.contains("bucket"),
+      s"sketch join keys missing:\n$plan")
+  }
 }
