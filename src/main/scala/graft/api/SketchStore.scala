@@ -55,6 +55,16 @@ object SketchStore {
     * crash-window contract.
     */
   def update(docs: DataFrame, dir: String): Unit = {
+    updateKmv(docs, dir)
+    updateCms(docs, dir)
+  }
+
+  /** KMV-only merge. Sketch union is IDEMPOTENT (duplicates collapse),
+    * so re-ingesting a batch cannot perturb the sketch — the property
+    * [[graft.streaming.Streams.kmvSink]] relies on under
+    * at-least-once foreachBatch replay.
+    */
+  def updateKmv(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val kmvNew = kmvOf(docs)
     val kmvMerged = read(spark, dir, "kmv") match {
@@ -66,6 +76,15 @@ object SketchStore {
       case None => kmvNew
     }
     swapIn(kmvMerged, s"$dir/kmv")
+  }
+
+  /** CMS-only merge. Cell-wise ADD is NOT idempotent — callers must
+    * dedupe batches (the streaming path should use
+    * [[graft.streaming.Streams.cmsSink]]'s partition-overwrite
+    * scheme instead of replaying through here).
+    */
+  def updateCms(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
     val cmsNew = cmsOf(docs)
     val cmsMerged = read(spark, dir, "cms") match {
       case Some(old) =>

@@ -411,6 +411,92 @@ object Round7 {
         "CAST(floor((((((p * p) * p) * p) * p) * p) * 1000000.0) AS BIGINT) AS theory_ppm " +
         "FROM pp")),
 
+    // Equi-width 20-bin histogram of o_totalprice — the classic
+    // optimizer column statistic (selectivity input) beyond
+    // core_column_stats' min/max/NDV. One scan for the bounds
+    // (broadcast 1-row), one partial-aggregated scan for the bin
+    // counts; the cumulative column is a 20-row broadcast self-join,
+    // never a global window. Bin boundaries are the identical IEEE
+    // expression tree on both engines.
+    Op("core_column_histogram",
+      (s, d) => {
+        val o = T.t(s, d, "orders")
+        val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        val binned = o.crossJoin(broadcast(mm))
+          .withColumn("bin", expr(
+            "CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INT)"))
+          .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+        val cum = binned.as("a")
+          .join(broadcast(binned.as("b")), expr("b.bin <= a.bin"))
+          .groupBy(col("a.bin").as("bin"), col("a.n_rows").as("n_rows"))
+          .agg(sum("b.n_rows").as("cum_rows"))
+        cum.crossJoin(broadcast(mm))
+          .select(col("bin"),
+            expr("lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0)").as("bin_lo"),
+            expr("lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / 20.0)").as("bin_hi"),
+            col("n_rows"), col("cum_rows"))
+          .orderBy("bin")
+      },
+      Some("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), " +
+        "bi AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INTEGER) AS bin, " +
+        "count(*) AS n_rows FROM orders, mm GROUP BY 1), " +
+        "cu AS (SELECT a.bin, a.n_rows, CAST(SUM(b.n_rows) AS BIGINT) AS cum_rows " +
+        "FROM bi a JOIN bi b ON b.bin <= a.bin GROUP BY a.bin, a.n_rows) " +
+        "SELECT bin, lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS bin_lo, " +
+        "lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / 20.0) AS bin_hi, " +
+        "n_rows, cum_rows FROM cu, mm ORDER BY bin")),
+
+    // Histogram-driven selectivity estimation with measured error: the
+    // range-predicate cardinality an optimizer reads off the histogram
+    // (full bins above the threshold + linear interpolation inside the
+    // straddling bin) vs the exact count. Threshold = lo + 0.75·range,
+    // so the estimate always exercises the interpolation path. The
+    // whole estimate touches 20 histogram rows; the exact count is
+    // audit-only — at 100 TB the histogram IS the answer.
+    Op("rel_selectivity_estimate",
+      (s, d) => {
+        val o = T.t(s, d, "orders")
+        val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+          .withColumn("w", expr("(hi - lo) / 20.0"))
+          .withColumn("t", expr("lo + (hi - lo) * 0.75"))
+        val binned = o.crossJoin(broadcast(mm))
+          .withColumn("bin", expr(
+            "CAST(least(floor((o_totalprice - lo) / w), 19.0) AS INT)"))
+          .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+        val est = binned.crossJoin(broadcast(mm))
+          .withColumn("tb", expr("CAST(least(floor((t - lo) / w), 19.0) AS INT)"))
+          .agg(
+            first("t").as("t"),
+            sum(when(col("bin") > col("tb"), col("n_rows")).otherwise(0L)).as("above"),
+            sum(when(col("bin") === col("tb"), col("n_rows")).otherwise(0L)).as("straddle"),
+            first(expr("(lo + (CAST(tb AS DOUBLE) + 1.0) * w - t) / w")).as("frac"))
+          .select(col("t"),
+            expr("above + CAST(floor(CAST(straddle AS DOUBLE) * frac) AS BIGINT)")
+              .as("est_rows"))
+        val exact = o.crossJoin(broadcast(mm))
+          .where("o_totalprice >= t")
+          .agg(count(lit(1)).as("exact_rows"))
+        est.crossJoin(exact)
+          .select(
+            expr("CAST(floor(t * 100.0) AS BIGINT)").as("threshold_fp"),
+            col("est_rows"), col("exact_rows"),
+            expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
+              .as("err_abs_ppm"))
+      },
+      Some("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
+        "(max(o_totalprice) - min(o_totalprice)) / 20.0 AS w, " +
+        "min(o_totalprice) + (max(o_totalprice) - min(o_totalprice)) * 0.75 AS t FROM orders), " +
+        "bi AS (SELECT CAST(least(floor((o_totalprice - lo) / w), 19.0) AS INTEGER) AS bin, " +
+        "count(*) AS n_rows FROM orders, mm GROUP BY 1), " +
+        "tb AS (SELECT CAST(least(floor((t - lo) / w), 19.0) AS INTEGER) AS tb FROM mm), " +
+        "e AS (SELECT CAST(SUM(CASE WHEN bin > tb THEN n_rows ELSE 0 END) AS BIGINT) AS above, " +
+        "CAST(SUM(CASE WHEN bin = tb THEN n_rows ELSE 0 END) AS BIGINT) AS straddle FROM bi, tb), " +
+        "f AS (SELECT (lo + (CAST(tb AS DOUBLE) + 1.0) * w - t) / w AS frac FROM mm, tb), " +
+        "x AS (SELECT count(*) AS exact_rows FROM orders, mm WHERE o_totalprice >= t), " +
+        "g AS (SELECT above + CAST(floor(CAST(straddle AS DOUBLE) * frac) AS BIGINT) AS est_rows FROM e, f) " +
+        "SELECT CAST(floor(t * 100.0) AS BIGINT) AS threshold_fp, est_rows, exact_rows, " +
+        "abs(est_rows - exact_rows) * 1000000 // exact_rows AS err_abs_ppm FROM g, x, mm")),
+
     // Per-document lexical diversity: type/token ratio and hapax
     // (once-only) ratio — the repetitiveness quality signal next to
     // llm_repetition_filter's n-gram view. One explode + two hash

@@ -497,6 +497,27 @@ object Streams {
     spark.read.parquet(cmsDir).drop("run_key", "batch_id")
       .groupBy("row_i", "bucket").agg(sum("c").as("c"))
 
+  /** Streaming KMV profile ingestion: each micro-batch union-merges
+    * into the persistent [[graft.api.SketchStore]] KMV generation.
+    * Unlike the CMS counters, KMV union is IDEMPOTENT — a replayed
+    * batch collapses into the sketch it already joined — so
+    * at-least-once foreachBatch needs no partition bookkeeping here;
+    * the store's staged-rename swap keeps crash windows safe.
+    */
+  def kmvSink(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.api.SketchStore.updateKmv(batch.toDF(), storeDir)
+        ()
+      }
+      .start()
+
   /** Streaming twin of the classifier gate: score arriving vectors
     * with OFFLINE-trained weights (the "train once, score the stream"
     * deployment shape). Scoring goes through the same shared

@@ -218,6 +218,49 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("kmvSink: streamed union == build-once, and replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val stamp = System.nanoTime()
+    val srcDir = s"target/tmp/r7kmv_src_$stamp"
+    val storeDir = s"target/tmp/r7kmv_store_$stamp"
+    val onceDir = s"target/tmp/r7kmv_once_$stamp"
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+    graft.streaming.Streams.kmvSink(stream, storeDir, s"$storeDir.ck")
+      .awaitTermination()
+    graft.api.SketchStore.build(docs, onceDir)
+    def kmv(dir: String) = spark.read.parquet(s"$dir/kmv")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kmv(storeDir) == kmv(onceDir), "streamed KMV must equal build-once")
+    // idempotence: re-ingesting an already-merged batch changes nothing
+    graft.api.SketchStore.updateKmv(docs.limit(100), storeDir)
+    assert(kmv(storeDir) == kmv(onceDir), "KMV replay must be a no-op")
+  }
+
+  test("core_column_histogram: partitions the table, cumulative consistent") {
+    val got = Registry.byKey("core_column_histogram").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val total = Tables.t(spark, TestSpark.sf, "orders").count()
+    assert(got.map(_.getLong(3)).sum == total, "bins must partition all rows")
+    assert(got.last.getLong(4) == total, "last cumulative == total")
+    // cum is the running sum in bin order
+    var run = 0L
+    got.sortBy(_.getInt(0)).foreach { r =>
+      run += r.getLong(3)
+      assert(r.getLong(4) == run)
+    }
+  }
+
+  test("rel_selectivity_estimate: interpolation lands near the exact count") {
+    val r = Registry.byKey("rel_selectivity_estimate").query(spark, TestSpark.sf).head()
+    val (est, exact, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ppm == math.abs(est - exact) * 1000000L / exact)
+    // uniformish synthetic data: 20-bin interpolation is a few percent
+    assert(ppm < 150000, s"histogram estimate $est vs exact $exact ($ppm ppm)")
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
