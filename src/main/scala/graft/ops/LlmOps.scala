@@ -134,7 +134,7 @@ object LlmOps {
     * instead of ~30-byte strings (the oracle keeps exact strings; a
     * collision would perturb one shared-count at ~2^-40 odds).
     */
-  private val shingleHashExpr: String =
+  private[ops] val shingleHashExpr: String =
     "transform(array_distinct(transform(sequence(1, size(toks) - 2), " +
       "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))), " +
       "sh -> xxhash64(sh))"

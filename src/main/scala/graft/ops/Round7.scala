@@ -497,6 +497,59 @@ object Round7 {
         "SELECT CAST(floor(t * 100.0) AS BIGINT) AS threshold_fp, est_rows, exact_rows, " +
         "abs(est_rows - exact_rows) * 1000000 // exact_rows AS err_abs_ppm FROM g, x, mm")),
 
+    // Asymmetric near-dup direction: trigram-shingle CONTAINMENT
+    // C = |A∩B| / min(|A|,|B|) between DISTINCT texts — jaccard says
+    // "these two overlap", containment says "one lies inside the
+    // other" (boilerplate-wrapped copies, excerpt pages), the signal
+    // that picks WHICH document to drop. Same inverted-index discipline
+    // as llm_ngram_jaccard: rare cap (df<=256) bounds posting lists,
+    // denominators count every shingle; pair generation runs on one
+    // representative per identical-(lowered-)text group, so the
+    // quadratic term is |distinct texts| — bounded on duplicate-heavy
+    // corpora by construction (the exact-dedup family owns expansion).
+    Op("llm_shingle_containment",
+      (s, d) => {
+        val reps = T.spread(T.t(s, d, "documents"))
+          .groupBy(lower(col("text")).as("ltext"))
+          .agg(min("doc_id").as("doc_id"))
+        val sid = reps
+          .withColumn("toks", split(col("ltext"), " "))
+          .where("size(toks) >= 3")
+          .select(col("doc_id"), explode(expr(LlmOps.shingleHashExpr)).as("sid"))
+          .localCheckpoint()
+        val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val rare = sid.groupBy("sid").agg(count(lit(1)).as("df"))
+          .where("df <= 256").select("sid")
+        val shRare = sid.join(rare, "sid")
+        shRare.as("x").join(shRare.as("y"),
+            col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+          .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+          .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+          .withColumn("containment",
+            expr("CAST(shared AS DOUBLE) / least(n1, n2)"))
+          .where("containment >= 0.8")
+          .select("d1", "d2", "containment")
+          .orderBy("d1", "d2")
+      },
+      Some("WITH reps AS (SELECT min(doc_id) AS doc_id, ltext FROM (" +
+        "SELECT doc_id, lower(text) AS ltext FROM documents) GROUP BY ltext), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
+        "FROM (SELECT doc_id, string_split(ltext, ' ') AS toks FROM reps) WHERE len(toks) >= 3), " +
+        "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
+        "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
+        "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared " +
+        "FROM shrare x JOIN shrare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id " +
+        "GROUP BY x.doc_id, y.doc_id) " +
+        "SELECT d1, d2, containment FROM (" +
+        "SELECT d1, d2, CAST(shared AS DOUBLE) / least(n1, n2) AS containment " +
+        "FROM shared JOIN (SELECT doc_id AS d1, n_sh AS n1 FROM counts) c1 USING (d1) " +
+        "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2)) " +
+        "WHERE containment >= 0.8 ORDER BY d1, d2")),
+
     // Per-document lexical diversity: type/token ratio and hapax
     // (once-only) ratio — the repetitiveness quality signal next to
     // llm_repetition_filter's n-gram view. One explode + two hash

@@ -261,6 +261,28 @@ class Round7Spec extends AnyFunSuite {
     assert(ppm < 150000, s"histogram estimate $est vs exact $exact ($ppm ppm)")
   }
 
+  test("llm_shingle_containment catches an embedded copy jaccard misses") {
+    import spark.implicits._
+    val dir = s"target/tmp/r7cont_${System.nanoTime()}"
+    // doc 1 = 20 tokens; doc 2 = those 20 tokens inside 180 tokens of
+    // other text: containment(1 in 2) = 1.0, jaccard ~ 0.1 (< 0.2 gate)
+    val core = (1 to 20).map(i => s"core$i").mkString(" ")
+    val wrap = (1 to 180).map(i => s"boiler$i").mkString(" ")
+    Seq((1L, core), (2L, s"$wrap $core"), (3L, "unrelated text entirely " +
+        (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Registry.byKey("llm_shingle_containment").query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.contains((1L, 2L)), s"containment must flag the embedded copy: $cont")
+    assert(cont((1L, 2L)) >= 0.85)
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    val jac = Registry.byKey("llm_ngram_jaccard").query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture broken: jaccard should sit under its 0.2 gate here")
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
