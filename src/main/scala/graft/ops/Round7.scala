@@ -421,10 +421,13 @@ object Round7 {
     Op("core_column_histogram",
       (s, d) => {
         val o = T.t(s, d, "orders")
+        // zero-width guard: a constant column (or one row) degenerates
+        // to a single bin instead of NaN arithmetic (ANSI casts throw)
         val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+          .withColumn("w", expr("CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 20.0 END"))
         val binned = o.crossJoin(broadcast(mm))
           .withColumn("bin", expr(
-            "CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INT)"))
+            "CAST(least(floor((o_totalprice - lo) / w), 19.0) AS INT)"))
           .groupBy("bin").agg(count(lit(1)).as("n_rows"))
         val cum = binned.as("a")
           .join(broadcast(binned.as("b")), expr("b.bin <= a.bin"))
@@ -432,18 +435,20 @@ object Round7 {
           .agg(sum("b.n_rows").as("cum_rows"))
         cum.crossJoin(broadcast(mm))
           .select(col("bin"),
-            expr("lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0)").as("bin_lo"),
-            expr("lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / 20.0)").as("bin_hi"),
+            expr("lo + CAST(bin AS DOUBLE) * w").as("bin_lo"),
+            expr("lo + (CAST(bin AS DOUBLE) + 1.0) * w").as("bin_hi"),
             col("n_rows"), col("cum_rows"))
           .orderBy("bin")
       },
-      Some("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), " +
-        "bi AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19.0) AS INTEGER) AS bin, " +
+      Some("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
+        "CASE WHEN max(o_totalprice) = min(o_totalprice) THEN 1.0 " +
+        "ELSE (max(o_totalprice) - min(o_totalprice)) / 20.0 END AS w FROM orders), " +
+        "bi AS (SELECT CAST(least(floor((o_totalprice - lo) / w), 19.0) AS INTEGER) AS bin, " +
         "count(*) AS n_rows FROM orders, mm GROUP BY 1), " +
         "cu AS (SELECT a.bin, a.n_rows, CAST(SUM(b.n_rows) AS BIGINT) AS cum_rows " +
         "FROM bi a JOIN bi b ON b.bin <= a.bin GROUP BY a.bin, a.n_rows) " +
-        "SELECT bin, lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS bin_lo, " +
-        "lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / 20.0) AS bin_hi, " +
+        "SELECT bin, lo + CAST(bin AS DOUBLE) * w AS bin_lo, " +
+        "lo + (CAST(bin AS DOUBLE) + 1.0) * w AS bin_hi, " +
         "n_rows, cum_rows FROM cu, mm ORDER BY bin")),
 
     // Histogram-driven selectivity estimation with measured error: the
@@ -457,7 +462,8 @@ object Round7 {
       (s, d) => {
         val o = T.t(s, d, "orders")
         val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
-          .withColumn("w", expr("(hi - lo) / 20.0"))
+          // zero-width guard as in core_column_histogram (ANSI NaN casts)
+          .withColumn("w", expr("CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 20.0 END"))
           .withColumn("t", expr("lo + (hi - lo) * 0.75"))
         val binned = o.crossJoin(broadcast(mm))
           .withColumn("bin", expr(
@@ -484,7 +490,8 @@ object Round7 {
               .as("err_abs_ppm"))
       },
       Some("WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
-        "(max(o_totalprice) - min(o_totalprice)) / 20.0 AS w, " +
+        "CASE WHEN max(o_totalprice) = min(o_totalprice) THEN 1.0 " +
+        "ELSE (max(o_totalprice) - min(o_totalprice)) / 20.0 END AS w, " +
         "min(o_totalprice) + (max(o_totalprice) - min(o_totalprice)) * 0.75 AS t FROM orders), " +
         "bi AS (SELECT CAST(least(floor((o_totalprice - lo) / w), 19.0) AS INTEGER) AS bin, " +
         "count(*) AS n_rows FROM orders, mm GROUP BY 1), " +
