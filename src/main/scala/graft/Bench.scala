@@ -52,7 +52,10 @@ object Bench {
     "core_incremental_pipeline", "src_jdbc_roundtrip",
     "llm_minhash_verified", "llm_gopher_quality",
     // round 5
-    "llm_ann_ivf_trained", "llm_dedup_levenshtein")
+    "llm_ann_ivf_trained", "llm_dedup_levenshtein",
+    // round 7: the sketch family
+    "rel_agg_kmv_distinct", "llm_heavy_hitters_cms",
+    "llm_source_overlap_kmv", "llm_kn_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

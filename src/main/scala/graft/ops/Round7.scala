@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Op, Tables => T}
 import graft.functions.KmvAggregator
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 batch (SURVEY.md §2 F2 continuation): mergeable sketches and
