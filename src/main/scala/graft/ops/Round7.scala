@@ -556,6 +556,69 @@ object Round7 {
         "JOIN (SELECT doc_id AS d2, n_sh AS n2 FROM counts) c2 USING (d2)) " +
         "WHERE containment >= 0.8 ORDER BY d1, d2")),
 
+    // Quantile-sketch audit — completes the mergeable profile triple
+    // (distinct = KMV, frequency = CMS, quantiles = histogram): p50/
+    // p90/p99 of l_extendedprice read off a 256-bin equi-width
+    // histogram by linear interpolation inside the target bin, audited
+    // against the exact percentiles. The histogram is the mergeable
+    // artifact (bin counts add across shards once bounds are fixed);
+    // the quantile read-off touches ≤256 rows however large the table.
+    Op("rel_quantile_sketch_audit",
+      (s, d) => {
+        import s.implicits._
+        val li = T.t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+        val mm = li.agg(min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+          .withColumn("w", expr("CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 256.0 END"))
+        val bins = li.crossJoin(broadcast(mm))
+          .withColumn("bin", expr("CAST(least(floor((x - lo) / w), 255.0) AS INT)"))
+          .groupBy("bin").agg(count(lit(1)).as("bn"))
+        val cum = bins.as("a")
+          .join(broadcast(bins.as("b")), expr("b.bin <= a.bin"))
+          .groupBy(col("a.bin").as("bin"), col("a.bn").as("bn"))
+          .agg(sum("b.bn").as("cum"))
+        val first = Seq(0.5, 0.9, 0.99).toDF("q")
+          .crossJoin(broadcast(cum)).crossJoin(broadcast(mm))
+          .where("CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)")
+          .groupBy("q").agg(min("bin").as("qbin"))
+        val est = first.join(broadcast(cum), expr("qbin = bin"))
+          .crossJoin(broadcast(mm))
+          .withColumn("est_q", expr(
+            "round(lo + CAST(qbin AS DOUBLE) * w + " +
+              "((q * CAST(n AS DOUBLE) - CAST(cum - bn AS DOUBLE)) / CAST(bn AS DOUBLE)) * w, 4)"))
+        val ex = li.agg(
+          expr("round(percentile(x, 0.5), 4)").as("e50"),
+          expr("round(percentile(x, 0.9), 4)").as("e90"),
+          expr("round(percentile(x, 0.99), 4)").as("e99"))
+        est.crossJoin(broadcast(ex))
+          .withColumn("exact_q", expr(
+            "CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END"))
+          .select(
+            expr("CAST(floor(q * 100.0 + 0.5) AS INT)").as("q_pct"),
+            col("est_q"), col("exact_q"),
+            expr("CAST(floor(abs(est_q - exact_q) / exact_q * 1000000.0) AS BIGINT)")
+              .as("err_ppm"))
+          .orderBy("q_pct")
+      },
+      Some("WITH li AS (SELECT l_extendedprice AS x FROM lineitem), " +
+        "mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n, " +
+        "CASE WHEN max(x) = min(x) THEN 1.0 ELSE (max(x) - min(x)) / 256.0 END AS w FROM li), " +
+        "bins AS (SELECT CAST(least(floor((x - lo) / w), 255.0) AS INTEGER) AS bin, " +
+        "count(*) AS bn FROM li, mm GROUP BY 1), " +
+        "cum AS (SELECT a.bin, a.bn, CAST(SUM(b.bn) AS BIGINT) AS cum " +
+        "FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY a.bin, a.bn), " +
+        "fb AS (SELECT q, min(bin) AS qbin FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q), cum, mm " +
+        "WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE) GROUP BY q), " +
+        "est AS (SELECT q, round(lo + CAST(qbin AS DOUBLE) * w + " +
+        "((q * CAST(n AS DOUBLE) - CAST(cum - bn AS DOUBLE)) / CAST(bn AS DOUBLE)) * w, 4) AS est_q " +
+        "FROM fb JOIN cum ON qbin = cum.bin, mm), " +
+        "ex AS (SELECT round(quantile_cont(x, 0.5), 4) AS e50, " +
+        "round(quantile_cont(x, 0.9), 4) AS e90, round(quantile_cont(x, 0.99), 4) AS e99 FROM li) " +
+        "SELECT CAST(floor(q * 100.0 + 0.5) AS INTEGER) AS q_pct, est_q, " +
+        "CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END AS exact_q, " +
+        "CAST(floor(abs(est_q - (CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END)) / " +
+        "(CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END) * 1000000.0) AS BIGINT) AS err_ppm " +
+        "FROM est, ex ORDER BY q_pct")),
+
     // Per-document lexical diversity: type/token ratio and hapax
     // (once-only) ratio — the repetitiveness quality signal next to
     // llm_repetition_filter's n-gram view. One explode + two hash

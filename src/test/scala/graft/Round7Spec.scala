@@ -283,6 +283,20 @@ class Round7Spec extends AnyFunSuite {
       "fixture broken: jaccard should sit under its 0.2 gate here")
   }
 
+  test("rel_quantile_sketch_audit: monotone quantiles within interpolation error") {
+    val got = Registry.byKey("rel_quantile_sketch_audit").query(spark, TestSpark.sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    // quantiles must be monotone in q, estimates within 1% (the 256-bin
+    // interpolation measures 3-61 ppm at sf0.01)
+    val ests = got.map(_.getDouble(1))
+    assert(ests.sorted.toSeq == ests.toSeq)
+    got.foreach { r =>
+      assert(r.getLong(3) == math.floor(
+        math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2) * 1000000.0).toLong)
+      assert(r.getLong(3) < 10000, s"q${r.getInt(0)}: ${r.getLong(3)} ppm")
+    }
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
