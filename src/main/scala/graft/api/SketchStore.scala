@@ -123,9 +123,16 @@ object SketchStore {
       .agg(coalesce(min("c"), lit(0L)).as("est"))
   }
 
+  /** Read the current generation, falling back to the retired one if a
+    * crash landed between the two swap renames (cur retired, staged not
+    * yet promoted) — the same fallback contract as DedupIndex.read.
+    */
   private def read(spark: SparkSession, dir: String, which: String): Option[DataFrame] = {
     val cur = new java.io.File(s"$dir/$which")
-    if (cur.exists()) Some(spark.read.parquet(cur.getPath)) else None
+    val retired = new java.io.File(s"$dir/$which.retired")
+    if (cur.exists()) Some(spark.read.parquet(cur.getPath))
+    else if (retired.exists()) Some(spark.read.parquet(retired.getPath))
+    else None
   }
 
   /** Staged write + atomic rename swap (DedupIndex contract): the new

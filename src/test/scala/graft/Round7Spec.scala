@@ -297,6 +297,27 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("SketchStore survives the swap crash window via the retired generation") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val dir = s"target/tmp/r7crash_${System.nanoTime()}"
+    graft.api.SketchStore.build(docs, dir)
+    val before = graft.api.SketchStore.distinctEstimate(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // simulate a crash between the two swap renames: cur retired,
+    // staged never promoted
+    assert(new java.io.File(s"$dir/kmv").renameTo(new java.io.File(s"$dir/kmv.retired")))
+    val after = graft.api.SketchStore.distinctEstimate(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, "read must fall back to the retired generation")
+    // an update on the crashed store merges onto the retired gen and
+    // re-promotes a complete current generation
+    graft.api.SketchStore.updateKmv(docs, dir)
+    assert(new java.io.File(s"$dir/kmv").exists())
+    val healed = graft.api.SketchStore.distinctEstimate(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healed == before, "idempotent re-merge must land on the same sketch")
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
