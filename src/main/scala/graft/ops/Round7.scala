@@ -619,6 +619,50 @@ object Round7 {
         "(CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90 ELSE e99 END) * 1000000.0) AS BIGINT) AS err_ppm " +
         "FROM est, ex ORDER BY q_pct")),
 
+    // Duplicate rate per language from the KMV profile sketch alone —
+    // the curation dashboard number llm_dataset_card computes with a
+    // corpus-wide count(DISTINCT) shuffle, here read off k=64 longs
+    // per lang (clamped: the estimator can exceed n_docs). The exact
+    // column is the audit; at 100 TB the sketch from SketchStore IS
+    // the dashboard, refreshed incrementally by kmvSink.
+    Op("llm_dup_rate_kmv",
+      (s, d) => {
+        val base = T.spread(
+            T.t(s, d, "documents")
+              .where("lang IS NOT NULL AND text IS NOT NULL"))
+        val n = base.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("text").as("nd_exact"))
+        val sk = base
+          .select(col("lang"), expr(h60("text")).as("h"))
+          .groupBy("lang")
+          .agg(KmvAggregator.kmv(64)(col("h")).as("mins"))
+          .withColumn("nd_est", expr(estOf("mins")))
+        n.join(sk.select("lang", "nd_est"), "lang")
+          .select(col("lang"), col("n_docs"),
+            expr("least(nd_est, n_docs)").as("nd_est"),
+            expr("(n_docs - least(nd_est, n_docs)) * 1000000 div n_docs")
+              .as("dup_est_ppm"),
+            expr("(n_docs - nd_exact) * 1000000 div n_docs")
+              .as("dup_exact_ppm"))
+          .orderBy("lang")
+      },
+      Some("WITH b AS (SELECT lang, text FROM documents " +
+        "WHERE lang IS NOT NULL AND text IS NOT NULL), " +
+        "n AS (SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS nd_exact " +
+        "FROM b GROUP BY lang), " +
+        "h AS (SELECT DISTINCT lang, " + oH60("text") + " AS h FROM b), " +
+        "r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h), " +
+        "s AS (SELECT lang, count(*) AS nd, max(CASE WHEN rn = 64 THEN h END) AS kth " +
+        "FROM r GROUP BY lang), " +
+        "e AS (SELECT lang, CASE WHEN nd < 64 THEN nd ELSE " +
+        "CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / CAST(kth AS DOUBLE)) AS BIGINT) " +
+        "END AS nd_est FROM s) " +
+        "SELECT n.lang, n_docs, least(nd_est, n_docs) AS nd_est, " +
+        "(n_docs - least(nd_est, n_docs)) * 1000000 // n_docs AS dup_est_ppm, " +
+        "(n_docs - nd_exact) * 1000000 // n_docs AS dup_exact_ppm " +
+        "FROM n JOIN e ON n.lang = e.lang ORDER BY n.lang")),
+
     // Per-document lexical diversity: type/token ratio and hapax
     // (once-only) ratio — the repetitiveness quality signal next to
     // llm_repetition_filter's n-gram view. One explode + two hash

@@ -97,7 +97,8 @@ object ScaleProbe {
       // duplicated the input; the KN LM sweeps the full bigram stream
       "rel_agg_kmv_distinct", "llm_heavy_hitters_cms", "llm_kn_bigram_lm",
       "llm_temperature_mix", "llm_source_overlap_kmv",
-      "llm_lexical_diversity", "llm_shingle_containment")
+      "llm_lexical_diversity", "llm_shingle_containment",
+      "llm_dup_rate_kmv")
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {

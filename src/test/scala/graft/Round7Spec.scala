@@ -318,6 +318,27 @@ class Round7Spec extends AnyFunSuite {
     assert(healed == before, "idempotent re-merge must land on the same sketch")
   }
 
+  test("llm_dup_rate_kmv: exact column true, estimate tracks it") {
+    val got = Registry.byKey("llm_dup_rate_kmv").query(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    val card = Tables.t(spark, TestSpark.sf, "documents")
+      .where("lang IS NOT NULL AND text IS NOT NULL")
+      .groupBy("lang").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct("text").as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (lang, n, est, estPpm, exPpm) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (cn, cnd) = card(lang)
+      assert(n == cn && exPpm == (cn - cnd) * 1000000L / cn)
+      assert(est <= n && estPpm == (n - est) * 1000000L / n)
+      // under-k langs are exact; estimator noise stays under 10 pct pts
+      assert(math.abs(estPpm - exPpm) < 100000, s"$lang: est $estPpm vs exact $exPpm")
+    }
+  }
+
   test("llm_temperature_mix: weights normalize, targets bounded, order preserved") {
     val got = Registry.byKey("llm_temperature_mix").query(spark, TestSpark.sf).collect()
     assert(got.nonEmpty)
