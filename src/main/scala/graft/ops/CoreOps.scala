@@ -232,12 +232,14 @@ object CoreOps {
     // crashed).
     Op("core_validate_quarantine",
       (s, d) => T.events(s, d)
+        // parse props ONCE per row: get_json_object is the expensive
+        // rule ingredient, and CollapseProject keeps a non-cheap expr
+        // referenced twice materialized instead of re-inlining it
+        .withColumn("pk", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
         .withColumn("reasons", concat_ws(",",
           when(col("value") < lit(0.05), lit("low_value")),
           when(col("event_type") === "error", lit("error_type")),
-          when(expr("try_cast(get_json_object(props, '$.k') AS INT)").isNull
-            || expr("try_cast(get_json_object(props, '$.k') AS INT)") > 90,
-            lit("bad_props"))))
+          when(col("pk").isNull || col("pk") > 90, lit("bad_props"))))
         .where("reasons <> ''")
         .select("event_id", "user_id", "event_type", "reasons")
         .orderBy("event_id"),

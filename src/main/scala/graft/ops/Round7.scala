@@ -34,22 +34,27 @@ object Round7 {
       .where("tok <> ''")
       .groupBy("tok").agg(count(lit(1)).as("exact"))
 
-  /** The 4 (row_i, bucket) CMS cells of each token (d=4, w=1024). */
-  private[graft] def cmsBuckets(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+  /** The 4 (row_i, bucket) CMS cells of each token (d=4, width w —
+    * default 1024; [[graft.api.SketchStore.buildSized]] derives w from
+    * the KMV token-cardinality estimate instead).
+    */
+  private[graft] def cmsBuckets(df: org.apache.spark.sql.DataFrame,
+      width: Long = 1024L): org.apache.spark.sql.DataFrame = df
     .select(col("tok"), col("exact"),
       posexplode(expr(
         "transform(sequence(0, 3), i -> CAST(" +
           h32("concat(CAST(i AS STRING), ':', tok)") +
-          " % 1024 AS INT))")))
+          s" % CAST($width AS BIGINT) AS INT))")))
     .withColumnRenamed("pos", "row_i")
     .withColumnRenamed("col", "bucket")
 
-  /** The count-min counter table of a document set: 4×1024 cells,
+  /** The count-min counter table of a document set: 4×w cells,
     * additive across disjoint document sets (cell-wise sum) — the
     * property [[graft.streaming.Streams.cmsSink]] relies on.
     */
-  private[graft] def cmsCounters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    cmsBuckets(tokenCounts(docs))
+  private[graft] def cmsCounters(docs: org.apache.spark.sql.DataFrame,
+      width: Long = 1024L): org.apache.spark.sql.DataFrame =
+    cmsBuckets(tokenCounts(docs), width)
       .groupBy("row_i", "bucket").agg(sum("exact").as("c"))
 
   /** Per-element KMV estimate expression over a sketch array column:
@@ -214,10 +219,15 @@ object Round7 {
             expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)"))
         val tot = n.agg(
           sum("sq_fp").as("tot_sq"), sum("n_docs").as("n_total"))
+        // the products sq_fp*1e9 and n_total*sq_fp overflow BIGINT once a
+        // language passes ~8.5e7 docs — exactly the scale this op is
+        // for — so the intermediates go through DECIMAL(38,0) (HUGEINT
+        // on the oracle side); the floor-divisions land back in BIGINT
+        // with identical values at every SF
         n.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_docs"),
-            expr("CAST(sq_fp * CAST(1000000000 AS BIGINT) div tot_sq AS BIGINT)").as("weight_fp"),
-            expr("CAST(n_total * sq_fp div tot_sq AS BIGINT)").as("target_n"))
+            expr("CAST(CAST(sq_fp AS DECIMAL(38,0)) * 1000000000 div tot_sq AS BIGINT)").as("weight_fp"),
+            expr("CAST(CAST(n_total AS DECIMAL(38,0)) * sq_fp div tot_sq AS BIGINT)").as("target_n"))
           .orderBy("lang")
       },
       Some("WITH n AS (SELECT lang, count(*) AS n_docs, " +
@@ -226,8 +236,8 @@ object Round7 {
         "tot AS (SELECT CAST(SUM(sq_fp) AS BIGINT) AS tot_sq, " +
         "CAST(SUM(n_docs) AS BIGINT) AS n_total FROM n) " +
         "SELECT lang, n_docs, " +
-        "CAST(sq_fp * 1000000000 // tot_sq AS BIGINT) AS weight_fp, " +
-        "CAST(n_total * sq_fp // tot_sq AS BIGINT) AS target_n " +
+        "CAST(CAST(sq_fp AS HUGEINT) * 1000000000 // tot_sq AS BIGINT) AS weight_fp, " +
+        "CAST(CAST(n_total AS HUGEINT) * sq_fp // tot_sq AS BIGINT) AS target_n " +
         "FROM n, tot ORDER BY lang")),
 
     // KMV sketch ALGEBRA: pairwise source-overlap estimated purely

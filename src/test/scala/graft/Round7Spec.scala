@@ -143,7 +143,7 @@ class Round7Spec extends AnyFunSuite {
       graft.api.SketchStore.update(b.where(s"b = $i").drop("b"), incrDir))
     def kmv(dir: String) = spark.read.parquet(s"$dir/kmv")
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    def cms(dir: String) = spark.read.parquet(s"$dir/cms")
+    def cms(dir: String) = spark.read.parquet(s"$dir/cms/counters")
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(kmv(onceDir) == kmv(incrDir), "KMV union must be batch-invariant")
     assert(cms(onceDir) == cms(incrDir), "CMS add must be batch-invariant")
