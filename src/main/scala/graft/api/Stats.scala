@@ -2,6 +2,9 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -67,6 +70,53 @@ object Stats {
       .select(col("s.*"), col("n_rows"))
   }
 
+  /** Equi-height histograms for numeric columns — the catalog statistic
+    * Spark's filter estimation consults for RANGE predicates (min/max +
+    * NDV alone force the uniform assumption, which a skewed column
+    * breaks by orders of magnitude). Two bounded jobs for ALL requested
+    * columns together, the same shapes ANALYZE's histogram path runs:
+    *  1. `percentile_approx` → the numBins+1 equi-height bin endpoints
+    *     (a mergeable quantile sketch per column — one scan);
+    *  2. `ApproxCountDistinctForIntervals` → per-bin NDV (one HLL per
+    *     bin, map-side combined — fixed-size state, one scan).
+    * Nothing key-sized ever crosses the shuffle, so the pass holds at
+    * any table size.
+    */
+  def histograms(df: DataFrame, cols: Seq[String], numBins: Int = 254): Map[String, Histogram] = {
+    require(numBins >= 2, "a histogram needs at least 2 bins")
+    val numeric = cols.filter(c => df.schema(c).dataType.isInstanceOf[NumericType])
+    if (numeric.isEmpty) return Map.empty
+    val pcts = (0 to numBins).map(i => i.toDouble / numBins)
+    val epAggs = numeric.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile_approx(CAST(`$c` AS DOUBLE), array(${pcts.mkString(",")}), 10000)")
+        .as(s"ep$i")
+    }
+    val epRow = df.agg(epAggs.head, epAggs.tail: _*).head()
+    val withEp = numeric.zipWithIndex
+      .filter { case (_, i) => !epRow.isNullAt(i) }
+      .map { case (c, i) => (c, epRow.getSeq[Double](i).toArray) }
+    if (withEp.isEmpty) return Map.empty
+    val ndvAggs = withEp.zipWithIndex.flatMap { case ((c, ep), j) =>
+      Seq(
+        GraftSqlBridge.column(
+          new ApproxCountDistinctForIntervals(
+            GraftSqlBridge.expression(col(c).cast("double")),
+            Literal.create(ep, ArrayType(DoubleType, containsNull = false)),
+            0.05).toAggregateExpression()).as(s"ndv$j"),
+        count(col(c)).as(s"nn$j"))
+    }
+    val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+    withEp.zipWithIndex.map { case ((c, ep), j) =>
+      val ndvs = ndvRow.getSeq[Long](2 * j)
+      val nonNull = ndvRow.getLong(2 * j + 1)
+      // raw per-interval NDVs, zero allowed for duplicate-endpoint bins
+      // — the exact shape Spark's own ANALYZE histogram path writes
+      val bins = (0 until numBins).map(b =>
+        HistogramBin(ep(b), ep(b + 1), ndvs(b))).toArray
+      c -> Histogram(nonNull.toDouble / numBins, bins)
+    }.toMap
+  }
+
   /** Register `path` (a parquet dir) as a catalog table so statistics can
     * attach to it — temp views carry no catalog entry, hence no stats.
     */
@@ -77,13 +127,30 @@ object Stats {
     * returns what was installed. `cols` defaults to every supported
     * column. The collect is one row per column — schema-bounded, never
     * data-bounded.
+    *
+    * Histograms: columns in `histogramCols` additionally get an
+    * equi-height histogram ([[histograms]] — two more bounded scans for
+    * all of them together). When `histogramCols` is empty but the
+    * session sets `spark.sql.statistics.histogram.enabled=true` (the
+    * switch ANALYZE itself honors), every numeric target column gets
+    * one — so the conf means the same thing on both ANALYZE paths.
     */
-  def analyze(spark: SparkSession, table: String, cols: Seq[String] = Nil): CatalogStatistics = {
+  def analyze(spark: SparkSession, table: String, cols: Seq[String] = Nil,
+      histogramCols: Seq[String] = Nil, numBins: Int = 254): CatalogStatistics = {
     val df = spark.table(table)
     val targets =
       (if (cols.nonEmpty) cols else df.schema.map(_.name).toSeq)
         .filter(n => supported(df.schema(n).dataType))
     require(targets.nonEmpty, s"no stat-supported columns on $table")
+    val histTargets =
+      if (histogramCols.nonEmpty) histogramCols
+      else if (spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+          .contains("true"))
+        targets.filter(n => df.schema(n).dataType.isInstanceOf[NumericType])
+      else Nil
+    val hists =
+      if (histTargets.isEmpty) Map.empty[String, Histogram]
+      else histograms(df, histTargets, numBins)
     val rows = columnStats(df, targets).collect()
     val nRows = rows.headOption.map(_.getAs[Long]("n_rows")).getOrElse(0L)
     val colStats = rows.map { r =>
@@ -95,7 +162,8 @@ object Stats {
         max = if (mm) Option(r.getAs[String]("max_v")) else None,
         nullCount = Some(BigInt(nRows - r.getAs[Long]("n_nonnull"))),
         avgLen = Some(r.getAs[Long]("avg_len")),
-        maxLen = Some(r.getAs[Long]("max_len")))
+        maxLen = Some(r.getAs[Long]("max_len")),
+        histogram = hists.get(name))
     }.toMap
     val stats = CatalogStatistics(
       sizeInBytes = GraftSqlBridge.planStats(df).sizeInBytes,

@@ -65,4 +65,14 @@ object GraftSqlBridge {
     */
   def planStats(df: Dataset[_]): catalyst.plans.logical.Statistics =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan.stats
+
+  /** Column ⇄ catalyst Expression bridge (needed to use internal
+    * aggregates like ApproxCountDistinctForIntervals from DataFrame
+    * code — the same machinery ANALYZE's histogram path runs on).
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

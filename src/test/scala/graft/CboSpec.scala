@@ -121,6 +121,71 @@ class CboSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-height histogram stats flip a skewed range-predicate join to broadcast") {
+    import spark.implicits._
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hist_cbo_").toString
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32 * 1024).toString)
+
+      // skewed fact: 40k rows clustered in [0, 100), 400 outliers in
+      // [500k, 900k). The uniform (min/max) assumption puts `v >= 5000`
+      // at ~99.5% selectivity; the truth is ~1%.
+      (0L until 40400L).map(id =>
+          (id % 5000L, if (id < 40000L) id % 100L else 500000L + (id - 40000L) * 1000L))
+        .toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$tmp/fact")
+      (0L until 5000L).map(id => (id, "p" * 40)).toDF("k", "pad")
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      spark.sql("DROP TABLE IF EXISTS hist_fact_cbo")
+      spark.sql("DROP TABLE IF EXISTS hist_dim_cbo")
+      api.Stats.registerParquetTable(spark, "hist_fact_cbo", s"$tmp/fact")
+      api.Stats.registerParquetTable(spark, "hist_dim_cbo", s"$tmp/dim")
+
+      val q = "SELECT f.k, f.v, d.pad FROM hist_fact_cbo f " +
+        "JOIN hist_dim_cbo d ON f.k = d.k WHERE f.v >= 5000"
+      def planOf() = GraftSqlBridge.executedPlan(spark.sql(q))
+      def filterEstimate(): BigInt = GraftSqlBridge
+        .planStats(spark.sql("SELECT * FROM hist_fact_cbo WHERE v >= 5000"))
+        .rowCount.getOrElse(sys.error("cbo must estimate a row count"))
+
+      // basic stats (min/max/NDV, NO histogram): the uniform assumption
+      // keeps the filtered fact big -> both sides above threshold -> SMJ
+      api.Stats.analyze(spark, "hist_fact_cbo")
+      api.Stats.analyze(spark, "hist_dim_cbo")
+      val uniformEst = filterEstimate()
+      assert(uniformEst > BigInt(30000),
+        s"uniform assumption must overestimate the skewed range: $uniformEst")
+      assert(collectJoins(planOf()).exists(_.isInstanceOf[SortMergeJoinExec]),
+        "without a histogram the overestimated filter keeps the shuffle join")
+
+      // re-analyze the fact WITH the histogram: selectivity becomes
+      // visible, the filtered side drops under the threshold, broadcast
+      api.Stats.analyze(spark, "hist_fact_cbo", histogramCols = Seq("v"))
+      val histEst = filterEstimate()
+      assert(histEst < BigInt(2000),
+        s"histogram must expose the ~1% true selectivity: $histEst")
+      assert(collectJoins(planOf()).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "the histogram-driven estimate must flip the join to broadcast")
+
+      // stats steer, never change results
+      assert(spark.sql(q).count() ==
+        spark.read.parquet(s"$tmp/fact").where("v >= 5000")
+          .join(spark.read.parquet(s"$tmp/dim"), "k").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hist_fact_cbo")
+      spark.sql("DROP TABLE IF EXISTS hist_dim_cbo")
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("columnStats one-scan frame matches direct per-column aggregates") {
     val df = Tables.t(spark, TestSpark.sf, "orders")
     val got = api.Stats.columnStats(df, Seq("o_custkey", "o_orderstatus"))
