@@ -55,7 +55,9 @@ object Bench {
     "llm_ann_ivf_trained", "llm_dedup_levenshtein",
     // round 7: the sketch family
     "rel_agg_kmv_distinct", "llm_heavy_hitters_cms",
-    "llm_source_overlap_kmv", "llm_kn_bigram_lm")
+    "llm_source_overlap_kmv", "llm_kn_bigram_lm",
+    // round 8: the sketch-sizing loop
+    "rel_join_size_autosized", "llm_bloom_autosized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,22 +97,25 @@ object Bench {
     // time" line (~80 bytes) after us — BENCH_r05.json came back
     // `parsed: null` because 72 queries + total_all crossed the cap
     // and the line's head was cut off. So: enforce the budget
-    // programmatically. Per-query times at 2 dp; if the line still
-    // exceeds the budget, drop the FASTEST queries' entries (the
-    // slowest are the ones the judge compares round over round) and
-    // say how many were omitted. Totals always cover every query run.
+    // programmatically. Per-query times at 2 dp, and the entries that
+    // make the cut are the TOP-N SLOWEST across the WHOLE registry
+    // (headline and tail alike, slowest first) — a regression in a
+    // non-headline query surfaces by becoming slow enough to print,
+    // instead of hiding inside total_all. Totals always cover every
+    // query run.
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"total_all":$totalAll,"nq_all":${results.size + rest.size},"q_omitted":$omitted,"queries":$m,"sf":"$sfDir"}"""
     }
     val budget = 1850 // 2000-byte tail minus sbt's trailing status line
-    val bySlowest = results.sortBy(-_._2)
-    val keep = (results.size to 1 by -1).view
-      .map(n => bySlowest.take(n).sortBy(p => results.indexWhere(_._1 == p._1)))
-      .find(kept => line(kept, results.size - kept.size).length <= budget)
+    val all = results ++ rest
+    val bySlowest = all.sortBy(p => (-p._2, p._1))
+    val keep = (all.size to 1 by -1).view
+      .map(n => bySlowest.take(n))
+      .find(kept => line(kept, all.size - kept.size).length <= budget)
       .getOrElse(Seq.empty)
-    println(line(keep, results.size - keep.size))
+    println(line(keep, all.size - keep.size))
     spark.stop()
   }
 }

@@ -1,0 +1,234 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import graft.functions.KmvAggregator
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch: CLOSING THE SKETCH-SIZING LOOP. Round 7 shipped the
+  * mergeable sketches (KMV distinct, count-min frequency, Bloom
+  * membership) with compile-time geometry and measured their error —
+  * including the measurement that a CMS with w ≪ |keys| drowns a join
+  * estimate in collision noise (936k vs 60k raw at w=1024). These ops
+  * close the loop the way a production profiling pass must: the KMV
+  * cardinality estimate — available after one bounded-state scan —
+  * SIZES the second-pass structures (CMS width, Bloom bits and probe
+  * count), so the error the estimator ships with is a design input,
+  * not an accident of a literal. Both engines derive the geometry from
+  * the same integer expressions, so the data-dependent sizes stay
+  * hash-identical.
+  */
+object Round8 {
+
+  /** 60-bit md5 prefix hash (portable Spark/DuckDB pair). */
+  private def h60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def oH60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** 32-bit md5 prefix (bucket hashing). */
+  private def h32(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+  private def oH32(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 8)) AS BIGINT)"
+
+  /** Bits-per-key for a 1% false-positive Bloom filter, fixed-point 1e6:
+    * floor(-ln(0.01)/ln²2 · 1e6). A LITERAL, not a runtime libm call —
+    * both engines multiply integers, so m can never differ by an ulp.
+    */
+  private val bloomBitsPerKeyFp = 9584962L
+
+  /** round(ln 2 · 1e6) — the probe-count factor j = round(m/n · ln 2). */
+  private val ln2Fp = 693147L
+
+  /** Auto-sized CMS join-cardinality estimate: KMV-sketch the left
+    * side's key set (k=64 longs of state), size the counter width
+    * `w = max(1024, 2·n̂)` from the estimate (expected ≤ ½ distinct key
+    * per cell), build both sides' d=4×w counter tables at that width,
+    * and report the collision-corrected inner-product estimate
+    * Ĵ = avg_i (w·ip_i − n_A·n_B)/(w−1) next to the exact join size
+    * (audit-only). The 1-row sizing frame is pinned (localCheckpoint)
+    * so the KMV scan runs once, not once per consumer; products go
+    * through DECIMAL(38,0) so n_A·n_B cannot overflow at any scale.
+    */
+  private[graft] def autosizedJoinEstimate(
+      a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
+    val k = 64
+    val wdf = a
+      .select(expr(h60(s"CAST($keyA AS STRING)")).as("h"))
+      .agg(KmvAggregator.kmv(k)(col("h")).as("mins"))
+      .select(expr(
+        s"CASE WHEN size(mins) < $k THEN CAST(size(mins) AS BIGINT) ELSE " +
+          s"CAST(floor((CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0) / " +
+          s"CAST(element_at(mins, $k) AS DOUBLE)) AS BIGINT) END").as("n_keys_est"))
+      .select(col("n_keys_est"),
+        expr("greatest(CAST(1024 AS BIGINT), 2 * n_keys_est)").as("w"))
+      .localCheckpoint()
+    def cms(df: DataFrame, key: String, cName: String) = df
+      .groupBy(col(key).as("k0")).agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(wdf.select("w")))
+      .select(col("f"), posexplode(expr(
+        "transform(sequence(0, 3), i -> " +
+          h32(s"concat(CAST(i AS STRING), ':', CAST(k0 AS STRING))") +
+          " % w)")))
+      .withColumnRenamed("pos", "row_i")
+      .withColumnRenamed("col", "bucket")
+      .groupBy("row_i", "bucket").agg(sum("f").as(cName))
+    val ca = cms(a, keyA, "ca")
+    val cb = cms(b, keyB, "cb")
+    val na = a.agg(count(lit(1)).as("na"))
+    val nb = b.agg(count(lit(1)).as("nb"))
+    val est = ca.join(cb, Seq("row_i", "bucket"))
+      .groupBy("row_i").agg(sum(expr("ca * cb")).as("ip"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(wdf))
+      // clamp before the integer division so truncating (Spark div) and
+      // flooring (DuckDB //) semantics coincide on the non-negative value
+      .withColumn("corr", expr(
+        "greatest(CAST(w AS DECIMAL(38,0)) * ip - CAST(na AS DECIMAL(38,0)) * nb, " +
+          "CAST(0 AS DECIMAL(38,0))) div (w - 1)"))
+      .agg(first("n_keys_est").as("n_keys_est"), first("w").as("w"),
+        first("na").as("na"), first("nb").as("nb"),
+        expr("sum(corr) div 4").as("est_rows"))
+    val exact = a.join(b, col(keyA) === col(keyB))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact)
+      .select(col("n_keys_est"), col("w"), col("na"), col("nb"),
+        col("est_rows"), col("exact_rows"),
+        expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
+          .as("err_abs_ppm"))
+  }
+
+  val ops: Seq[Op] = Seq(
+
+    // The KMV→CMS sizing loop on a real join: part ⋈ lineitem on
+    // partkey. Round 7's fixed-width op measured why this matters; this
+    // op is the production shape — the optimizer-facing estimate whose
+    // width was chosen BY the data's own cardinality sketch. The oracle
+    // replays the KMV estimate, the derived width, and the counter
+    // tables with identical integer arithmetic, so even the
+    // data-dependent geometry hash-matches.
+    Op("rel_join_size_autosized",
+      (s, d) => autosizedJoinEstimate(
+        T.t(s, d, "part"), "p_partkey",
+        T.t(s, d, "lineitem"), "l_partkey"),
+      Some("WITH h AS (SELECT DISTINCT " + oH60("CAST(p_partkey AS VARCHAR)") + " AS h FROM part), " +
+        "r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h), " +
+        "sk AS (SELECT count(*) AS nd, max(CASE WHEN rn = 64 THEN h END) AS kth FROM r), " +
+        "wv AS (SELECT CASE WHEN nd < 64 THEN nd ELSE " +
+        "CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / CAST(kth AS DOUBLE)) AS BIGINT) " +
+        "END AS n_keys_est FROM sk), " +
+        "w2 AS (SELECT n_keys_est, greatest(1024, 2 * n_keys_est) AS w FROM wv), " +
+        "fa AS (SELECT p_partkey AS k0, count(*) AS f FROM part GROUP BY 1), " +
+        "fb AS (SELECT l_partkey AS k0, count(*) AS f FROM lineitem GROUP BY 1), " +
+        "ba AS (SELECT f, i AS row_i, " +
+        oH32("concat(CAST(i AS VARCHAR), ':', CAST(k0 AS VARCHAR))") +
+        " % w AS bucket FROM fa, range(0, 4) t(i), w2), " +
+        "bb AS (SELECT f, i AS row_i, " +
+        oH32("concat(CAST(i AS VARCHAR), ':', CAST(k0 AS VARCHAR))") +
+        " % w AS bucket FROM fb, range(0, 4) t(i), w2), " +
+        "ca AS (SELECT row_i, bucket, CAST(SUM(f) AS BIGINT) AS ca FROM ba GROUP BY 1, 2), " +
+        "cb AS (SELECT row_i, bucket, CAST(SUM(f) AS BIGINT) AS cb FROM bb GROUP BY 1, 2), " +
+        "nn AS (SELECT (SELECT count(*) FROM part) AS na, " +
+        "(SELECT count(*) FROM lineitem) AS nb), " +
+        "ip AS (SELECT ca.row_i, CAST(SUM(ca * cb) AS BIGINT) AS ip " +
+        "FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.bucket = cb.bucket GROUP BY 1), " +
+        "co AS (SELECT greatest(CAST(w AS HUGEINT) * ip - CAST(na AS HUGEINT) * nb, 0) " +
+        "// (w - 1) AS corr FROM ip, nn, w2), " +
+        "e AS (SELECT CAST(CAST(SUM(corr) AS HUGEINT) // 4 AS BIGINT) AS est_rows FROM co), " +
+        "x AS (SELECT count(*) AS exact_rows FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey) " +
+        "SELECT n_keys_est, w, na, nb, est_rows, exact_rows, " +
+        "abs(est_rows - exact_rows) * 1000000 // exact_rows AS err_abs_ppm " +
+        "FROM w2, nn, e, x")),
+
+    // The KMV→Bloom sizing loop: size m and j for a TARGET 1% FPR from
+    // the key-set's own KMV cardinality estimate — m = n̂·(-ln p/ln²2)
+    // and j = round(m/n̂·ln 2), both as fixed-point INTEGER products of
+    // documented literals so the discrete geometry can never drift
+    // between engines — then build the filter, probe it with 10k keys
+    // disjoint by construction, and ship the measured FPR next to the
+    // (1−e^{−jn/m})^j theory value. The audit closes the promise: a
+    // filter sized blind (by sketch, before the exact count exists)
+    // still lands on its designed error.
+    Op("llm_bloom_autosized",
+      (s, d) => {
+        val keys = T.t(s, d, "customer").select(col("c_custkey").as("k"))
+        val geo = keys
+          .select(expr(h60("CAST(k AS STRING)")).as("h"))
+          .agg(KmvAggregator.kmv(64)(col("h")).as("mins"))
+          .select(expr(
+            "CASE WHEN size(mins) < 64 THEN CAST(size(mins) AS BIGINT) ELSE " +
+              "CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / " +
+              "CAST(element_at(mins, 64) AS DOUBLE)) AS BIGINT) END").as("n_keys_est"))
+          .withColumn("m", expr(
+            s"CAST(greatest(CAST(64 AS DECIMAL(38,0)), " +
+              s"CAST(n_keys_est AS DECIMAL(38,0)) * $bloomBitsPerKeyFp div 1000000) AS BIGINT)"))
+          .withColumn("j", expr(
+            s"CAST(greatest(CAST(1 AS DECIMAL(38,0)), " +
+              s"(CAST(m AS DECIMAL(38,0)) * $ln2Fp + n_keys_est * 500000) " +
+              s"div (n_keys_est * 1000000)) AS BIGINT)"))
+          .localCheckpoint()
+        def bitsOf(kc: String) =
+          s"transform(sequence(0, CAST(j - 1 AS INT)), i -> (" +
+            h32(s"concat('b1:', CAST($kc AS STRING))") + " + CAST(i AS BIGINT) * " +
+            h32(s"concat('b2:', CAST($kc AS STRING))") + ") % m)"
+        val bits = keys.crossJoin(broadcast(geo))
+          .select(explode(expr(bitsOf("k"))).as("bit")).distinct()
+        val probes = s.range(1000000000L, 1000010000L).select(col("id").as("k"))
+        val hit = probes.crossJoin(broadcast(geo))
+          .select(col("k"), col("j"), explode(expr(bitsOf("k"))).as("bit"))
+          .join(broadcast(bits.withColumn("b1", lit(1L))), Seq("bit"), "left")
+          .groupBy("k", "j").agg(sum(coalesce(col("b1"), lit(0L))).as("nset"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("nset") === col("j"), 1L).otherwise(0L)).as("false_pos"))
+        keys.agg(count(lit(1)).as("n_keys"))
+          .crossJoin(broadcast(geo))
+          .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+          .crossJoin(hit)
+          .withColumn("p", expr(
+            "1.0 - exp((0.0 - CAST(j * n_keys AS DOUBLE)) / CAST(m AS DOUBLE))"))
+          .select(col("n_keys"), col("n_keys_est"), col("m"), col("j"),
+            col("bits_set"), col("n_probes"), col("false_pos"),
+            expr("false_pos * 1000000 div n_probes").as("fpr_ppm"),
+            expr("CAST(floor(aggregate(sequence(1, CAST(j AS INT)), " +
+              "CAST(1.0 AS DOUBLE), (acc, x) -> acc * p) * 1000000.0) AS BIGINT)")
+              .as("theory_ppm"))
+      },
+      Some("WITH keys AS (SELECT c_custkey AS k FROM customer), " +
+        "h AS (SELECT DISTINCT " + oH60("CAST(k AS VARCHAR)") + " AS h FROM keys), " +
+        "r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h), " +
+        "sk AS (SELECT count(*) AS nd, max(CASE WHEN rn = 64 THEN h END) AS kth FROM r), " +
+        "ne AS (SELECT CASE WHEN nd < 64 THEN nd ELSE " +
+        "CAST(floor((CAST(63 AS DOUBLE) * 1152921504606846976.0) / CAST(kth AS DOUBLE)) AS BIGINT) " +
+        "END AS n_keys_est FROM sk), " +
+        "geo AS (SELECT n_keys_est, " +
+        s"CAST(greatest(64, CAST(n_keys_est AS HUGEINT) * $bloomBitsPerKeyFp // 1000000) AS BIGINT) AS m " +
+        "FROM ne), " +
+        "geo2 AS (SELECT n_keys_est, m, " +
+        s"CAST(greatest(1, (CAST(m AS HUGEINT) * $ln2Fp + CAST(n_keys_est AS HUGEINT) * 500000) " +
+        "// (CAST(n_keys_est AS HUGEINT) * 1000000)) AS BIGINT) AS j FROM geo), " +
+        "kh AS (SELECT k, " +
+        oH32("concat('b1:', CAST(k AS VARCHAR))") + " AS h1, " +
+        oH32("concat('b2:', CAST(k AS VARCHAR))") + " AS h2 FROM keys), " +
+        "bits AS (SELECT DISTINCT (h1 + i * h2) % m AS bit FROM (" +
+        "SELECT h1, h2, m, unnest(range(0, j)) AS i FROM kh, geo2)), " +
+        "ph AS (SELECT k, " +
+        oH32("concat('b1:', CAST(k AS VARCHAR))") + " AS h1, " +
+        oH32("concat('b2:', CAST(k AS VARCHAR))") + " AS h2 " +
+        "FROM range(1000000000, 1000010000) t(k)), " +
+        "pb AS (SELECT k, (h1 + i * h2) % m AS bit FROM (" +
+        "SELECT k, h1, h2, m, unnest(range(0, j)) AS i FROM ph, geo2)), " +
+        "hit AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, " +
+        "CAST(SUM(CASE WHEN nset = j THEN 1 ELSE 0 END) AS BIGINT) AS false_pos FROM (" +
+        "SELECT pb.k, j, SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nset " +
+        "FROM pb LEFT JOIN bits b ON pb.bit = b.bit, geo2 GROUP BY pb.k, j)), " +
+        "agg AS (SELECT (SELECT count(*) FROM keys) AS n_keys, n_keys_est, m, j, " +
+        "(SELECT count(*) FROM bits) AS bits_set, n_probes, false_pos FROM hit, geo2), " +
+        "pp AS (SELECT *, 1.0 - exp((0.0 - CAST(j * n_keys AS DOUBLE)) / CAST(m AS DOUBLE)) AS p FROM agg) " +
+        "SELECT n_keys, n_keys_est, m, j, bits_set, n_probes, false_pos, " +
+        "false_pos * 1000000 // n_probes AS fpr_ppm, " +
+        "CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), " +
+        "list_transform(range(j), x -> p)), (acc, v) -> acc * v) * 1000000.0) AS BIGINT) AS theory_ppm " +
+        "FROM pp")),
+  )
+}

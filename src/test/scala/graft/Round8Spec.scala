@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 pins: the sketch-sizing loop (KMV cardinality → CMS width /
+  * Bloom geometry), the replay-safe CMS batch ledger, and the
+  * empty-cell-is-zero CMS point-query fix.
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("auto-sized CMS join estimate stays <5% on a high-cardinality corpus") {
+    // 200k distinct keys — 200× the width the round-7 fixed w=1024 CMS
+    // was built for, the regime where its raw estimate read 15.6× high.
+    // The KMV-derived width must absorb the cardinality jump by design.
+    val a = spark.range(0L, 200000L).select(col("id").as("ka"))
+    val b = spark.range(0L, 600000L).select((col("id") % 200000L).as("kb"))
+    val r = ops.Round8.autosizedJoinEstimate(a, "ka", b, "kb").head()
+    val (nEst, w, est, exact) = (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+    assert(exact == 600000L)
+    assert(w >= 2 * nEst && w >= 1024L, s"width must come from the estimate: w=$w n=$nEst")
+    // KMV k=64 → σ ≈ n/√63 ≈ 12.6%; 4σ bound on the sizing input
+    assert(math.abs(nEst - 200000L) <= 200000L / 2, s"sizing cardinality off: $nEst")
+    val errPct = math.abs(est - exact).toDouble / exact * 100
+    assert(errPct < 5.0, s"corrected estimate must stay within 5%: est=$est ($errPct%)")
+  }
+
+  test("tokenCardinality KMV estimate tracks the exact distinct-token count") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val exact = docs.where("text IS NOT NULL")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where("tok <> ''").select("tok").distinct().count()
+    val est = api.SketchStore.tokenCardinality(docs)
+    // k=64 KMV: σ ≈ n/√63; allow 4σ
+    assert(math.abs(est - exact) <= math.max(4L, (4 * exact / math.sqrt(63)).toLong),
+      s"est=$est exact=$exact")
+  }
+
+  test("buildSized derives the CMS width from the corpus and persists it") {
+    // synthetic vocabulary-rich corpus: 100 heavy tokens (20 hits each)
+    // + 2000 singletons → ~2100 distinct tokens, forcing the sized
+    // width beyond the 1024 default the fixed-literal path would use
+    val docs = (0L until 2000L)
+      .map(i => (i, s"common${i % 100} unique$i", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"target/tmp/r8sized_${System.nanoTime()}"
+    val w = api.SketchStore.buildSized(docs, dir)
+    val (d, wStored) = api.SketchStore.cmsGeometry(spark, dir)
+    assert(d == 4 && wStored == w)
+    assert(w == api.SketchStore.cmsWidthFor(api.SketchStore.tokenCardinality(docs)))
+    assert(w > api.SketchStore.DefaultWidth,
+      s"~2100 distinct tokens must size the width beyond the 1024 default: $w")
+    // the wider sketch keeps one-sided error and, at load ≤ ½, the
+    // heavy hitters' estimates should collapse onto the exact counts
+    val exact = ops.Round7.tokenCounts(docs).orderBy(desc("exact"), asc("tok"))
+      .limit(20).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ests = api.SketchStore.freqEstimate(spark, dir, exact.keys.toSeq.sorted)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(ests(t) >= c, s"CMS must never undercount: $t")
+    }
+    val overcount = exact.keys.map(t => ests(t) - exact(t)).sum
+    assert(overcount == 0L,
+      s"at ≤½ expected keys per cell the top-20 min-of-rows estimates are exact; overcount=$overcount")
+  }
+
+  test("updateCms with a batch id is replay-safe: double-apply == single-apply") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents")
+    val dir = s"target/tmp/r8ledger_${System.nanoTime()}"
+    val batches = docs.withColumn("b", pmod(col("doc_id"), lit(2)))
+    api.SketchStore.build(batches.where("b = 0").drop("b"), dir)
+    def counters() = spark.read.parquet(s"$dir/cms/counters")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b1 = batches.where("b = 1").drop("b")
+    assert(api.SketchStore.updateCms(b1, dir, Some("batch-1")))
+    val afterOnce = counters()
+    // the retry a crash-recovering ingestion driver would issue
+    assert(!api.SketchStore.updateCms(b1, dir, Some("batch-1")),
+      "replayed batch id must be recognized as already applied")
+    assert(counters() == afterOnce, "double-apply must not change any cell")
+    // and the ledgered result equals the build-once sketch of the union
+    val onceDir = s"target/tmp/r8ledger_once_${System.nanoTime()}"
+    api.SketchStore.build(docs, onceDir)
+    assert(counters() == spark.read.parquet(s"$onceDir/cms/counters")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap)
+  }
+
+  test("CMS point query treats absent cells as zero counts") {
+    // one tiny doc -> almost every cell of the 4x1024 table is ABSENT;
+    // a token the corpus never saw must estimate 0 (an empty cell in
+    // its row-min), not the min of whatever collides in non-empty cells
+    val dir = s"target/tmp/r8zero_${System.nanoTime()}"
+    val one = Seq((1L, "alpha beta gamma", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    api.SketchStore.build(one, dir)
+    val est = api.SketchStore.freqEstimate(spark, dir,
+        Seq("alpha", "beta", "zzabsent"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") == 1L && est("beta") == 1L)
+    assert(est("zzabsent") == 0L,
+      s"absent token must estimate 0, got ${est("zzabsent")}")
+  }
+
+  test("bloomSizeFor lands the textbook geometry and the op agrees") {
+    val (m, j) = api.SketchStore.bloomSizeFor(1500L, 0.01)
+    assert(j == 7, s"1% fpr optimum is 7 probes: $j")
+    assert(math.abs(m - math.ceil(1500 * 9.585).toLong) <= 2, s"m=$m")
+    // registry op geometry (from the KMV estimate) matches the library
+    // formula applied to ITS sizing input, modulo fixed-point flooring
+    val r = Registry.byKey("llm_bloom_autosized").query(spark, TestSpark.sf).head()
+    val (nEst, opM, opJ) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (libM, libJ) = api.SketchStore.bloomSizeFor(nEst, 0.01)
+    assert(math.abs(opM - libM) <= nEst / 100000 + 2, s"opM=$opM libM=$libM")
+    assert(opJ == libJ, s"opJ=$opJ libJ=$libJ")
+    // the measured FPR must track the theory value computed from the
+    // EXACT key count (the op's own audit column) within binomial noise
+    // on 10k probes, and stay inside the sizing-slack envelope: the
+    // k=64 sketch sizes m to ±~13% (1σ), so the realized FPR is
+    // target-ORDER (here ≤5×1%), not target-exact — by design, since
+    // the filter must be sized before the exact count exists
+    val (fpr, theory) = (r.getLong(7), r.getLong(8))
+    assert(math.abs(fpr - theory) <= 6000L, s"fpr=$fpr theory=$theory")
+    assert(fpr <= 50000L, s"measured fpr_ppm $fpr outside the sizing-slack envelope")
+  }
+}
