@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Op, Tables => T}
 import graft.functions.KmvAggregator
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 batch: CLOSING THE SKETCH-SIZING LOOP. Round 7 shipped the
@@ -40,6 +41,31 @@ object Round8 {
 
   /** round(ln 2 · 1e6) — the probe-count factor j = round(m/n · ln 2). */
   private val ln2Fp = 693147L
+
+  /** Seeded near-dup pair for llm_minhash_incremental: ids chosen so one
+    * lands in the mod-17 batch (899999997 % 17 = 5) and one in the
+    * corpus (899999998 % 17 = 6); texts share 10 of 11 3-gram shingles
+    * (true jaccard ≈ 0.91), tokens no generated text contains. Shared
+    * with the oracle SQL and Round8Spec so all three see one literal.
+    */
+  private[graft] val mhIncCorpusText: String =
+    "zzmh alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+  private[graft] val mhIncBatchText: String = mhIncCorpusText + " zzvar"
+
+  /** The BM25 query panel: (q_id, term) over the corpus vocabulary —
+    * one literal shared by the Spark side and the oracle's UNION ALL.
+    */
+  private[graft] val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join", 1L -> "table",
+    2L -> "stream", 2L -> "window", 2L -> "batch",
+    3L -> "vector", 3L -> "scan", 3L -> "filter")
+
+  /** Blocklist panel: one unigram, one adjacent bigram the synthetic
+    * corpus produces organically, and one phrase it never contains
+    * (exercising the miss path).
+    */
+  private[graft] val blocklistTerms: Seq[String] =
+    Seq("spark", "slow row", "drop cascade")
 
   /** Auto-sized CMS join-cardinality estimate: KMV-sketch the left
     * side's key set (k=64 longs of state), size the counter width
@@ -163,10 +189,13 @@ object Round8 {
           .withColumn("m", expr(
             s"CAST(greatest(CAST(64 AS DECIMAL(38,0)), " +
               s"CAST(n_keys_est AS DECIMAL(38,0)) * $bloomBitsPerKeyFp div 1000000) AS BIGINT)"))
+          // greatest(1, n) in the divisor: an EMPTY key set estimates
+          // n̂=0 and must degrade to the minimal geometry, not divide by
+          // zero under ANSI
           .withColumn("j", expr(
             s"CAST(greatest(CAST(1 AS DECIMAL(38,0)), " +
               s"(CAST(m AS DECIMAL(38,0)) * $ln2Fp + n_keys_est * 500000) " +
-              s"div (n_keys_est * 1000000)) AS BIGINT)"))
+              s"div (greatest(1, n_keys_est) * 1000000)) AS BIGINT)"))
           .localCheckpoint()
         def bitsOf(kc: String) =
           s"transform(sequence(0, CAST(j - 1 AS INT)), i -> (" +
@@ -206,7 +235,7 @@ object Round8 {
         "FROM ne), " +
         "geo2 AS (SELECT n_keys_est, m, " +
         s"CAST(greatest(1, (CAST(m AS HUGEINT) * $ln2Fp + CAST(n_keys_est AS HUGEINT) * 500000) " +
-        "// (CAST(n_keys_est AS HUGEINT) * 1000000)) AS BIGINT) AS j FROM geo), " +
+        "// (CAST(greatest(1, n_keys_est) AS HUGEINT) * 1000000)) AS BIGINT) AS j FROM geo), " +
         "kh AS (SELECT k, " +
         oH32("concat('b1:', CAST(k AS VARCHAR))") + " AS h1, " +
         oH32("concat('b2:', CAST(k AS VARCHAR))") + " AS h2 FROM keys), " +
@@ -230,5 +259,160 @@ object Round8 {
         "CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), " +
         "list_transform(range(j), x -> p)), (acc, v) -> acc * v) * 1000000.0) AS BIGINT) AS theory_ppm " +
         "FROM pp")),
+
+    // Incremental near-dup: a new batch (doc_id % 17 = 5) is
+    // MinHash-LSH-checked against the accumulated corpus WITHOUT the
+    // corpus ever self-joining — batch bands join corpus bands, so the
+    // nightly cost is proportional to the batch however large the
+    // corpus has grown. Signature, banding, and match logic live in
+    // graft.api.MinHashIndex (shared with the persistent store, which
+    // Round8Spec pins equal to this one-shot path). A seeded near-dup
+    // pair in a lang-free id range guarantees the hit path runs at
+    // small SFs (the mod-17 straddle of organic near-dup pairs is luck).
+    Op("llm_minhash_incremental",
+      (s, d) => {
+        val docs = T.spread(T.t(s, d, "documents")).select("doc_id", "text")
+          .unionByName(s.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(899999997L, mhIncBatchText),
+              org.apache.spark.sql.Row(899999998L, mhIncCorpusText)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)))))
+        val corpusSigs = graft.api.MinHashIndex
+          .signatures(docs.where("doc_id % 17 <> 5")).persist()
+        val batchSigs = graft.api.MinHashIndex
+          .signatures(docs.where("doc_id % 17 = 5")).persist()
+        val out = graft.api.MinHashIndex.matches(batchSigs, corpusSigs)
+          .localCheckpoint()
+        corpusSigs.unpersist()
+        batchSigs.unpersist()
+        out.orderBy("batch_id", "corpus_id")
+      },
+      Some("WITH du AS (SELECT doc_id, text FROM documents " +
+        s"UNION ALL SELECT 899999997, '$mhIncBatchText' " +
+        s"UNION ALL SELECT 899999998, '$mhIncCorpusText'), " +
+        "ths AS (SELECT doc_id, list_transform(" +
+        "list_distinct(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))), " +
+        "tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS ths " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM du) WHERE len(toks) >= 3), " +
+        "sigs AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "list_transform(range(0, 16), x -> CAST(2038074743 AS BIGINT)), " +
+        "list_transform(ths, h -> list_transform(range(0, 16), i -> " +
+        "([3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59][i + 1] * h + " +
+        "[101,103,107,109,113,127,131,137,139,149,151,157,163,167,173,179][i + 1]) % 2038074743))), " +
+        "(acc, v) -> list_transform(range(1, 17), i -> least(acc[i], v[i]))) AS sig FROM ths), " +
+        "bb AS (SELECT doc_id, b.band AS band, " +
+        "array_to_string(list_transform(list_slice(sig, band * 4 + 1, band * 4 + 4), x -> CAST(x AS VARCHAR)), ',') AS band_sig " +
+        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) b), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id " +
+        "FROM bb x JOIN bb y ON x.band = y.band AND x.band_sig = y.band_sig " +
+        "WHERE x.doc_id % 17 = 5 AND y.doc_id % 17 <> 5) " +
+        "SELECT batch_id, corpus_id, est_jaccard FROM (" +
+        "SELECT batch_id, corpus_id, " +
+        "CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 AS est_jaccard " +
+        "FROM cand JOIN sigs s1 ON cand.batch_id = s1.doc_id " +
+        "JOIN sigs s2 ON cand.corpus_id = s2.doc_id) " +
+        "WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id")),
+
+    // BM25 retrieval (k1=1.2, b=0.75): the inverted index is pruned to
+    // the query's terms by a BROADCAST semi-join before anything heavy
+    // happens — document frequency, length normalization, and scoring
+    // all run on the surviving postings only, so corpus size enters the
+    // cost only through the one tokenize+count scan. Per-term scores
+    // are quantized to 1e-6 fixed-point BEFORE the per-doc sum, making
+    // the aggregate order-independent (bit-identical across partitions
+    // and engines); top-3 docs per query via a per-query window.
+    Op("llm_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val docs = T.t(s, d, "documents")
+        val toks = T.spread(docs)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+        val queries = bm25Queries.toDF("q_id", "token")
+        val post = tf.join(broadcast(queries), "token")
+        val dfreq = post.groupBy("token")
+          .agg(countDistinct("doc_id").as("df"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(desc("score_fp"), col("doc_id"))
+        post.join(dfreq, "token").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("term_fp", expr(
+            "CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+              "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+              "(CAST(tf AS DOUBLE) * 2.2) / " +
+              "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
+              "(CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))) * 1000000.0) AS BIGINT)"))
+          .groupBy("q_id", "doc_id").agg(sum("term_fp").as("score_fp"))
+          .withColumn("rank", row_number().over(w))
+          .where("rank <= 3")
+          .select("q_id", "rank", "doc_id", "score_fp")
+          .orderBy("q_id", "rank")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "(SELECT count(*) FROM toks) AS n_toks), " +
+        "q AS (" + bm25Queries.map { case (q, t) =>
+          s"SELECT $q AS q_id, '$t' AS token" }.mkString(" UNION ALL ") + "), " +
+        "post AS (SELECT q_id, tf.token, tf.doc_id, tf FROM tf JOIN q ON tf.token = q.token), " +
+        "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY 1), " +
+        "sc AS (SELECT q_id, doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp FROM (" +
+        "SELECT q_id, post.doc_id, " +
+        "CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+        "(CAST(tf AS DOUBLE) * 2.2) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
+        "(CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))) * 1000000.0) AS BIGINT) AS term_fp " +
+        "FROM post JOIN dfq ON post.token = dfq.token " +
+        "JOIN dl ON post.doc_id = dl.doc_id, st) GROUP BY 1, 2) " +
+        "SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS INTEGER) AS rank, doc_id, score_fp FROM (" +
+        "SELECT q_id, doc_id, score_fp, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc) " +
+        "WHERE rank <= 3 ORDER BY q_id, rank")),
+
+    // Multi-phrase blocklist filter: every doc's distinct unigrams AND
+    // adjacent bigrams join a BROADCAST blocklist — one codegen'd
+    // explode + hash-semi-join instead of |blocklist| regex passes over
+    // the text, which is the difference between one scan and N scans at
+    // 100 TB. Emits only flagged docs with hit count and the sorted
+    // matched terms (sorted so the collected list is order-stable).
+    Op("llm_blocklist_filter",
+      (s, d) => {
+        import s.implicits._
+        val terms = blocklistTerms.toDF("term")
+        val docs = T.spread(T.t(s, d, "documents"))
+        val grams = docs
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            // sequence(1, 0) is DESCENDING in Spark, so guard the
+            // single-token doc instead of relying on an empty range
+            "array_distinct(concat(toks, CASE WHEN size(toks) >= 2 THEN " +
+              "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+              "ELSE array() END))")).as("term"))
+        val hits = grams.join(broadcast(terms), "term")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"),
+            array_join(array_sort(collect_list("term")), "|").as("matched"))
+        docs.select("doc_id", "lang", "source").join(hits, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("WITH g AS (SELECT doc_id, unnest(list_distinct(toks || " +
+        "list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1])))) AS term " +
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)), " +
+        "b AS (SELECT unnest([" +
+        blocklistTerms.map(t => s"'$t'").mkString(", ") + "]) AS term), " +
+        "h AS (SELECT doc_id, count(*) AS n_hits, " +
+        "array_to_string(list_sort(list(term)), '|') AS matched " +
+        "FROM g JOIN b USING (term) GROUP BY doc_id) " +
+        "SELECT d.doc_id, lang, source, n_hits, matched " +
+        "FROM documents d JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id")),
   )
 }

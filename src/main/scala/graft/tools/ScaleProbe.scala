@@ -44,61 +44,44 @@ object ScaleProbe {
         .drop("copy")
         .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
     }
+
+    // 20x TPC-H fact/dim tables with DISJOINT shifted keys per copy (FK
+    // relations preserved: every key column participating in a join is
+    // shifted by the same copy offset on both sides), so the relational /
+    // source / function registry keys can run under the same amplified
+    // corpus as the documents family. region/nation stay verbatim — the
+    // realistic scale model is facts growing while enum-like dims don't
+    // (and nationkey FKs from amplified customer/supplier remain valid).
+    val keyShift = 10000000L // > any sf0.1 key (max ~600k orderkeys)
+    def amplify(name: String, copies: Int, keyCols: Seq[String]): Unit = {
+      val out = s"$big/$name.parquet"
+      if (new java.io.File(out).exists()) return
+      val df = spark.read.parquet(s"/root/testdata/sf0.1/$name.parquet")
+      val cs = spark.range(copies).select(col("id").as("copy"))
+      val shifted = keyCols.foldLeft(df.crossJoin(cs)) { (d, c) =>
+        val dt = df.schema(c).dataType
+        d.withColumn(c, (col(c) + col("copy") * keyShift).cast(dt))
+      }
+      shifted.drop("copy")
+        .repartition(32).write.mode("overwrite").parquet(out)
+    }
+    amplify("customer", 20, Seq("c_custkey"))
+    amplify("supplier", 20, Seq("s_suppkey"))
+    amplify("part", 20, Seq("p_partkey"))
+    amplify("orders", 20, Seq("o_orderkey", "o_custkey"))
+    amplify("lineitem", 20, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    amplify("region", 1, Seq.empty)
+    amplify("nation", 1, Seq.empty)
     println("PROBE docs=" + spark.read.parquet(s"$big/documents.parquet").count() +
       " emb=" + spark.read.parquet(s"$big/embeddings.parquet").count() +
-      " ev=" + spark.read.parquet(s"$big/events.parquet").count())
+      " ev=" + spark.read.parquet(s"$big/events.parquet").count() +
+      " li=" + spark.read.parquet(s"$big/lineitem.parquet").count())
 
-    val keys = if (args.nonEmpty) args.toSeq else Seq(
-      "llm_dedup_exact", "llm_dedup_fuzzy", "llm_dedup_minhash", "llm_dedup_simhash",
-      "llm_ngram_jaccard", "llm_tfidf", "llm_lang_id", "llm_similarity_topk",
-      "llm_knn_join", "llm_embedding_neardup", "llm_sample_stratified",
-      "llm_doc_chunk", "llm_contamination_check", "llm_embedding_quantize",
-      "llm_kmeans_step", "llm_clean_pipeline", "llm_semdedup",
-      "llm_dedup_levenshtein", "llm_stopword_ratio", "llm_length_histogram",
-      // round 2: the all-duplicate corpus is the worst case for the
-      // near-dup graph (every doc pairs with its 19 copies), and the 10x
-      // events stress the tolerance as-of and interval joins
-      "llm_dedup_cluster", "llm_tokenizer_vocab", "llm_curriculum_order",
-      "llm_quality_gate_report", "llm_domain_rebalance", "llm_shard_manifest",
-      "llm_frame_sample", "rel_join_asof_tolerance", "strm_interval_join",
-      "core_validate_quarantine", "llm_dedup_substring", "llm_kmeans_train",
-      "llm_reservoir_sample", "llm_ann_refine", "llm_bigram_lm",
-      "llm_dataset_card",
-      // round 3: BPE/PMI/entropy sweep the full token stream; prefix
-      // dedup hits the all-duplicate corpus head on
-      "llm_bpe_merge_step", "llm_bpe_train2", "llm_bigram_pmi",
-      "llm_token_entropy", "llm_zipf_fit", "llm_prefix_dedup",
-      "llm_trigram_backoff", "llm_importance_resample",
-      "llm_embedding_norm_stats", "strm_running_totals",
-      "strm_topk_windowed", "core_history_rewind",
-      // round 4: two-level shard packing, bounded top-N vocab ranks,
-      // and the probe-panel ANN audit (core_incremental_pipeline needs
-      // the orders table, which the amplified corpus doesn't carry)
-      "llm_pack_shards", "llm_packing_efficiency", "llm_vocab_oov_rate",
-      "llm_ann_recall_audit", "llm_skipgram_pairs", "llm_minhash_verified",
-      "llm_dup_histogram", "llm_gopher_quality", "llm_tokenize_apply",
-      "fn_hof_predicates", "llm_dedup_incremental", "llm_contamination_ngram",
-      "llm_lsh_precision_audit", "llm_multimodal_resize",
-      // round 5: winnowing/novelty shingle sweeps and the trained-IVF
-      // pair under the 20x corpus
-      "llm_winnow_fingerprint", "llm_ngram_novelty",
-      "llm_ann_ivf_trained", "llm_ann_ivf_trained_recall",
-      "llm_cdc_chunk", "llm_dataset_shuffle", "llm_langid_confusion",
-      "llm_embedding_center", "rel_join_asof_multikey", "llm_chunk_dedup",
-      "llm_dedup_verdicts", "llm_minhash_cluster",
-      "llm_quality_percentile_gate", "llm_token_freq_drift",
-      "core_row_checksum", "llm_vocab_growth", "llm_class_weights",
-      "llm_logreg_train", "llm_embedding_pca", "llm_quality_classifier_gate",
-      "llm_kmeans_inertia", "llm_classifier_calibration", "llm_classifier_roc",
-      "llm_embedding_dim_stats", "llm_embedding_whiten_check",
-      "llm_pagerank_centrality", "llm_minhash_recall",
-      // round 7: the sketch family under the 20x all-duplicate corpus —
-      // KMV buffers must stay k longs and CMS cells 4096 rows however
-      // duplicated the input; the KN LM sweeps the full bigram stream
-      "rel_agg_kmv_distinct", "llm_heavy_hitters_cms", "llm_kn_bigram_lm",
-      "llm_temperature_mix", "llm_source_overlap_kmv",
-      "llm_lexical_diversity", "llm_shingle_containment",
-      "llm_dup_rate_kmv")
+    // Default = the ENTIRE registry, in registry order — every key runs
+    // under the amplified corpus, not a hand-picked heavy subset (the
+    // round-7 curated 97-key list lives in git history). Pass explicit
+    // keys as args to probe a subset.
+    val keys = if (args.nonEmpty) args.toSeq else graft.Registry.all.map(_.key)
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
@@ -150,6 +133,58 @@ object ScaleProbe {
     val n = graft.Registry.byKey("llm_dedup_levenshtein").query(spark, lev).count()
     println(f"PROBE llm_dedup_levenshtein[single-block-100k-distinct]: " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+
+    // Trained-ANN MAINTENANCE loop under the amplified corpus (verdict
+    // r7 #8): build the persistent index on 90% of the 10x embeddings,
+    // audit stored-search recall on a 16-probe panel, fold the held-out
+    // 10% in via update() (centroids FIXED, assignment partitions
+    // appended), and re-audit — the recall that matters is the one
+    // measured AFTER the index has grown, against exact truth over the
+    // full corpus.
+    {
+      import org.apache.spark.sql.DataFrame
+      graft.functions.CosineSimilarity.register(spark)
+      val idxDir = "target/tmp/annmaint"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      val emb = spark.read.parquet(s"$big/embeddings.parquet")
+        .repartition(32).localCheckpoint()
+      val base = emb.where("vec_id % 10 <> 3")
+      val late = emb.where("vec_id % 10 = 3")
+      val probes = emb
+        .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))
+        .orderBy("hkey", "vec_id").limit(16)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+        .localCheckpoint()
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))
+      def exact5(corpus: DataFrame): DataFrame = corpus
+        .crossJoin(broadcast(probes)).where("vec_id <> p_id")
+        .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+        .withColumn("rn", row_number().over(wTop)).where("rn <= 5")
+        .select("p_id", "vec_id")
+      def recall(corpus: DataFrame, tag: String): Unit = {
+        val ta = System.nanoTime()
+        val approx = graft.api.AnnIndex
+          .searchIndex(spark, idxDir, probes, k = 5, nProbe = 2)
+          .select(col("p_id"), col("vec_id"), lit(1).as("hit"))
+        val r = exact5(corpus).join(approx, Seq("p_id", "vec_id"), "left")
+          .groupBy("p_id").agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+          .agg(avg(expr("CAST(hits AS DOUBLE) / 5")).as("mean"),
+            min(expr("CAST(hits AS DOUBLE) / 5")).as("min"))
+          .collect()(0)
+        println(f"PROBE ann_maint[$tag]: recall@5 mean=${r.getDouble(0)}%.3f " +
+          f"min=${r.getDouble(1)}%.3f (${(System.nanoTime() - ta) / 1e9}%.2f s)")
+      }
+      var ts = System.nanoTime()
+      graft.api.AnnIndex.build(base, idxDir, k = 10, iters = 3)
+      println(f"PROBE ann_maint[build-90pct]: ${(System.nanoTime() - ts) / 1e9}%.2f s")
+      recall(base, "post-build vs 90pct-truth")
+      ts = System.nanoTime()
+      graft.api.AnnIndex.update(late, idxDir)
+      println(f"PROBE ann_maint[update-10pct]: ${(System.nanoTime() - ts) / 1e9}%.2f s")
+      recall(emb, "post-update vs full-truth")
+    }
     spark.stop()
   }
 }

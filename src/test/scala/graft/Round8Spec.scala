@@ -124,4 +124,69 @@ class Round8Spec extends AnyFunSuite {
     assert(math.abs(fpr - theory) <= 6000L, s"fpr=$fpr theory=$theory")
     assert(fpr <= 50000L, s"measured fpr_ppm $fpr outside the sizing-slack envelope")
   }
+
+  test("llm_minhash_incremental finds the seeded batch-vs-corpus near-dup pair") {
+    val out = Registry.byKey("llm_minhash_incremental")
+      .query(spark, TestSpark.sf).collect()
+    val seeded = out.filter(r => r.getLong(0) == 899999997L)
+    assert(seeded.exists(_.getLong(1) == 899999998L),
+      "the constructed 10/11-shingle near-dup pair must survive banding + estimate")
+    assert(seeded.forall(_.getDouble(2) >= 0.5))
+    // the incremental direction is strict: batch ids only on the left,
+    // corpus ids only on the right
+    assert(out.forall(r => r.getLong(0) % 17 == 5 && r.getLong(1) % 17 != 5))
+  }
+
+  test("MinHashIndex store: check == one-shot matches; replayed update is a no-op") {
+    val docs = Tables.t(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val corpus = docs.where("doc_id % 17 <> 5")
+    val batch = docs.where("doc_id % 17 = 5")
+    val dir = s"target/tmp/r8mhidx_${System.nanoTime()}"
+    api.MinHashIndex.build(corpus, dir)
+    val stored = api.MinHashIndex.check(batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = api.MinHashIndex.matches(
+        api.MinHashIndex.signatures(batch), api.MinHashIndex.signatures(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == oneShot,
+      "persistent-index check must equal the one-shot batch-vs-corpus path")
+    // ledgered replay: the second apply of the same batch id is a no-op
+    def sigCount() = api.MinHashIndex.read(spark, dir).count()
+    assert(api.MinHashIndex.update(batch, dir, Some("b-1")))
+    val afterOnce = sigCount()
+    assert(!api.MinHashIndex.update(batch, dir, Some("b-1")))
+    assert(sigCount() == afterOnce)
+    // and even an unledgered replay cannot duplicate doc_ids
+    assert(api.MinHashIndex.update(batch, dir, None))
+    assert(sigCount() == afterOnce, "doc_id-keyed merge must dedup replays")
+  }
+
+  test("BM25 ranks the all-terms doc first and respects length normalization") {
+    val dir = s"target/tmp/r8bm25_${System.nanoTime()}"
+    // doc 1: all of q1's terms, short; doc 2: same terms + padding
+    // (length-normalized below doc 1); doc 3: one term only
+    Seq(
+      (1L, "hash join table", "en", "s", 15L),
+      (2L, "hash join table pad pad pad pad pad pad pad pad pad", "en", "s", 52L),
+      (3L, "hash pad pad", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q1 = Registry.byKey("llm_bm25_topk").query(spark, dir)
+      .where("q_id = 1").orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(q1.take(2).toSeq == Seq((1, 1L), (2, 2L)),
+      s"short all-terms doc must outrank the padded one: ${q1.toSeq}")
+  }
+
+  test("blocklist filter flags unigram and bigram hits, never the absent phrase") {
+    val out = Registry.byKey("llm_blocklist_filter")
+      .query(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty, "the organic corpus contains 'spark' tokens")
+    assert(out.forall(!_.getString(4).contains("drop cascade")),
+      "the corpus never contains the absent phrase")
+    val terms = out.flatMap(_.getString(4).split('|')).toSet
+    assert(terms.contains("spark"))
+    assert(terms.contains("slow row"),
+      "adjacent-bigram matching must fire on the organic corpus")
+  }
 }
