@@ -113,13 +113,23 @@ object MinHashIndex {
 
   /** Fold an accepted batch's signatures in. Dedup by doc_id keeps the
     * merge idempotent even without the ledger; with a `batchId` already
-    * in the ledger the call is a full no-op (no rewrite).
+    * in the ledger the call is a full no-op (no rewrite). An absent
+    * store bootstraps from the batch (so a streaming sink's FIRST
+    * micro-batch needs no separate build step).
     *
     * @return true if the batch was applied, false if the ledger
     *         recognized it as already merged.
     */
   def update(docs: DataFrame, dir: String, batchId: Option[String] = None): Boolean = {
     val spark = docs.sparkSession
+    val f = fs(spark, dir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/sigs")) &&
+        !f.exists(new org.apache.hadoop.fs.Path(s"$dir/sigs-old"))) {
+      build(docs, dir)
+      batchId.foreach(id =>
+        swapIn(ledgerDf(spark, Seq(id)), spark, s"$dir/applied"))
+      return true
+    }
     val ledger = read(spark, dir, "applied")
     if (batchId.exists(id =>
         ledger.where(col("batch_id") === id).limit(1).count() > 0)) return false

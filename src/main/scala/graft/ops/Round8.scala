@@ -414,5 +414,80 @@ object Round8 {
         "FROM g JOIN b USING (term) GROUP BY doc_id) " +
         "SELECT d.doc_id, lang, source, n_hits, matched " +
         "FROM documents d JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id")),
+
+    // Hybrid retrieval by reciprocal-rank fusion (RRF, k=60): per probe
+    // doc (the standard md5-ordered 4-probe panel; doc_id = vec_id
+    // convention from llm_multimodal_schema), fuse the embedding-cosine
+    // top-20 with the token-overlap top-20 — rrf = Σ 1/(60+rank) over
+    // the lists containing the candidate, as integer 1e9 fixed-point so
+    // the fusion is exact on both engines. Both rankings are bounded
+    // per-probe windows (never global); the probe panel and its tokens
+    // broadcast, so each ranking is one pass over its index — the
+    // candidate generator a retrieval stack runs when lexical and
+    // semantic signals disagree.
+    Op("llm_rrf_fusion",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probes = emb
+          .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))
+          .orderBy("hkey", "vec_id").limit(4)
+          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+          .localCheckpoint()
+        val wCos = Window.partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))
+        val cosR = emb.crossJoin(broadcast(probes)).where("vec_id <> p_id")
+          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+          .withColumn("cos_rank", row_number().over(wCos))
+          .where("cos_rank <= 20")
+          .select(col("p_id"), col("vec_id").as("id"), col("cos_rank"))
+        // text ranking over the EMBEDDED corpus (docs carrying a vector)
+        val toks = T.spread(T.t(s, d, "documents"))
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+        val probeToks = toks
+          .join(broadcast(probes.select("p_id")), col("doc_id") === col("p_id"))
+          .select("p_id", "tok")
+        val wTok = Window.partitionBy("p_id").orderBy(desc("overlap"), col("doc_id"))
+        val tokR = toks.join(broadcast(probeToks), "tok")
+          .where("doc_id <> p_id")
+          .groupBy("p_id", "doc_id").agg(count(lit(1)).as("overlap"))
+          .withColumn("tok_rank", row_number().over(wTok))
+          .where("tok_rank <= 20")
+          .select(col("p_id"), col("doc_id").as("id"), col("tok_rank"))
+        val wRrf = Window.partitionBy("p_id").orderBy(desc("rrf_fp"), col("id"))
+        cosR.join(tokR, Seq("p_id", "id"), "full_outer")
+          .withColumn("rrf_fp", expr(
+            "coalesce(1000000000 div (60 + cos_rank), 0) + " +
+              "coalesce(1000000000 div (60 + tok_rank), 0)"))
+          .withColumn("rank", row_number().over(wRrf))
+          .where("rank <= 5")
+          .select("p_id", "rank", "id", "rrf_fp", "cos_rank", "tok_rank")
+          .orderBy("p_id", "rank")
+      },
+      Some("WITH pp AS (SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings " +
+        "ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 4), " +
+        "cr AS (SELECT p_id, id, cos_rank FROM (" +
+        "SELECT pp.p_id, e.vec_id AS id, row_number() OVER (PARTITION BY pp.p_id " +
+        s"ORDER BY ${Round3.oSimSql("e.embedding", "pp.p_emb")} DESC, e.vec_id) AS cos_rank " +
+        "FROM embeddings e, pp WHERE e.vec_id <> pp.p_id) WHERE cos_rank <= 20), " +
+        "tk AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok " +
+        "FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)), " +
+        "pt AS (SELECT pp.p_id, tk.tok FROM tk JOIN pp ON tk.doc_id = pp.p_id), " +
+        "tr AS (SELECT p_id, id, tok_rank FROM (" +
+        "SELECT ov.p_id, ov.doc_id AS id, " +
+        "row_number() OVER (PARTITION BY ov.p_id ORDER BY overlap DESC, ov.doc_id) AS tok_rank " +
+        "FROM (SELECT pt.p_id, tk.doc_id, count(*) AS overlap FROM tk " +
+        "JOIN pt ON tk.tok = pt.tok WHERE tk.doc_id <> pt.p_id GROUP BY 1, 2) ov) " +
+        "WHERE tok_rank <= 20), " +
+        "f AS (SELECT coalesce(cr.p_id, tr.p_id) AS p_id, coalesce(cr.id, tr.id) AS id, " +
+        "CAST(cos_rank AS INTEGER) AS cos_rank, CAST(tok_rank AS INTEGER) AS tok_rank, " +
+        "CAST(coalesce(1000000000 // (60 + cos_rank), 0) + " +
+        "coalesce(1000000000 // (60 + tok_rank), 0) AS BIGINT) AS rrf_fp " +
+        "FROM cr FULL OUTER JOIN tr ON cr.p_id = tr.p_id AND cr.id = tr.id) " +
+        "SELECT p_id, CAST(rank AS INTEGER) AS rank, id, rrf_fp, cos_rank, tok_rank FROM (" +
+        "SELECT p_id, id, rrf_fp, cos_rank, tok_rank, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY rrf_fp DESC, id) AS rank FROM f) " +
+        "WHERE rank <= 5 ORDER BY p_id, rank")),
   )
 }

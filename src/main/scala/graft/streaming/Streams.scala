@@ -518,6 +518,32 @@ object Streams {
       }
       .start()
 
+  /** Streaming near-dup signature ingestion — the streaming twin of the
+    * nightly `llm_minhash_incremental` gate: each micro-batch folds its
+    * docs' MinHash signatures into the persistent
+    * [[graft.api.MinHashIndex]] under a (run_key, batch_id) ledger
+    * entry, so an at-least-once foreachBatch replay is a full no-op
+    * (the doc_id-keyed merge would dedup the rows anyway; the ledger
+    * skips the rewrite entirely). The first micro-batch bootstraps an
+    * absent store.
+    */
+  def minhashSink(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.api.MinHashIndex.update(
+          batch.toDF(), storeDir, Some(s"$runKey-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of the classifier gate: score arriving vectors
     * with OFFLINE-trained weights (the "train once, score the stream"
     * deployment shape). Scoring goes through the same shared

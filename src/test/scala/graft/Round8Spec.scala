@@ -178,6 +178,32 @@ class Round8Spec extends AnyFunSuite {
       s"short all-terms doc must outrank the padded one: ${q1.toSeq}")
   }
 
+  test("RRF fusion: the both-signal candidate beats either single-signal winner") {
+    val dir = s"target/tmp/r8rrf_${System.nanoTime()}"
+    // probe 0: doc 1 wins cosine alone (identical vector, alien text),
+    // doc 2 wins tokens alone (identical text, orthogonal vector),
+    // doc 3 is second on BOTH — fusion must put a two-list candidate
+    // (here doc 2: tok_rank 1 + cos_rank 3) over the cosine-only winner
+    Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "zz1 zz2 zz3", "en", "s", 11L),
+      (2L, "alpha beta gamma", "en", "s", 16L),
+      (3L, "alpha beta zz9", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0), (3L, Array(2f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val p0 = Registry.byKey("llm_rrf_fusion").query(spark, dir)
+      .where("p_id = 0").orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(p0.head == ((1, 2L)),
+      s"doc 2 (tok #1 + cos #3) must outrank the cosine-only doc 1: ${p0.toSeq}")
+    assert(p0.map(_._2).contains(1L), "the cosine-only winner still places")
+  }
+
   test("blocklist filter flags unigram and bigram hits, never the absent phrase") {
     val out = Registry.byKey("llm_blocklist_filter")
       .query(spark, TestSpark.sf).collect()

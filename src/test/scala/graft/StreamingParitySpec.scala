@@ -484,4 +484,44 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(rows.count() == 3) // 2 + only-the-new block, no reprocessing
     assert(rows.select(sum("doubled")).head.getLong(0) == 12L)
   }
+
+  test("minhashSink: streamed signature store equals build-once; replay is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val base = s"target/tmp/mhsink_${System.nanoTime()}"
+
+    // two disjoint slices arriving as separate stream runs (the first
+    // bootstraps the absent store)
+    val slices = Seq(docs.filter(_.doc_id % 2 == 0), docs.filter(_.doc_id % 2 != 0))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+      mem.addData(slice)
+      Streams.minhashSink(mem.toDF(), s"$base/idx", s"$base/ckpt$i")
+        .awaitTermination()
+    }
+    def stored() = api.MinHashIndex.read(spark, s"$base/idx")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val streamed = stored()
+    val onceDir = s"$base/once"
+    api.MinHashIndex.build(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet"), onceDir)
+    val once = api.MinHashIndex.read(spark, onceDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == once,
+      "batch boundaries must not change the stored signatures")
+
+    // at-least-once replay: delete batch 0's commit marker and re-drive
+    // the same data against the same checkpoint — the ledger recognizes
+    // the (run_key, batch_id) and the store must not change
+    assert(new java.io.File(s"$base/ckpt1/commits/0").delete(),
+      "test setup: batch-0 commit marker must exist to simulate the crash")
+    new java.io.File(s"$base/ckpt1/commits/.0.crc").delete()
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    mem2.addData(slices(1))
+    Streams.minhashSink(mem2.toDF(), s"$base/idx", s"$base/ckpt1")
+      .awaitTermination()
+    assert(stored() == streamed, "a replayed micro-batch must be a no-op")
+  }
 }
