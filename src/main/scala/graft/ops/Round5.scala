@@ -19,7 +19,7 @@ object Round5 {
     * arithmetic is textually the training arithmetic; ends with
     * `asg(vec_id, embedding, c_id)`.
     */
-  private val oTrainedAssign: String =
+  private[ops] val oTrainedAssign: String =
     LlmOps.oKmeansTrainedPrefix + ", " + LlmOps.oKmeansIter(4, "c3") +
       ", asg AS (SELECT vec_id, embedding, c_id FROM b4 WHERE rn = 1)"
 

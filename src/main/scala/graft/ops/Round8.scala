@@ -67,6 +67,72 @@ object Round8 {
   private[graft] val blocklistTerms: Seq[String] =
     Seq("spark", "slow row", "drop cascade")
 
+  // ---- shared retrieval building blocks (llm_rrf_fusion,
+  // llm_retrieval_eval): the md5-ordered 4-probe panel, the exact
+  // embedding-cosine ranking, and the token-overlap ranking over the
+  // embedded corpus. ONE definition each, so the eval op always
+  // measures exactly the rankings the fusion op fuses.
+
+  private def retrievalProbes(emb: DataFrame): DataFrame = emb
+    .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))
+    .orderBy("hkey", "vec_id").limit(4)
+    .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    .localCheckpoint()
+
+  /** Exact cosine top-k per probe: (p_id, id, cos_rank). */
+  private def cosRank(emb: DataFrame, probes: DataFrame, topK: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val w = Window.partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))
+    emb.crossJoin(broadcast(probes)).where("vec_id <> p_id")
+      .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
+      .withColumn("cos_rank", row_number().over(w))
+      .where(s"cos_rank <= $topK")
+      .select(col("p_id"), col("vec_id").as("id"), col("cos_rank"))
+  }
+
+  /** Token-overlap top-k per probe over the EMBEDDED corpus (docs
+    * carrying a vector, doc_id = vec_id convention): (p_id, id,
+    * tok_rank). The probe panel's tokens broadcast, so the ranking is
+    * one pass over the token index.
+    */
+  private def tokRank(s: org.apache.spark.sql.SparkSession, d: String,
+      emb: DataFrame, probes: DataFrame, topK: Int): DataFrame = {
+    val toks = T.spread(T.t(s, d, "documents"))
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
+    val probeToks = toks
+      .join(broadcast(probes.select("p_id")), col("doc_id") === col("p_id"))
+      .select("p_id", "tok")
+    val w = Window.partitionBy("p_id").orderBy(desc("overlap"), col("doc_id"))
+    toks.join(broadcast(probeToks), "tok")
+      .where("doc_id <> p_id")
+      .groupBy("p_id", "doc_id").agg(count(lit(1)).as("overlap"))
+      .withColumn("tok_rank", row_number().over(w))
+      .where(s"tok_rank <= $topK")
+      .select(col("p_id"), col("doc_id").as("id"), col("tok_rank"))
+  }
+
+  /** DuckDB twins: probe panel, cosine ranking, token ranking. */
+  private val oProbes: String =
+    "pp AS (SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings " +
+      "ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 4)"
+  private def oCosRank(topK: Int): String =
+    "cr AS (SELECT p_id, id, cos_rank FROM (" +
+      "SELECT pp.p_id, e.vec_id AS id, row_number() OVER (PARTITION BY pp.p_id " +
+      s"ORDER BY ${Round3.oSimSql("e.embedding", "pp.p_emb")} DESC, e.vec_id) AS cos_rank " +
+      s"FROM embeddings e, pp WHERE e.vec_id <> pp.p_id) WHERE cos_rank <= $topK)"
+  private def oTokRank(topK: Int): String =
+    "tk AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok " +
+      "FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)), " +
+      "pt AS (SELECT pp.p_id, tk.tok FROM tk JOIN pp ON tk.doc_id = pp.p_id), " +
+      "tr AS (SELECT p_id, id, tok_rank FROM (" +
+      "SELECT ov.p_id, ov.doc_id AS id, " +
+      "row_number() OVER (PARTITION BY ov.p_id ORDER BY overlap DESC, ov.doc_id) AS tok_rank " +
+      "FROM (SELECT pt.p_id, tk.doc_id, count(*) AS overlap FROM tk " +
+      "JOIN pt ON tk.tok = pt.tok WHERE tk.doc_id <> pt.p_id GROUP BY 1, 2) ov) " +
+      s"WHERE tok_rank <= $topK)"
+
   /** Auto-sized CMS join-cardinality estimate: KMV-sketch the left
     * side's key set (k=64 longs of state), size the counter width
     * `w = max(1024, 2·n̂)` from the estimate (expected ≤ ½ distinct key
@@ -427,34 +493,10 @@ object Round8 {
     // semantic signals disagree.
     Op("llm_rrf_fusion",
       (s, d) => {
-        graft.functions.CosineSimilarity.register(s)
         val emb = T.spread(T.t(s, d, "embeddings"))
-        val probes = emb
-          .withColumn("hkey", expr("substring(md5(CAST(vec_id AS STRING)), 1, 8)"))
-          .orderBy("hkey", "vec_id").limit(4)
-          .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-          .localCheckpoint()
-        val wCos = Window.partitionBy("p_id").orderBy(desc("sim"), col("vec_id"))
-        val cosR = emb.crossJoin(broadcast(probes)).where("vec_id <> p_id")
-          .withColumn("sim", expr("cosine_sim(embedding, p_emb)"))
-          .withColumn("cos_rank", row_number().over(wCos))
-          .where("cos_rank <= 20")
-          .select(col("p_id"), col("vec_id").as("id"), col("cos_rank"))
-        // text ranking over the EMBEDDED corpus (docs carrying a vector)
-        val toks = T.spread(T.t(s, d, "documents"))
-          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            explode(expr("array_distinct(split(lower(text), ' '))")).as("tok"))
-        val probeToks = toks
-          .join(broadcast(probes.select("p_id")), col("doc_id") === col("p_id"))
-          .select("p_id", "tok")
-        val wTok = Window.partitionBy("p_id").orderBy(desc("overlap"), col("doc_id"))
-        val tokR = toks.join(broadcast(probeToks), "tok")
-          .where("doc_id <> p_id")
-          .groupBy("p_id", "doc_id").agg(count(lit(1)).as("overlap"))
-          .withColumn("tok_rank", row_number().over(wTok))
-          .where("tok_rank <= 20")
-          .select(col("p_id"), col("doc_id").as("id"), col("tok_rank"))
+        val probes = retrievalProbes(emb)
+        val cosR = cosRank(emb, probes, topK = 20)
+        val tokR = tokRank(s, d, emb, probes, topK = 20)
         val wRrf = Window.partitionBy("p_id").orderBy(desc("rrf_fp"), col("id"))
         cosR.join(tokR, Seq("p_id", "id"), "full_outer")
           .withColumn("rrf_fp", expr(
@@ -465,21 +507,7 @@ object Round8 {
           .select("p_id", "rank", "id", "rrf_fp", "cos_rank", "tok_rank")
           .orderBy("p_id", "rank")
       },
-      Some("WITH pp AS (SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings " +
-        "ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 4), " +
-        "cr AS (SELECT p_id, id, cos_rank FROM (" +
-        "SELECT pp.p_id, e.vec_id AS id, row_number() OVER (PARTITION BY pp.p_id " +
-        s"ORDER BY ${Round3.oSimSql("e.embedding", "pp.p_emb")} DESC, e.vec_id) AS cos_rank " +
-        "FROM embeddings e, pp WHERE e.vec_id <> pp.p_id) WHERE cos_rank <= 20), " +
-        "tk AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok " +
-        "FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)), " +
-        "pt AS (SELECT pp.p_id, tk.tok FROM tk JOIN pp ON tk.doc_id = pp.p_id), " +
-        "tr AS (SELECT p_id, id, tok_rank FROM (" +
-        "SELECT ov.p_id, ov.doc_id AS id, " +
-        "row_number() OVER (PARTITION BY ov.p_id ORDER BY overlap DESC, ov.doc_id) AS tok_rank " +
-        "FROM (SELECT pt.p_id, tk.doc_id, count(*) AS overlap FROM tk " +
-        "JOIN pt ON tk.tok = pt.tok WHERE tk.doc_id <> pt.p_id GROUP BY 1, 2) ov) " +
-        "WHERE tok_rank <= 20), " +
+      Some(s"WITH $oProbes, ${oCosRank(20)}, ${oTokRank(20)}, " +
         "f AS (SELECT coalesce(cr.p_id, tr.p_id) AS p_id, coalesce(cr.id, tr.id) AS id, " +
         "CAST(cos_rank AS INTEGER) AS cos_rank, CAST(tok_rank AS INTEGER) AS tok_rank, " +
         "CAST(coalesce(1000000000 // (60 + cos_rank), 0) + " +
@@ -489,5 +517,72 @@ object Round8 {
         "SELECT p_id, id, rrf_fp, cos_rank, tok_rank, " +
         "row_number() OVER (PARTITION BY p_id ORDER BY rrf_fp DESC, id) AS rank FROM f) " +
         "WHERE rank <= 5 ORDER BY p_id, rank")),
+
+    // Lexical-vs-semantic retrieval eval: per probe, score the
+    // token-overlap top-20 against the exact-cosine top-5 as relevance
+    // truth — recall@20 and MRR (1e6 fixed-point integer ratios, no
+    // float drift). The number a curation team watches to decide
+    // whether lexical prefiltering is safe before the expensive
+    // embedding pass; composes the two shared ranking generators the
+    // fusion op fuses, so the eval can never measure a different
+    // pipeline than the one deployed.
+    Op("llm_retrieval_eval",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probes = retrievalProbes(emb)
+        val truth = cosRank(emb, probes, topK = 5)
+        val cand = tokRank(s, d, emb, probes, topK = 20)
+        truth.join(cand, Seq("p_id", "id"), "left")
+          .groupBy("p_id").agg(
+            count(lit(1)).as("n_truth"),
+            sum(when(col("tok_rank").isNotNull, 1L).otherwise(0L)).as("hits"),
+            min("tok_rank").as("first_hit_rank"))
+          .select(col("p_id"), col("n_truth"), col("hits"),
+            expr("hits * 1000000 div n_truth").as("recall_ppm"),
+            expr("coalesce(1000000 div first_hit_rank, 0)").as("mrr_ppm"))
+          .orderBy("p_id")
+      },
+      Some(s"WITH $oProbes, ${oCosRank(5)}, ${oTokRank(20)} " +
+        "SELECT p_id, n_truth, hits, " +
+        "CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm, " +
+        "CAST(coalesce(1000000 // first_hit_rank, 0) AS BIGINT) AS mrr_ppm FROM (" +
+        "SELECT cr.p_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+        "CAST(SUM(CASE WHEN tr.tok_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+        "MIN(tr.tok_rank) AS first_hit_rank " +
+        "FROM cr LEFT JOIN tr ON cr.p_id = tr.p_id AND cr.id = tr.id " +
+        "GROUP BY cr.p_id) ORDER BY p_id")),
+
+    // IVF index health: per-cell population of the TRAINED index
+    // (empty cells included via the centroid-side left join), collapsed
+    // to the operational skew numbers — max/min/empty cells and the
+    // max-over-mean imbalance in ppm. Imbalance IS the IVF failure mode
+    // at 100 TB (one hot cell serializes every probe that hits it);
+    // this op is the dashboard number that says "retrain with more
+    // cells" before latency says it. DECIMAL(38) products so the ppm
+    // arithmetic cannot overflow at any cell population.
+    Op("llm_ivf_cell_balance",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val cent = graft.api.AnnIndex.trainFor(s, d, k = 10, iters = 3)
+        val sizes = graft.api.AnnIndex.assign(emb, cent)
+          .groupBy("c_id").agg(count(lit(1)).as("n"))
+        cent.select("c_id").join(sizes, Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("n"), lit(0L)).as("n"))
+          .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),
+            max("n").as("max_cell"), min("n").as("min_cell"),
+            sum(when(col("n") === 0L, 1L).otherwise(0L)).as("empty_cells"))
+          .select(col("n_cells"), col("n_vectors"), col("max_cell"),
+            col("min_cell"), col("empty_cells"),
+            expr("CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells * 1000000 " +
+              "div n_vectors AS BIGINT)").as("imbalance_ppm"))
+      },
+      Some(Round5.oTrainedAssign +
+        ", sz AS (SELECT c3.c_id, (SELECT count(*) FROM asg WHERE asg.c_id = c3.c_id) AS n FROM c3), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors, " +
+        "CAST(MAX(n) AS BIGINT) AS max_cell, CAST(MIN(n) AS BIGINT) AS min_cell, " +
+        "CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_cells FROM sz) " +
+        "SELECT n_cells, n_vectors, max_cell, min_cell, empty_cells, " +
+        "CAST(CAST(max_cell AS HUGEINT) * n_cells * 1000000 // n_vectors AS BIGINT) AS imbalance_ppm " +
+        "FROM st")),
   )
 }
