@@ -584,5 +584,153 @@ object Round8 {
         "SELECT n_cells, n_vectors, max_cell, min_cell, empty_cells, " +
         "CAST(CAST(max_cell AS HUGEINT) * n_cells * 1000000 // n_vectors AS BIGINT) AS imbalance_ppm " +
         "FROM st")),
+
+    // Product quantization (M=4 subspaces x 16 dims, k=8 codewords,
+    // 2 Lloyd iterations): the memory-side answer to ANN at 100 TB —
+    // a 64-dim float vector (256 B) compresses to 4 code bytes, 64:1,
+    // and the ADC distance needs only the 4x8 codebook. Training
+    // REUSES AnnIndex.train/assign per sliced subspace (the same
+    // fixed-point Lloyd every index in the engine trains with), so the
+    // PQ codebooks can never drift from the IVF training semantics.
+    // Ships per-subspace quantization error (1e8 fixed-point, quantized
+    // per vector BEFORE the sum, so the aggregate is order-independent)
+    // — the number that says whether 8 codewords suffice.
+    Op("llm_pq_train",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val parts = (0 until 4).map { m =>
+          val sub = emb.select(col("vec_id"),
+            expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
+          val cent = graft.api.AnnIndex.train(sub, k = 8, iters = 2)
+          graft.api.AnnIndex.assign(sub, cent)
+            .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
+            .select(lit(m).as("m"),
+              expr("CAST(floor(" + graft.api.AnnIndex.d2("embedding") +
+                " * 100000000) AS BIGINT)").as("qerr_fp"))
+        }
+        parts.reduce(_ unionByName _)
+          .groupBy("m").agg(count(lit(1)).as("n_vectors"),
+            sum("qerr_fp").as("sum_qerr_fp"))
+          .select(col("m"), col("n_vectors"), col("sum_qerr_fp"),
+            expr("sum_qerr_fp div greatest(1, n_vectors)").as("mse_fp"))
+          .orderBy("m")
+      },
+      Some("WITH " + (0 until 4).map(oPqSubspace).mkString(", ") + " " +
+        (0 until 4).map(m =>
+          s"SELECT $m AS m, n_vectors, sum_qerr_fp, " +
+            s"CAST(sum_qerr_fp // greatest(1, n_vectors) AS BIGINT) AS mse_fp FROM r$m")
+          .mkString(" UNION ALL ") + " ORDER BY m")),
+
+    // PQ asymmetric-distance (ADC) search recall: rank the corpus by
+    // the CODE-ONLY distance — Σ_m d2(probe subvector, codeword of the
+    // vector's m-th code), each term 1e8 fixed-point quantized before
+    // the sum — and audit recall@5 against the exact L2 top-5. The
+    // probe side is a broadcast 4x4x8 lookup table (probes x subspaces
+    // x codewords); the corpus side joins CODES, never float vectors,
+    // which is the whole point of PQ at 100 TB: the scan touches
+    // 4 bytes per vector plus a 128-row broadcast.
+    Op("llm_pq_adc_recall",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probes = retrievalProbes(emb)
+        val subs = (0 until 4).map { m =>
+          val sub = emb.select(col("vec_id"),
+            expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
+          val cent = graft.api.AnnIndex.train(sub, k = 8, iters = 2)
+          val codes = graft.api.AnnIndex.assign(sub, cent)
+            .select(lit(m).as("m"), col("vec_id"), col("c_id"))
+          val pdist = probes
+            .select(col("p_id"),
+              expr(s"slice(p_emb, ${16 * m + 1}, 16)").as("embedding"))
+            .crossJoin(broadcast(cent.select("c_id", "c_vec")))
+            .select(col("p_id"), lit(m).as("m"), col("c_id"),
+              expr(graft.api.AnnIndex.d2("embedding")).as("pd2"))
+          (codes, pdist)
+        }
+        val codes = subs.map(_._1).reduce(_ unionByName _)
+        val pdists = subs.map(_._2).reduce(_ unionByName _)
+        val wAdc = Window.partitionBy("p_id").orderBy(col("adc_fp"), col("vec_id"))
+        val approx = codes.join(broadcast(pdists), Seq("m", "c_id"))
+          .where("vec_id <> p_id")
+          .groupBy("p_id", "vec_id")
+          .agg(sum(expr("CAST(floor(pd2 * 100000000) AS BIGINT)")).as("adc_fp"))
+          .withColumn("rn", row_number().over(wAdc)).where("rn <= 5")
+          .select(col("p_id"), col("vec_id"), lit(1L).as("hit"))
+        val l2 = "aggregate(zip_with(embedding, p_emb, (x, c) -> " +
+          "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))), " +
+          "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        val wEx = Window.partitionBy("p_id").orderBy(col("d2"), col("vec_id"))
+        emb.crossJoin(broadcast(probes)).where("vec_id <> p_id")
+          .withColumn("d2", expr(l2))
+          .withColumn("rn", row_number().over(wEx)).where("rn <= 5")
+          .select("p_id", "vec_id")
+          .join(approx, Seq("p_id", "vec_id"), "left")
+          .groupBy("p_id").agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(col("p_id"), col("n_truth"), col("hits"),
+            expr("hits * 1000000 div n_truth").as("recall_ppm"))
+          .orderBy("p_id")
+      },
+      Some(s"WITH $oProbes, " + (0 until 4).map(oPqSubspace).mkString(", ") + ", " +
+        "cds AS (" + (0 until 4).map(m =>
+          s"SELECT $m AS m, vec_id, c_id FROM (SELECT e.vec_id, c.c_id, " +
+            s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${oPqD2(s"e.sub", "c.c_vec")}, c.c_id) AS rn " +
+            s"FROM se$m e, pc${m}_2 c) WHERE rn = 1").mkString(" UNION ALL ") + "), " +
+        "pdist AS (" + (0 until 4).map(m =>
+          s"SELECT pp.p_id, $m AS m, c.c_id, " +
+            s"${oPqD2(s"list_slice(pp.p_emb, ${16 * m + 1}, ${16 * m + 16})", "c.c_vec")} AS pd2 " +
+            s"FROM pp, pc${m}_2 c").mkString(" UNION ALL ") + "), " +
+        "adc AS (SELECT p_id, vec_id, " +
+        "CAST(SUM(CAST(floor(pd2 * 100000000) AS BIGINT)) AS BIGINT) AS adc_fp " +
+        "FROM cds JOIN pdist USING (m, c_id) WHERE vec_id <> p_id GROUP BY 1, 2), " +
+        "ap AS (SELECT p_id, vec_id FROM (SELECT p_id, vec_id, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY adc_fp, vec_id) AS rn FROM adc) WHERE rn <= 5), " +
+        "tr AS (SELECT p_id, vec_id FROM (SELECT pp.p_id, e.vec_id, " +
+        "row_number() OVER (PARTITION BY pp.p_id ORDER BY " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), t -> " +
+        "(CAST(e.embedding[t] AS DOUBLE) - CAST(pp.p_emb[t] AS DOUBLE)) * " +
+        "(CAST(e.embedding[t] AS DOUBLE) - CAST(pp.p_emb[t] AS DOUBLE)))), (x, y) -> x + y), e.vec_id) AS rn " +
+        "FROM embeddings e, pp WHERE e.vec_id <> pp.p_id) WHERE rn <= 5) " +
+        "SELECT p_id, n_truth, hits, CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm FROM (" +
+        "SELECT tr.p_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+        "CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
+        "FROM tr LEFT JOIN ap ON tr.p_id = ap.p_id AND tr.vec_id = ap.vec_id " +
+        "GROUP BY tr.p_id) ORDER BY p_id")),
   )
+
+  /** DuckDB replay of one PQ subspace: slice, 2 fixed-point Lloyd
+    * iterations seeded from the first-8 vectors (the exact
+    * AnnIndex.train recipe on the 16-dim slice), final assignment, and
+    * the per-vector 1e8 fixed-point quantization error sum. Terminal
+    * CTE: `r<m>(n_vectors, sum_qerr_fp)`.
+    */
+  /** 16-dim squared-L2 fold (DuckDB), `c` already DOUBLE. */
+  private def oPqD2(e: String, c: String): String =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), t -> " +
+      s"(CAST($e[t] AS DOUBLE) - $c[t]) * (CAST($e[t] AS DOUBLE) - $c[t]))), (x, y) -> x + y)"
+
+  private def oPqSubspace(m: Int): String = {
+    val off = 16 * m
+    def d2(e: String, c: String) = oPqD2(e, c)
+    def iter(i: Int, prev: String) =
+      s"pa${m}_$i AS (SELECT e.vec_id, e.sub, c.c_id, ${d2("e.sub", "c.c_vec")} AS d2 " +
+        s"FROM se$m e, $prev c), " +
+        s"pb${m}_$i AS (SELECT vec_id, sub, c_id, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn FROM pa${m}_$i), " +
+        s"pm${m}_$i AS (SELECT c_id, sub FROM pb${m}_$i WHERE rn = 1), " +
+        s"ps${m}_$i AS (SELECT c_id, t.range AS pos, " +
+        s"CAST(floor(CAST(sub[t.range] AS DOUBLE) * 10000) AS BIGINT) AS fp FROM pm${m}_$i, range(1, 17) t), " +
+        s"pg${m}_$i AS (SELECT c_id, pos, CAST(SUM(fp) AS BIGINT) AS s, count(*) AS cnt FROM ps${m}_$i GROUP BY 1, 2), " +
+        s"ph${m}_$i AS (SELECT c_id, max(cnt) AS n, list(s ORDER BY pos) AS ss FROM pg${m}_$i GROUP BY c_id), " +
+        s"pc${m}_$i AS (SELECT c_id, n, list_transform(ss, x -> CAST(x AS DOUBLE) / (10000.0 * n)) AS c_vec FROM ph${m}_$i)"
+    s"se$m AS (SELECT vec_id, list_slice(embedding, ${off + 1}, ${off + 16}) AS sub FROM embeddings), " +
+      s"pc${m}_0 AS (SELECT vec_id AS c_id, list_transform(sub, x -> CAST(x AS DOUBLE)) AS c_vec " +
+      s"FROM se$m WHERE vec_id < 8), " +
+      iter(1, s"pc${m}_0") + ", " + iter(2, s"pc${m}_1") + ", " +
+      s"fq$m AS (SELECT vec_id, d2 FROM (SELECT e.vec_id, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.sub", "c.c_vec")}, c.c_id) AS rn, " +
+      s"${d2("e.sub", "c.c_vec")} AS d2 FROM se$m e, pc${m}_2 c) WHERE rn = 1), " +
+      s"r$m AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+      s"CAST(coalesce(SUM(CAST(floor(d2 * 100000000) AS BIGINT)), 0) AS BIGINT) AS sum_qerr_fp FROM fq$m)"
+  }
 }

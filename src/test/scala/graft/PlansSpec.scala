@@ -583,4 +583,32 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("row_i") && plan.contains("bucket"),
       s"sketch join keys missing:\n$plan")
   }
+
+  test("round-8 retrieval ops broadcast their panels and keep windows partitioned") {
+    def planOf(key: String) = {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.count()
+      GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    // blocklist + bm25: the term panels must hash-broadcast into the
+    // postings (a sort-merge there would shuffle the whole corpus to
+    // meet a handful of literal terms)
+    assert(planOf("llm_blocklist_filter").toString.contains("BroadcastHashJoin"),
+      "blocklist terms must broadcast")
+    assert(planOf("llm_bm25_topk").toString.contains("BroadcastHashJoin"),
+      "bm25 query panel must broadcast")
+    // rrf fusion: every WindowExec is per-probe partitioned — a global
+    // no-partition window would serialize the candidate ranking
+    val plan = planOf("llm_rrf_fusion")
+    def windows(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+      }.flatten
+    val bad = windows(plan).filter(_.partitionSpec.isEmpty)
+    assert(bad.isEmpty, s"rrf has a no-partition WindowExec:\n$plan")
+  }
 }

@@ -204,6 +204,34 @@ class Round8Spec extends AnyFunSuite {
     assert(p0.map(_._2).contains(1L), "the cosine-only winner still places")
   }
 
+  test("PQ: zero reconstruction error and perfect ADC recall on 8-pattern data") {
+    // 32 vectors = 8 distinct patterns x 4 copies; the first 8 ids ARE
+    // the patterns, so Lloyd's seeds start on the optimum: every
+    // subspace codebook must represent the corpus EXACTLY (pattern
+    // values are 1e-4-exact, so the fixed-point centroid rebuild is
+    // lossless), and code-only ADC ranking must equal the exact-L2
+    // ranking — recall@5 = 1.0. On the random synthetic corpus the op
+    // honestly measures near-zero recall (4x8 codes cannot separate
+    // unclusterable vectors); THIS pins that the machinery, not the
+    // data, decides the number.
+    val dir = s"target/tmp/r8pq_${System.nanoTime()}"
+    (0 until 32).map { i =>
+      (i.toLong, Array.fill(64)((i % 8 + 1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0 until 32).map(i => (i.toLong, s"doc $i pad", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mse = Registry.byKey("llm_pq_train").query(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(mse.values.forall(_ == 0L),
+      s"8 codewords must represent 8 patterns losslessly: $mse")
+    val rec = Registry.byKey("llm_pq_adc_recall").query(spark, dir)
+      .collect().map(_.getLong(3))
+    assert(rec.nonEmpty && rec.forall(_ == 1000000L),
+      s"ADC ranking must equal exact-L2 ranking on pattern data: ${rec.toSeq}")
+  }
+
   test("blocklist filter flags unigram and bigram hits, never the absent phrase") {
     val out = Registry.byKey("llm_blocklist_filter")
       .query(spark, TestSpark.sf).collect()
