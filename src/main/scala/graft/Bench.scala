@@ -56,8 +56,9 @@ object Bench {
     // round 7: the sketch family
     "rel_agg_kmv_distinct", "llm_heavy_hitters_cms",
     "llm_source_overlap_kmv", "llm_kn_bigram_lm",
-    // round 8: the sketch-sizing loop
-    "rel_join_size_autosized", "llm_bloom_autosized")
+    // round 8: the sketch-sizing loop + event analytics
+    "rel_join_size_autosized", "llm_bloom_autosized",
+    "rel_sessionize", "rel_funnel_conversion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -696,6 +696,37 @@ object Round8 {
         "CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits " +
         "FROM tr LEFT JOIN ap ON tr.p_id = ap.p_id AND tr.vec_id = ap.vec_id " +
         "GROUP BY tr.p_id) ORDER BY p_id")),
+
+    // Diversity-constrained retrieval: per probe, the cosine top-20
+    // candidates collapse to the BEST candidate per embedding label
+    // (the corpus' cluster id — retrieval that returns 5 near-identical
+    // members of one cluster is useless for curation), then the top-3
+    // label representatives by cosine rank. The diversity constraint is
+    // two window passes over the already-bounded candidate set (4
+    // probes x 20 rows), so it adds zero scan cost to the retrieval —
+    // the pattern that matters at 100 TB, where re-scoring for
+    // diversity must never re-touch the corpus.
+    Op("llm_diversified_topk",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val probes = retrievalProbes(emb)
+        val wLab = Window.partitionBy("p_id", "label").orderBy("cos_rank")
+        val wDiv = Window.partitionBy("p_id").orderBy("cos_rank", "id")
+        cosRank(emb, probes, topK = 20)
+          .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+          .withColumn("lab_rn", row_number().over(wLab)).where("lab_rn = 1")
+          .withColumn("div_rank", row_number().over(wDiv)).where("div_rank <= 3")
+          .select("p_id", "div_rank", "id", "label", "cos_rank")
+          .orderBy("p_id", "div_rank")
+      },
+      Some(s"WITH $oProbes, ${oCosRank(20)}, " +
+        "lb AS (SELECT cr.p_id, cr.id, e.label, CAST(cr.cos_rank AS INTEGER) AS cos_rank, " +
+        "row_number() OVER (PARTITION BY cr.p_id, e.label ORDER BY cr.cos_rank) AS lab_rn " +
+        "FROM cr JOIN embeddings e ON cr.id = e.vec_id) " +
+        "SELECT p_id, CAST(div_rank AS INTEGER) AS div_rank, id, label, cos_rank FROM (" +
+        "SELECT p_id, id, label, cos_rank, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY cos_rank, id) AS div_rank " +
+        "FROM lb WHERE lab_rn = 1) WHERE div_rank <= 3 ORDER BY p_id, div_rank")),
   )
 
   /** DuckDB replay of one PQ subspace: slice, 2 fixed-point Lloyd
