@@ -32,30 +32,27 @@ object EventOps {
     * multi-event sessions with plenty of boundaries to exercise).
     */
   private[graft] val sessionGapUs = 28800000000L
+  private val sessionGapSql = s"${sessionGapUs / 3600000000L} HOUR"
 
   /** Gap-based session assignment over any frame carrying
-    * (user_id, event_id, event_type, us): marks a session break where
-    * the strictly-positive idle gap exceeds `sessionGapUs`, then turns
-    * the break flags into a per-user session ordinal with a running
-    * sum over the SAME window ordering — one shuffle, two window passes.
+    * (user_id, event_id, event_type, ts). ONE definition engine-wide:
+    * delegates to StreamingOps.sessionizeBatch (lag + running-sum window
+    * trick, strictly-greater-than-gap starts a session), which the
+    * streaming parity suite pins equal to Structured Streaming's
+    * session_window — so batch analytics and the live pipeline can never
+    * disagree on what a session is.
     */
-  private[graft] def assignSessions(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    ev.withColumn("prev_us", lag("us", 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > sessionGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq",
-        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("prev_us", "is_new")
-  }
+  private[graft] def assignSessions(ev: DataFrame): DataFrame =
+    StreamingOps.sessionizeBatch(ev, gap = sessionGapSql)
+      .withColumnRenamed("session_id", "session_seq")
+      .drop("prev_ts", "new_s")
 
-  /** The events table reduced to the sessionization columns, timestamps
-    * as epoch microseconds (the Spark/DuckDB-portable integer form).
+  /** The events table sessionized, timestamps as epoch microseconds
+    * (the Spark/DuckDB-portable integer form).
     */
   private def sessionEvents(s: SparkSession, d: String): DataFrame =
-    assignSessions(T.events(s, d).select(col("user_id"), col("event_id"),
-      col("event_type"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us")))
+    assignSessions(T.events(s, d).select("user_id", "event_id", "event_type", "ts"))
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
 
   /** DuckDB twin of sessionEvents: CTEs ending in `ss(user_id, event_id,
     * event_type, us, session_seq)`. Same lag/running-sum structure; the

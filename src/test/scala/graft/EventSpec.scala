@@ -21,9 +21,10 @@ class EventSpec extends AnyFunSuite {
       (1L, 10L, "view", 0L),
       (1L, 11L, "click", gap),            // exactly gap after -> same session
       (1L, 12L, "view", 2 * gap + 1),     // gap+1 after -> new session
-      (1L, 13L, "click", 2 * gap + 1),    // tie on us, later event_id
+      (1L, 13L, "click", 2 * gap + 1),    // tie on ts, later event_id
       (2L, 20L, "view", 5L)
     ).toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
     val got = ops.EventOps.assignSessions(ev)
       .select("user_id", "event_id", "session_seq")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
