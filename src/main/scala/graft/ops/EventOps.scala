@@ -88,8 +88,10 @@ object EventOps {
       "c AS (SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1 " +
       "UNION ALL SELECT 2, 'click_after_view', count(*) FROM s2 " +
       "UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3) " +
-      s"SELECT stage, step, n_users, CAST(n_users * 1000000 $idiv max(n_users) OVER () AS BIGINT) " +
-      "AS conv_ppm FROM c ORDER BY stage"
+      // greatest(1, ...) so an empty corpus (all stages 0) degrades to
+      // 0 ppm instead of an ANSI divide-by-zero
+      s"SELECT stage, step, n_users, CAST(n_users * 1000000 $idiv greatest(1, max(n_users) OVER ()) " +
+      "AS BIGINT) AS conv_ppm FROM c ORDER BY stage"
   }
 
   /** Cohort retention SQL: cohort = week (vs the fixed 2024-01-01 anchor,
