@@ -68,48 +68,18 @@ object MinHashIndex {
       .select("batch_id", "corpus_id", "est_jaccard")
   }
 
-  // ---------------------------------------------------------------- store
-
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def ledgerDf(spark: SparkSession, ids: Seq[String]): DataFrame = {
-    import spark.implicits._
-    ids.toDF("batch_id")
-  }
+  // ------------------------------------------------- store (via StoreIO)
 
   /** Create the index at `dir` from an initial corpus. */
   def build(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     signatures(docs).write.mode("overwrite").parquet(s"$dir/sigs")
-    ledgerDf(spark, Seq.empty).write.mode("overwrite").parquet(s"$dir/applied")
+    StoreIO.ledgerDf(spark, Seq.empty).write.mode("overwrite").parquet(s"$dir/applied")
   }
 
-  /** Stored signatures, with the DedupIndex crash-window fallback: if a
-    * swap died between the two renames, the retired generation is still
-    * complete at `<name>-old`.
-    */
-  def read(spark: SparkSession, dir: String, name: String = "sigs"): DataFrame = {
-    val f = fs(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/$name")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/$name-old")
-    spark.read.parquet(
-      if (!f.exists(cur) && f.exists(old)) s"$dir/$name-old" else s"$dir/$name")
-  }
-
-  private def swapIn(df: DataFrame, spark: SparkSession, target: String): Unit = {
-    val staged = s"$target-staged-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(staged)
-    val f = fs(spark, target)
-    val cur = new org.apache.hadoop.fs.Path(target)
-    val old = new org.apache.hadoop.fs.Path(s"$target-old")
-    f.delete(old, true)
-    if (f.exists(cur)) require(f.rename(cur, old), s"swap: cannot retire $target")
-    require(f.rename(new org.apache.hadoop.fs.Path(staged), cur),
-      s"swap: cannot promote $staged")
-    f.delete(old, true): Unit
-  }
+  /** Stored signatures, with the crash-window fallback (StoreIO.read). */
+  def read(spark: SparkSession, dir: String, name: String = "sigs"): DataFrame =
+    StoreIO.read(spark, dir, name)
 
   /** Fold an accepted batch's signatures in. Dedup by doc_id keeps the
     * merge idempotent even without the ledger; with a `batchId` already
@@ -122,22 +92,17 @@ object MinHashIndex {
     */
   def update(docs: DataFrame, dir: String, batchId: Option[String] = None): Boolean = {
     val spark = docs.sparkSession
-    val f = fs(spark, dir)
-    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/sigs")) &&
-        !f.exists(new org.apache.hadoop.fs.Path(s"$dir/sigs-old"))) {
+    if (!StoreIO.exists(spark, s"$dir/sigs") &&
+        !StoreIO.exists(spark, s"$dir/sigs-old")) {
       build(docs, dir)
-      batchId.foreach(id =>
-        swapIn(ledgerDf(spark, Seq(id)), spark, s"$dir/applied"))
+      batchId.foreach(StoreIO.recordApplied(spark, dir, _))
       return true
     }
-    val ledger = read(spark, dir, "applied")
-    if (batchId.exists(id =>
-        ledger.where(col("batch_id") === id).limit(1).count() > 0)) return false
+    if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
     val merged = read(spark, dir).unionByName(signatures(docs))
       .groupBy("doc_id").agg(first("sig").as("sig"))
-    swapIn(merged, spark, s"$dir/sigs")
-    batchId.foreach(id =>
-      swapIn(ledger.unionByName(ledgerDf(spark, Seq(id))), spark, s"$dir/applied"))
+    StoreIO.swapIn(merged, spark, s"$dir/sigs")
+    batchId.foreach(StoreIO.recordApplied(spark, dir, _))
     true
   }
 

@@ -117,6 +117,16 @@ object EventOps {
       "FROM r ORDER BY cohort_week, week_offset"
   }
 
+  /** The sessionize oracle — shared verbatim by `rel_sessionize` and
+    * `rel_sessionize_incremental`: incremental maintenance must equal
+    * the full recompute, so they are oracle-checked against the SAME
+    * full-recompute SQL.
+    */
+  private val oSessionize: String =
+    s"WITH $oSessions SELECT user_id, session_seq, count(*) AS n_events, " +
+      "min(us) AS start_us, (max(us) - min(us)) // 1000000 AS duration_sec " +
+      "FROM ss GROUP BY 1, 2 ORDER BY user_id, session_seq"
+
   val ops: Seq[Op] = Seq(
 
     // Gap-based batch sessionization: the inverse of the streaming
@@ -130,12 +140,37 @@ object EventOps {
         .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
         .select("user_id", "session_seq", "n_events", "start_us", "duration_sec")
         .orderBy("user_id", "session_seq"),
-      Some(s"WITH $oSessions SELECT user_id, session_seq, count(*) AS n_events, " +
-        "min(us) AS start_us, (max(us) - min(us)) // 1000000 AS duration_sec " +
-        "FROM ss GROUP BY 1, 2 ORDER BY user_id, session_seq"),
+      Some(oSessionize),
       doc = "Gap-based sessionization (8h idle): lag + running-sum session " +
         "ordinal, per-session count/start/duration; one user_id shuffle " +
         "serves both window passes and the aggregate."),
+
+    // Incremental view maintenance for the session table: build on the
+    // first ten days, fold in two time-ordered batches via the
+    // persistent SessionStore (tail-seeded sessionize, batch-sized
+    // work), read the store back. The oracle is the FULL recompute over
+    // all events — the incremental path must be indistinguishable from
+    // it, including sessions that span a batch boundary.
+    Op("rel_sessionize_incremental",
+      (s, d) => {
+        val dir = s"target/tmp/sessstore_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.api.StoreIO.delete(s, dir)
+        val ev = T.events(s, d).select("user_id", "event_id", "ts")
+        val c1 = "TIMESTAMP_NTZ '2024-01-11 00:00:00'"
+        val c2 = "TIMESTAMP_NTZ '2024-01-21 00:00:00'"
+        graft.api.SessionStore.build(ev.where(s"ts < $c1"), dir)
+        graft.api.SessionStore.update(ev.where(s"ts >= $c1 AND ts < $c2"), dir, Some("w2"))
+        graft.api.SessionStore.update(ev.where(s"ts >= $c2"), dir, Some("w3"))
+        graft.api.SessionStore.read(s, dir)
+          .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+          .select("user_id", "session_seq", "n_events", "start_us", "duration_sec")
+          .orderBy("user_id", "session_seq")
+      },
+      Some(oSessionize),
+      doc = "SessionStore incremental maintenance: stored per-user tails " +
+        "seed the sessionizer as pseudo-events, so a nightly batch " +
+        "extends or opens sessions in batch-proportional work; " +
+        "oracle = full recompute."),
 
     // Strict ordered funnel view -> click -> purchase. Single SQL text
     // on both engines (the asof technique, Relational.scala:125).

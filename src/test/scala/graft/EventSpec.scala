@@ -108,6 +108,44 @@ class EventSpec extends AnyFunSuite {
         s"single user_id exchange; found $n hash exchanges:\n$plan")
   }
 
+  private def evFrame(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("user_id", "event_id", "us")
+      .withColumn("ts", expr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)"))
+      .select("user_id", "event_id", "ts")
+
+  test("SessionStore: a batch event inside the gap MERGES into the stored tail") {
+    val dir = s"target/tmp/sess_merge_${System.nanoTime()}"
+    val hour = 3600000000L
+    // base: u1 two events an hour apart (one session); u2 one event
+    api.SessionStore.build(evFrame(Seq((1L, 1L, 0L), (1L, 2L, hour), (2L, 3L, 0L))), dir)
+    // batch: u1 event 2h after its tail (merges), then one 9h later (new
+    // session); u3 is brand new
+    assert(api.SessionStore.update(
+      evFrame(Seq((1L, 4L, 3 * hour), (1L, 5L, 12 * hour), (3L, 6L, 0L))), dir, Some("b1")))
+    val got = api.SessionStore.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got((1L, 1L)) == ((3L, 0L, 3 * hour)), s"boundary session must merge: $got")
+    assert(got((1L, 2L)) == ((1L, 12 * hour, 12 * hour)))
+    assert(got((2L, 1L)) == ((1L, 0L, 0L)))
+    assert(got((3L, 1L)) == ((1L, 0L, 0L)))
+    // replay of the same batch id is a no-op
+    assert(!api.SessionStore.update(evFrame(Seq((1L, 4L, 3 * hour))), dir, Some("b1")))
+    assert(api.SessionStore.read(spark, dir).count() == 4)
+  }
+
+  test("SessionStore incremental == full recompute on the real events table") {
+    val dir = s"target/tmp/sess_full_${System.nanoTime()}"
+    val ev = Tables.events(spark, TestSpark.sf).select("user_id", "event_id", "ts")
+    api.SessionStore.build(ev.where("ts < TIMESTAMP_NTZ '2024-01-11 00:00:00'"), dir)
+    api.SessionStore.update(ev.where(
+      "ts >= TIMESTAMP_NTZ '2024-01-11 00:00:00' AND ts < TIMESTAMP_NTZ '2024-01-21 00:00:00'"), dir)
+    api.SessionStore.update(ev.where("ts >= TIMESTAMP_NTZ '2024-01-21 00:00:00'"), dir)
+    val inc = api.SessionStore.read(spark, dir)
+    val full = api.SessionStore.sessionAgg(ev)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental maintenance must be indistinguishable from full recompute")
+  }
+
   test("sessionize sessions partition the events: counts add up") {
     val dir = TestSpark.sf
     val sess = Registry.byKey("rel_sessionize").query(spark, dir)
