@@ -43,8 +43,17 @@ object SessionStore {
     * engine-wide session definition: (user_id, session_seq, n_events,
     * start_us, end_us).
     */
+  /** Normalize to (user_id, event_id, ts TIMESTAMP_NTZ) — streaming
+    * sources deliver LTZ timestamps; the session tz is UTC everywhere in
+    * this engine, so the cast is value-preserving and keeps the
+    * tail-pseudo-event union type-stable.
+    */
+  private def norm(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_id"),
+      expr("CAST(ts AS TIMESTAMP_NTZ)").as("ts"))
+
   def sessionAgg(ev: DataFrame): DataFrame =
-    graft.ops.StreamingOps.sessionizeBatch(ev.select("user_id", "event_id", "ts"), gapSql)
+    graft.ops.StreamingOps.sessionizeBatch(norm(ev), gapSql)
       .withColumnRenamed("session_id", "session_seq")
       .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
       .groupBy("user_id", "session_seq")
@@ -83,7 +92,7 @@ object SessionStore {
     }
     if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
 
-    val ev = batch.select("user_id", "event_id", "ts")
+    val ev = norm(batch)
     val stored = read(spark, dir)
     // per-user open tail, pruned to users the batch touches
     val tails = stored

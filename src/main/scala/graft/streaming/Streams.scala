@@ -544,6 +544,32 @@ object Streams {
       .start()
   }
 
+  /** Streaming session-table maintenance — the streaming twin of the
+    * batch `rel_sessionize_incremental`: each micro-batch of events
+    * folds into the persistent [[graft.api.SessionStore]] under a
+    * (run_key, batch_id) ledger entry, so an at-least-once foreachBatch
+    * replay is a full no-op. The first micro-batch bootstraps an absent
+    * store. Micro-batches satisfy the store's time-ordered ingestion
+    * contract by construction: streaming sources deliver in arrival
+    * order, and the stored tail only ever moves forward.
+    */
+  def sessionSink(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.api.SessionStore.update(
+          batch.toDF(), storeDir, Some(s"$runKey-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming twin of the classifier gate: score arriving vectors
     * with OFFLINE-trained weights (the "train once, score the stream"
     * deployment shape). Scoring goes through the same shared

@@ -524,4 +524,49 @@ class StreamingParitySpec extends AnyFunSuite {
       .awaitTermination()
     assert(stored() == streamed, "a replayed micro-batch must be a no-op")
   }
+
+  test("sessionSink: streamed session store equals full recompute; replay is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val allEvents = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), expr("CAST(ts AS TIMESTAMP)").as("ts"))
+    val rows = allEvents.collect()
+      .map(r => Streams.TimedEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val base = s"target/tmp/sesssink_${System.nanoTime()}"
+
+    // three time-ordered slices arriving as separate stream runs (the
+    // first bootstraps the absent store) — slicing by global time keeps
+    // the store's per-user ordered-ingestion contract
+    val cut1 = rows(rows.length / 3).ts
+    val cut2 = rows(2 * rows.length / 3).ts
+    val slices = Seq(
+      rows.filter(_.ts.before(cut1)),
+      rows.filter(e => !e.ts.before(cut1) && e.ts.before(cut2)),
+      rows.filter(e => !e.ts.before(cut2)))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.TimedEvent]
+      mem.addData(slice.toSeq)
+      Streams.sessionSink(mem.toDF(), s"$base/store", s"$base/ckpt$i")
+        .awaitTermination()
+    }
+    def stored() = api.SessionStore.read(spark, s"$base/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val streamed = stored()
+    val full = api.SessionStore.sessionAgg(allEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(streamed == full,
+      "micro-batch boundaries must not change the session table")
+
+    // at-least-once replay of the last run's batch
+    assert(new java.io.File(s"$base/ckpt2/commits/0").delete(),
+      "test setup: batch-0 commit marker must exist to simulate the crash")
+    new java.io.File(s"$base/ckpt2/commits/.0.crc").delete()
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.TimedEvent]
+    mem2.addData(slices(2).toSeq)
+    Streams.sessionSink(mem2.toDF(), s"$base/store", s"$base/ckpt2")
+      .awaitTermination()
+    assert(stored() == streamed, "a replayed micro-batch must be a no-op")
+  }
 }
