@@ -172,6 +172,42 @@ object EventOps {
         "extends or opens sessions in batch-proportional work; " +
         "oracle = full recompute."),
 
+    // The 100-TB layout answer for event analytics: bucket events by
+    // user_id once at write time and sessionization becomes
+    // SHUFFLE-FREE — the bucketed scan's HashPartitioning(user_id)
+    // satisfies the window and the (user_id, session_seq) aggregate, so
+    // the plan has ZERO hash exchanges (pinned in EventSpec; the only
+    // exchange left is the output sort's range partitioning). 8 buckets
+    // here; production sizes bucket count to executor fan-out. Same
+    // full-recompute oracle as rel_sessionize: layout must not change
+    // answers.
+    Op("snk_sessionize_bucketed",
+      (s, d) => {
+        val tbl = s"events_bucketed_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!s.catalog.tableExists(tbl)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          val wh = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+          if (wh.exists()) rm(wh)
+          T.events(s, d).select("user_id", "event_id", "ts")
+            .write.mode("overwrite")
+            .bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
+            .format("parquet").saveAsTable(tbl)
+        }
+        graft.api.SessionStore.sessionAgg(s.table(tbl))
+          .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+          .select("user_id", "session_seq", "n_events", "start_us", "duration_sec")
+          .orderBy("user_id", "session_seq")
+      },
+      Some(oSessionize),
+      doc = "Sessionization over a user_id-bucketed table: zero hash " +
+        "exchanges (bucketed scan partitioning feeds window + aggregate " +
+        "directly); the write-once layout that makes event analytics " +
+        "shuffle-free at 100 TB."),
+
     // Strict ordered funnel view -> click -> purchase. Single SQL text
     // on both engines (the asof technique, Relational.scala:125).
     Op("rel_funnel_conversion",

@@ -146,6 +146,31 @@ class EventSpec extends AnyFunSuite {
       "incremental maintenance must be indistinguishable from full recompute")
   }
 
+  test("bucketed sessionize has ZERO hash exchanges: layout replaces the shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = Registry.byKey("snk_sessionize_bucketed").query(spark, TestSpark.sf)
+    df.count()
+    def hashEx(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => Seq(e)
+        case q: QueryStageExec => hashEx(q.plan)
+      }
+      here.flatten
+    }
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(hashEx(plan).isEmpty,
+      s"bucketed scan partitioning must feed window and aggregate directly:\n$plan")
+    // and the layout must not change answers
+    val viaShuffle = Registry.byKey("rel_sessionize").query(spark, TestSpark.sf)
+    assert(df.exceptAll(viaShuffle).isEmpty && viaShuffle.exceptAll(df).isEmpty)
+  }
+
   test("sessionize sessions partition the events: counts add up") {
     val dir = TestSpark.sf
     val sess = Registry.byKey("rel_sessionize").query(spark, dir)
