@@ -74,6 +74,13 @@ object Bench {
     // flagship query so the first timed query doesn't absorb JIT cost;
     // deterministic name order keeps per-query numbers comparable.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // the JSON-path evaluator (get_json_object) JITs separately from
+    // from_json and costs ~4-7 s on its first hot loop — without this the
+    // first JSON-rule query (core_validate_quarantine) absorbs it and
+    // reads 7-8x its steady state (the r7/r8 bench "anomaly")
+    try spark.range(300000).selectExpr(
+      "count(get_json_object(concat('{\"k\":', id, '}'), '$.k'))").collect()
+    catch { case _: Throwable => }
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)

@@ -82,6 +82,11 @@ object ScaleProbe {
     // round-7 curated 97-key list lives in git history). Pass explicit
     // keys as args to probe a subset.
     val keys = if (args.nonEmpty) args.toSeq else graft.Registry.all.map(_.key)
+    // warm the JSON-path evaluator: its first hot loop JITs ~4-7 s and
+    // would otherwise land on whichever probed key parses JSON first
+    try spark.range(300000).selectExpr(
+      "count(get_json_object(concat('{\"k\":', id, '}'), '$.k'))").collect()
+    catch { case _: Throwable => }
     keys.foreach { k =>
       val t0 = System.nanoTime()
       try {
