@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * oracle-checked by rel_sessionize_incremental, whose DuckDB oracle IS
   * the full recompute.
   *
-  * Layout under `dir` (StoreIO generations + ledger, as DedupIndex /
-  * MinHashIndex / SketchStore):
-  *   - `sessions` — (user_id, session_seq, n_events, start_us, end_us)
-  *   - `applied`  — batch-id ledger; a replayed update is a no-op.
+  * Layout under `dir`: ONE generation directory `gen/` holding BOTH
+  * tables, swapped atomically (StoreIO.swapInDir):
+  *   - `gen/sessions` — (user_id, session_seq, n_events, start_us, end_us)
+  *   - `gen/applied`  — batch-id ledger; a replayed update is a no-op.
+  * The single-rename commit matters here more than in MinHashIndex:
+  * the session merge is NOT naturally idempotent (a doc_id-keyed
+  * signature merge dedups itself; re-adding a batch's event counts
+  * would double them), so the ledger and the data it guards must never
+  * be separable by a crash window. They commit in one rename.
   *
   * Ingestion contract: batches are time-ordered — every batch event's
   * ts is >= its user's stored tail end (the shape any log/CDC ingestion
@@ -60,16 +65,25 @@ object SessionStore {
       .agg(count(lit(1)).as("n_events"),
         min("us").as("start_us"), max("us").as("end_us"))
 
-  /** Create the store at `dir` from the initial event history. */
-  def build(events: DataFrame, dir: String): Unit = {
-    val spark = events.sparkSession
-    sessionAgg(events).write.mode("overwrite").parquet(s"$dir/sessions")
-    StoreIO.ledgerDf(spark, Seq.empty).write.mode("overwrite").parquet(s"$dir/applied")
+  private def writeGen(sessions: DataFrame, ledger: DataFrame, dir: String): Unit = {
+    val spark = sessions.sparkSession
+    val staged = s"$dir/gen-staged-${java.util.UUID.randomUUID().toString.take(8)}"
+    sessions.write.mode("overwrite").parquet(s"$staged/sessions")
+    ledger.write.mode("overwrite").parquet(s"$staged/applied")
+    StoreIO.swapInDir(spark, staged, s"$dir/gen")
   }
+
+  /** Create the store at `dir` from the initial event history. */
+  def build(events: DataFrame, dir: String): Unit =
+    writeGen(sessionAgg(events),
+      StoreIO.ledgerDf(events.sparkSession, Seq.empty), dir)
 
   /** The stored session table (crash-window fallback via StoreIO). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    StoreIO.read(spark, dir, "sessions")
+    spark.read.parquet(s"${StoreIO.genPath(spark, s"$dir/gen")}/sessions")
+
+  private def ledger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${StoreIO.genPath(spark, s"$dir/gen")}/applied")
 
   /** Fold a time-ordered event batch in. The stored per-user tail
     * (max session_seq row) joins the batch as a pseudo-event at its
@@ -84,13 +98,15 @@ object SessionStore {
     */
   def update(batch: DataFrame, dir: String, batchId: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
-    if (!StoreIO.exists(spark, s"$dir/sessions") &&
-        !StoreIO.exists(spark, s"$dir/sessions-old")) {
-      build(batch, dir)
-      batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+    if (!StoreIO.exists(spark, s"$dir/gen") &&
+        !StoreIO.exists(spark, s"$dir/gen-old")) {
+      writeGen(sessionAgg(batch),
+        StoreIO.ledgerDf(spark, batchId.toSeq), dir)
       return true
     }
-    if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
+    val led = ledger(spark, dir)
+    if (batchId.exists(id =>
+        led.where(col("batch_id") === id).limit(1).count() > 0)) return false
 
     val ev = norm(batch)
     val stored = read(spark, dir)
@@ -125,8 +141,9 @@ object SessionStore {
           .as("n_events"),
         least(col("s.start_us"), col("b.b_start_us")).as("start_us"),
         greatest(col("s.end_us"), col("b.b_end_us")).as("end_us"))
-    StoreIO.swapIn(merged, spark, s"$dir/sessions")
-    batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+    // data + ledger commit in ONE rename — no window can separate them
+    writeGen(merged,
+      led.unionByName(StoreIO.ledgerDf(spark, batchId.toSeq)), dir)
     true
   }
 }

@@ -40,6 +40,16 @@ object StoreIO {
   def swapIn(df: DataFrame, spark: SparkSession, target: String): Unit = {
     val staged = s"$target-staged-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(staged)
+    swapInDir(spark, staged, target)
+  }
+
+  /** Promote an ALREADY-WRITTEN staged directory as the next generation
+    * of `target` — the multi-table variant of [[swapIn]]: a store whose
+    * update must commit several tables atomically (e.g. data + ledger)
+    * writes them all under one staged dir and swaps once, so no crash
+    * window can separate them.
+    */
+  def swapInDir(spark: SparkSession, staged: String, target: String): Unit = {
     val f = fs(spark, target)
     val cur = new org.apache.hadoop.fs.Path(target)
     val old = new org.apache.hadoop.fs.Path(s"$target-old")
@@ -48,6 +58,16 @@ object StoreIO {
     require(f.rename(new org.apache.hadoop.fs.Path(staged), cur),
       s"swap: cannot promote $staged")
     f.delete(old, true): Unit
+  }
+
+  /** The current generation directory of `target`, with the crash-window
+    * fallback (`<target>-old` if a swap died between its renames).
+    */
+  def genPath(spark: SparkSession, target: String): String = {
+    val f = fs(spark, target)
+    if (!f.exists(new org.apache.hadoop.fs.Path(target)) &&
+        f.exists(new org.apache.hadoop.fs.Path(s"$target-old"))) s"$target-old"
+    else target
   }
 
   def ledgerDf(spark: SparkSession, ids: Seq[String]): DataFrame = {

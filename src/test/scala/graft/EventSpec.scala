@@ -133,6 +133,25 @@ class EventSpec extends AnyFunSuite {
     assert(api.SessionStore.read(spark, dir).count() == 4)
   }
 
+  test("SessionStore generation is atomic: data and ledger survive the crash window together") {
+    val dir = s"target/tmp/sess_crash_${System.nanoTime()}"
+    val hour = 3600000000L
+    api.SessionStore.build(evFrame(Seq((1L, 1L, 0L))), dir)
+    assert(api.SessionStore.update(evFrame(Seq((1L, 2L, hour))), dir, Some("b1")))
+    // simulate a swap that died between its two renames: the current
+    // generation is retired, nothing promoted yet
+    val f = api.StoreIO.fs(spark, dir)
+    assert(f.rename(new org.apache.hadoop.fs.Path(s"$dir/gen"),
+      new org.apache.hadoop.fs.Path(s"$dir/gen-old")))
+    // reads fall back to the retired generation...
+    assert(api.SessionStore.read(spark, dir).count() == 1)
+    // ...and the ledger travels WITH the data: the replay is still a
+    // no-op, so the batch can never double-count
+    assert(!api.SessionStore.update(evFrame(Seq((1L, 2L, hour))), dir, Some("b1")))
+    val r = api.SessionStore.read(spark, dir).head()
+    assert(r.getLong(2) == 2L, s"n_events must stay 2 after replay in fallback state: $r")
+  }
+
   test("SessionStore incremental == full recompute on the real events table") {
     val dir = s"target/tmp/sess_full_${System.nanoTime()}"
     val ev = Tables.events(spark, TestSpark.sf).select("user_id", "event_id", "ts")
