@@ -1,0 +1,281 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 second batch: DATA-QUALITY AUDITS AND ROBUST TIME-SERIES
+  * ANALYTICS — the "is the data I'm about to train on actually sound"
+  * pass that runs before any of the dedup/curation ops downstream.
+  *
+  * 100-TB design notes, per op:
+  *
+  * - `core_fk_integrity`: every edge aggregates the CHILD side to
+  *   distinct keys FIRST and anti-joins the compact (key, count)
+  *   frame against the parent — the anti-join input is |distinct keys|
+  *   rows, not |child rows|, so a 100-TB lineitem probes orders with a
+  *   frame ~1000x smaller than itself and the counts ride along as
+  *   map-side partials.
+  * - `core_dq_expectations`: the whole expectation panel is ONE global
+  *   conditional aggregate — a single scan, no shuffle wider than one
+  *   row of counters (the uniqueness expectation adds the one distinct
+  *   aggregate the semantics genuinely require).
+  * - `rel_anomaly_mad`: exact median/MAD without sorting raw rows —
+  *   the heavy aggregate is keyed (event_type, value_fp), a
+  *   high-cardinality well-distributed key; only the COMPRESSED
+  *   value-frequency histogram flows through the per-type ordered
+  *   window, and the MAD pass re-groups that histogram, never the raw
+  *   events. A naive percentile over a 5-value partition key would put
+  *   the whole corpus in 5 tasks; this shape never does.
+  * - `rel_rolling_regression`: one hash exchange on user_id serves the
+  *   row-numbering window and all five rolling sums; the final top-20
+  *   is TakeOrdered (no global sort). All sums are integer fixed-point
+  *   so both engines agree bit-for-bit.
+  */
+object Round8b {
+
+  // ---- core_fk_integrity ------------------------------------------------
+
+  /** Audit one FK edge. `childKeys`/`parentKeys` each carry a single
+    * BIGINT column `k`. NULL FKs are excluded (a nullable FK is not a
+    * violation); the child aggregates to (k, count) before the anti
+    * join, so the probe frame is distinct-key-sized.
+    */
+  private def fkEdge(name: String, childKeys: DataFrame,
+      parentKeys: DataFrame): DataFrame = {
+    val g = childKeys.where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val t = g.agg(coalesce(sum("c"), lit(0L)).as("child_rows"),
+      count(lit(1)).as("child_keys"))
+    val o = g.join(parentKeys.where(col("k").isNotNull), Seq("k"), "left_anti")
+      .agg(coalesce(sum("c"), lit(0L)).as("orphan_rows"),
+        count(lit(1)).as("orphan_keys"))
+    t.crossJoin(broadcast(o)).select(lit(name).as("edge"),
+      col("child_rows"), col("child_keys"), col("orphan_rows"), col("orphan_keys"))
+  }
+
+  /** Seeded orphan keys (the synthetic star schema is FK-consistent, so
+    * without these every edge reports 0/0 and the driver compare would
+    * never exercise the violation path). Three lineitem order-orphans
+    * over two keys, one part orphan, one supplier orphan, two customer
+    * orphans over one key; the nation edge stays clean to pin the
+    * zero path. The oracle unions the identical literals.
+    */
+  private def seed(s: SparkSession, ks: Seq[Long]): DataFrame =
+    s.sql(s"SELECT CAST(v AS BIGINT) AS k FROM VALUES ${ks.map(k => s"($k)").mkString(",")} t(v)")
+
+  private def oSeed(ks: Seq[Long]): String =
+    ks.map(k => s" UNION ALL SELECT CAST($k AS BIGINT)").mkString
+
+  private def oEdge(i: Int, name: String, childCol: String, childTable: String,
+      seeds: Seq[Long], parentCol: String, parentTable: String): String =
+    s"c$i AS (SELECT $childCol AS k FROM $childTable${oSeed(seeds)}), " +
+      s"g$i AS (SELECT k, count(*) AS c FROM c$i WHERE k IS NOT NULL GROUP BY 1), " +
+      s"t$i AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS child_rows, " +
+      s"count(*) AS child_keys FROM g$i), " +
+      s"o$i AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS orphan_rows, " +
+      s"count(*) AS orphan_keys FROM g$i WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM $parentTable p WHERE p.$parentCol = g$i.k)), " +
+      s"e$i AS (SELECT '$name' AS edge, t$i.*, o$i.* FROM t$i, o$i)"
+
+  private val fkEdges: Seq[(String, String, String, Seq[Long], String, String)] = Seq(
+    ("lineitem.l_orderkey->orders", "l_orderkey", "lineitem", Seq(-7L, -7L, -8L), "o_orderkey", "orders"),
+    ("lineitem.l_partkey->part", "l_partkey", "lineitem", Seq(-7L), "p_partkey", "part"),
+    ("lineitem.l_suppkey->supplier", "l_suppkey", "lineitem", Seq(-7L), "s_suppkey", "supplier"),
+    ("orders.o_custkey->customer", "o_custkey", "orders", Seq(-9L, -9L), "c_custkey", "customer"),
+    ("customer.c_nationkey->nation", "c_nationkey", "customer", Seq(), "n_nationkey", "nation"))
+
+  // ---- rel_anomaly_mad --------------------------------------------------
+
+  /** Pick the k=(n+1) div 2 order statistic (lower median) out of a
+    * cumulated frequency histogram: the row whose cumulative count
+    * first reaches k. Integer-only, so engines cannot drift.
+    */
+  private val medianCond = "cum - c < (n + 1) div 2 AND (n + 1) div 2 <= cum"
+
+  // ---- shared fixed-point event frame ----------------------------------
+
+  private def eventsFp(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("event_type"), col("user_id"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+
+  val ops: Seq[Op] = Seq(
+
+    // Referential-integrity audit over the star schema's FK edges:
+    // per edge, total child rows/keys and orphan rows/keys (child FK
+    // values with no parent). The child aggregates to distinct keys
+    // BEFORE the anti join (see object doc); dim-sized parents
+    // (nation) resolve as broadcast anti-joins, fact-sized parents as
+    // shuffled ones — exactly what a 1000-executor plan wants.
+    Op("core_fk_integrity",
+      (s, d) => {
+        fkEdges.map { case (name, cc, ct, seeds, pc, pt) =>
+          val child0 = T.t(s, d, ct).select(col(cc).as("k"))
+          val child = if (seeds.isEmpty) child0 else child0.unionByName(seed(s, seeds))
+          fkEdge(name, child, T.t(s, d, pt).select(col(pc).as("k")))
+        }.reduce(_ unionByName _).orderBy("edge")
+      },
+      Some("WITH " +
+        fkEdges.zipWithIndex.map { case ((name, cc, ct, seeds, pc, pt), i) =>
+          oEdge(i, name, cc, ct, seeds, pc, pt)
+        }.mkString(", ") +
+        " SELECT * FROM (" +
+        fkEdges.indices.map(i => s"SELECT * FROM e$i").mkString(" UNION ALL ") +
+        ") ORDER BY edge")),
+
+    // Declarative data-quality expectation panel (the Deequ /
+    // Great-Expectations shape): completeness, range, set-membership,
+    // positivity, and key-uniqueness checks over lineitem, all
+    // evaluated in ONE scan as conditional aggregates, reported as
+    // integer ppm against a declared threshold. Two expectations
+    // genuinely FAIL on the synthetic data (discount<=5% holds for
+    // only ~55% of rows; (l_orderkey, l_linenumber) is not unique), so
+    // the fail path is exercised with real measured ratios.
+    Op("core_dq_expectations",
+      (s, d) => {
+        T.t(s, d, "lineitem").agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("qty_nn"),
+          expr("count_if(l_discount >= 0 AND l_discount <= 0.1)").as("disc_rng"),
+          expr("count_if(l_returnflag IN ('A','N','R'))").as("rf_set"),
+          expr("count_if(CAST(l_shipdate AS DATE) >= DATE '1994-01-01' AND " +
+            "CAST(l_shipdate AS DATE) < DATE '2003-01-01')").as("ship_rng"),
+          expr("count_if(l_extendedprice > 0)").as("price_pos"),
+          expr("count_if(l_discount <= 0.05)").as("disc_low"),
+          countDistinct(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("ol_keys"))
+        .select(expr("stack(7, " +
+          "'completeness_quantity', CAST(qty_nn * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+          "'range_discount', CAST(disc_rng * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+          "'set_returnflag', CAST(rf_set * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+          "'window_shipdate', CAST(ship_rng * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+          "'positive_price', CAST(price_pos * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+          "'discount_le_5pct', CAST(disc_low * 1000000 div greatest(1, n) AS BIGINT), CAST(990000 AS BIGINT), " +
+          "'unique_orderline', CAST(ol_keys * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT)" +
+          ") AS (expectation, metric_ppm, threshold_ppm)"))
+        .withColumn("ok", col("metric_ppm") >= col("threshold_ppm"))
+        .orderBy("expectation")
+      },
+      Some("WITH m AS (SELECT count(*) AS n, count(l_quantity) AS qty_nn, " +
+        "count_if(l_discount >= 0 AND l_discount <= 0.1) AS disc_rng, " +
+        "count_if(l_returnflag IN ('A','N','R')) AS rf_set, " +
+        "count_if(CAST(l_shipdate AS DATE) >= DATE '1994-01-01' AND " +
+        "CAST(l_shipdate AS DATE) < DATE '2003-01-01') AS ship_rng, " +
+        "count_if(l_extendedprice > 0) AS price_pos, " +
+        "count_if(l_discount <= 0.05) AS disc_low, " +
+        "count(DISTINCT concat(l_orderkey, ':', l_linenumber)) AS ol_keys FROM lineitem), " +
+        "p AS (" + Seq(
+          ("completeness_quantity", "qty_nn", 1000000),
+          ("range_discount", "disc_rng", 1000000),
+          ("set_returnflag", "rf_set", 1000000),
+          ("window_shipdate", "ship_rng", 1000000),
+          ("positive_price", "price_pos", 1000000),
+          ("discount_le_5pct", "disc_low", 990000),
+          ("unique_orderline", "ol_keys", 1000000)).map { case (nm, c, thr) =>
+            s"SELECT '$nm' AS expectation, " +
+              s"CAST($c * 1000000 // greatest(1, n) AS BIGINT) AS metric_ppm, " +
+              s"CAST($thr AS BIGINT) AS threshold_ppm FROM m"
+          }.mkString(" UNION ALL ") + ") " +
+        "SELECT expectation, metric_ppm, threshold_ppm, " +
+        "metric_ppm >= threshold_ppm AS ok FROM p ORDER BY expectation")),
+
+    // Robust per-type anomaly detection: exact (lower-)median and MAD
+    // via a value-frequency histogram — never a sort of raw rows, never
+    // a 5-partition percentile (see object doc) — then the classic
+    // |v - med| > 5*MAD outlier count, all in 1e-6 fixed point.
+    Op("rel_anomaly_mad",
+      (s, d) => {
+        val vf = eventsFp(s, d).select("event_type", "v")
+        // the compressed value-frequency histogram feeds three separate
+        // consumers (median, MAD, outlier count) — materialize it once
+        val h = vf.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("event_type")
+        val md = h.withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wTot))
+          .where(medianCond)
+          .select(col("event_type"), col("v").as("med"), col("n"))
+        val dh = h.join(broadcast(md), "event_type")
+          .select(col("event_type"), abs(col("v") - col("med")).as("dv"), col("c"))
+          .groupBy("event_type", "dv").agg(sum("c").as("c"))
+        val dCum = Window.partitionBy("event_type").orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dh.withColumn("cum", sum("c").over(dCum))
+          .withColumn("n", sum("c").over(wTot))
+          .where(medianCond)
+          .select(col("event_type"), col("dv").as("mad"))
+        val outl = h.join(broadcast(md), "event_type").join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(coalesce(sum(when(expr("abs(v - med) > 5 * mad"), col("c"))), lit(0L))
+            .as("n_outliers"))
+        md.join(mad, "event_type").join(outl, "event_type")
+          .select(col("event_type"), col("n"), col("med").as("med_fp"),
+            col("mad").as("mad_fp"), col("n_outliers"),
+            expr("CAST(n_outliers * 1000000 div greatest(1, n) AS BIGINT)").as("outlier_ppm"))
+          .orderBy("event_type")
+      },
+      Some("WITH vf AS (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+        "h AS (SELECT event_type, v, count(*) AS c FROM vf GROUP BY 1, 2), " +
+        "h2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h), " +
+        "md AS (SELECT event_type, v AS med, n FROM h2 " +
+        "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum), " +
+        "dh AS (SELECT h.event_type, abs(h.v - md.med) AS dv, CAST(SUM(h.c) AS BIGINT) AS c " +
+        "FROM h JOIN md USING(event_type) GROUP BY 1, 2), " +
+        "dh2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dv " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dh), " +
+        "mad AS (SELECT event_type, dv AS mad FROM dh2 " +
+        "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum), " +
+        "outl AS (SELECT h.event_type, CAST(coalesce(SUM(CASE WHEN abs(h.v - md.med) > 5 * mad.mad " +
+        "THEN h.c END), 0) AS BIGINT) AS n_outliers " +
+        "FROM h JOIN md USING(event_type) JOIN mad USING(event_type) GROUP BY 1) " +
+        "SELECT md.event_type, md.n, md.med AS med_fp, mad.mad AS mad_fp, outl.n_outliers, " +
+        "CAST(n_outliers * 1000000 // greatest(1, md.n) AS BIGINT) AS outlier_ppm " +
+        "FROM md JOIN mad USING(event_type) JOIN outl USING(event_type) ORDER BY event_type")),
+
+    // Trailing-window OLS trend per user: the slope of value vs event
+    // index over the last 8 events, integer fixed-point throughout
+    // (x = per-user row number — slope is shift-invariant, so the
+    // absolute index is as good as a window-local one and keeps the
+    // rolling sums plain). Output: the 20 steepest trends. One hash
+    // exchange on user_id serves every window; the top-20 is
+    // TakeOrdered, not a global sort.
+    Op("rel_rolling_regression",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wi = wOrd.rowsBetween(-7, 0)
+        eventsFp(s, d).select(col("user_id"), col("event_id"), col("us"), col("v").as("y"))
+          .withColumn("x", row_number().over(wOrd).cast("bigint"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(wi).as("wn"),
+            sum("x").over(wi).as("sx"), sum("y").over(wi).as("sy"),
+            sum(expr("x * y")).over(wi).as("sxy"), sum(expr("x * x")).over(wi).as("sxx"))
+          .where("wn = 8")
+          .select(col("user_id"), col("event_id"),
+            expr("wn * sxy - sx * sy").as("num"), expr("wn * sxx - sx * sx").as("den"))
+          .select(col("user_id"), col("event_id"),
+            expr("CAST(num div den AS BIGINT)").as("slope_fp"),
+            expr("abs(CAST(num AS DOUBLE) / den)").as("o"))
+          .orderBy(desc("o"), col("user_id"), col("event_id")).limit(20)
+          .select("user_id", "event_id", "slope_fp")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS y FROM events), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) " +
+        "AS BIGINT) AS x FROM ev), " +
+        "w AS (SELECT user_id, event_id, count(*) OVER wi AS wn, " +
+        "CAST(SUM(x) OVER wi AS BIGINT) AS sx, CAST(SUM(y) OVER wi AS BIGINT) AS sy, " +
+        "CAST(SUM(x * y) OVER wi AS BIGINT) AS sxy, CAST(SUM(x * x) OVER wi AS BIGINT) AS sxx " +
+        "FROM r WINDOW wi AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)), " +
+        "sl AS (SELECT user_id, event_id, wn * sxy - sx * sy AS num, " +
+        "wn * sxx - sx * sx AS den FROM w WHERE wn = 8) " +
+        "SELECT user_id, event_id, CAST(num // den AS BIGINT) AS slope_fp FROM sl " +
+        "ORDER BY abs(CAST(num AS DOUBLE) / den) DESC, user_id, event_id LIMIT 20")),
+  )
+}

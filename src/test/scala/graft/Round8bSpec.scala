@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8b pins: FK-integrity audit, expectation panel, histogram
+  * median/MAD anomaly detection, rolling OLS regression.
+  */
+class Round8bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  test("fk audit: seeded orphans counted per edge, clean edge reports zero") {
+    val rows = Registry.byKey("core_fk_integrity").query(spark, sf).collect()
+    assert(rows.length == 5)
+    val m = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val liRows = Tables.t(spark, sf, "lineitem").count()
+    val (cr, _, orr, ork) = m("lineitem.l_orderkey->orders")
+    assert(cr == liRows + 3, "child_rows counts the three seeded orphan rows")
+    assert(orr == 3 && ork == 2, "two seeded keys (-7 twice, -8 once)")
+    assert(m("lineitem.l_partkey->part")._3 == 1)
+    assert(m("lineitem.l_suppkey->supplier")._3 == 1)
+    assert(m("orders.o_custkey->customer")._3 == 2 &&
+      m("orders.o_custkey->customer")._4 == 1)
+    assert(m("customer.c_nationkey->nation")._3 == 0 &&
+      m("customer.c_nationkey->nation")._4 == 0, "unseeded edge is consistent")
+  }
+
+  test("dq expectations: one-scan panel, failing expectations carry real ratios") {
+    val rows = Registry.byKey("core_dq_expectations").query(spark, sf).collect()
+    assert(rows.length == 7)
+    val m = rows.map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(m("completeness_quantity") == (1000000L, true))
+    assert(m("range_discount")._2 && m("set_returnflag")._2 &&
+      m("window_shipdate")._2 && m("positive_price")._2)
+    // the synthetic lineitem genuinely violates these two
+    val (discPpm, discOk) = m("discount_le_5pct")
+    assert(!discOk && discPpm > 0 && discPpm < 990000)
+    val (uniqPpm, uniqOk) = m("unique_orderline")
+    assert(!uniqOk && uniqPpm > 0 && uniqPpm < 1000000)
+  }
+
+  test("anomaly mad == brute-force lower-median / MAD / 5-sigma count per type") {
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def lowerMedian(sortedVs: Seq[Long]): Long = sortedVs(((sortedVs.size + 1) / 2) - 1)
+    val got = Registry.byKey("rel_anomaly_mad").query(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == byType.keys.toSeq.sorted)
+    got.foreach { r =>
+      val vs = byType(r.getString(0))
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)).sorted)
+      val outliers = vs.count(v => math.abs(v - med) > 5 * mad)
+      assert(r.getLong(1) == vs.size.toLong, r.getString(0))
+      assert(r.getLong(2) == med, s"${r.getString(0)} median")
+      assert(r.getLong(3) == mad, s"${r.getString(0)} MAD")
+      assert(r.getLong(4) == outliers.toLong, s"${r.getString(0)} outliers")
+      assert(r.getLong(5) == outliers.toLong * 1000000L / math.max(1L, vs.size.toLong))
+    }
+  }
+
+  test("rolling regression top-20 == brute-force trailing-8 OLS over all users") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val windows = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((_, eid, _, y), i) => (eid, i + 1L, y) }
+      sorted.indices.filter(_ >= 7).map { i =>
+        val w = sorted.slice(i - 7, i + 1)
+        val (sx, sy) = (w.map(_._2).sum, w.map(_._3).sum)
+        val sxy = w.map(r => r._2 * r._3).sum
+        val sxx = w.map(r => r._2 * r._2).sum
+        val num = 8 * sxy - sx * sy
+        val den = 8 * sxx - sx * sx
+        (user, sorted(i)._1, num / den, math.abs(num.toDouble / den))
+      }
+    }
+    val expect = windows.sortBy { case (u, e, _, o) => (-o, u, e) }.take(20)
+      .map { case (u, e, s, _) => (u, e, s) }
+    val got = Registry.byKey("rel_rolling_regression").query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = Registry.byKey("rel_rolling_regression").query(spark, sf)
+    df.count()
+    def hashEx(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => Seq(e)
+        case q: QueryStageExec => hashEx(q.plan)
+      }
+      here.flatten
+    }
+    val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val n = hashEx(plan).size
+    assert(n == 1,
+      s"row-number + five rolling sums + TakeOrdered must all sit on the single " +
+        s"user_id exchange; found $n hash exchanges:\n$plan")
+  }
+}
