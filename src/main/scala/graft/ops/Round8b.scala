@@ -94,6 +94,21 @@ object Round8b {
     */
   private val medianCond = "cum - c < (n + 1) div 2 AND (n + 1) div 2 <= cum"
 
+  // ---- approximate-query-processing estimators --------------------------
+
+  /** 32-bit md5 prefix of a lineitem row key — the derandomized sampling
+    * coin. Hashing row CONTENT (not a random()) keeps the sample
+    * deterministic across engines, retries, and partitionings.
+    */
+  private val rowHash =
+    "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':', " +
+      "CAST(l_linenumber AS STRING), ':', CAST(l_partkey AS STRING), ':', " +
+      "CAST(l_suppkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+  private val oRowHash =
+    "CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', " +
+      "CAST(l_linenumber AS VARCHAR), ':', CAST(l_partkey AS VARCHAR), ':', " +
+      "CAST(l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT)"
+
   // ---- shared fixed-point event frame ----------------------------------
 
   private def eventsFp(s: SparkSession, d: String): DataFrame =
@@ -277,5 +292,91 @@ object Round8b {
         "wn * sxx - sx * sx AS den FROM w WHERE wn = 8) " +
         "SELECT user_id, event_id, CAST(num // den AS BIGINT) AS slope_fp FROM sl " +
         "ORDER BY abs(CAST(num AS DOUBLE) / den) DESC, user_id, event_id LIMIT 20")),
+
+    // Approximate query processing, uniform flavor: a 1-in-16
+    // content-hash sample estimates SUM(price) per return flag, with a
+    // Poisson-sampling 95% CLT interval — and the same single scan
+    // carries the exact answer, so the op SHIPS its own measured error
+    // and a within-CI verdict (the BlinkDB-style accuracy contract,
+    // self-audited). Everything is one conditional-aggregate pass; at
+    // 100 TB the estimator path alone would scan only the sample
+    // partition of a hash-bucketed layout, and the CI math is integer
+    // in, correctly-rounded sqrt out — identical IEEE on both engines.
+    // Var(est) for Poisson p: (1-p)/p^2 * sum_sq over the sample = 240x
+    // at p=1/16; ci95 = 1.96 * sqrt of that.
+    Op("rel_sample_estimate_agg",
+      (s, d) => {
+        T.t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            expr("CAST(floor(l_extendedprice) AS BIGINT)").as("v"),
+            expr(rowHash).as("h"))
+          .groupBy("g").agg(
+            count(lit(1)).as("n_rows"),
+            sum("v").as("exact_sum"),
+            expr("count_if(h % 16 = 0)").as("n_sample"),
+            expr("CAST(coalesce(SUM(CASE WHEN h % 16 = 0 THEN v END), 0) AS BIGINT)").as("sum_s"),
+            expr("CAST(coalesce(SUM(CASE WHEN h % 16 = 0 THEN v * v END), 0) AS BIGINT)").as("sum_sq_s"))
+          .select(col("g"), col("n_rows"), col("n_sample"), col("exact_sum"),
+            expr("16 * sum_s").as("est_sum"),
+            expr("CAST(abs(16 * sum_s - exact_sum) * 1000000 div greatest(1, exact_sum) AS BIGINT)").as("err_ppm"),
+            expr("CAST(floor(1.96 * sqrt(CAST(240 * sum_sq_s AS DOUBLE))) AS BIGINT)").as("ci95"),
+            expr("abs(16 * sum_s - exact_sum) <= CAST(floor(1.96 * sqrt(CAST(240 * sum_sq_s AS DOUBLE))) AS BIGINT)").as("within_ci"))
+          .orderBy("g")
+      },
+      Some("WITH v AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice) AS BIGINT) AS v, " +
+        s"$oRowHash AS h FROM lineitem), " +
+        "a AS (SELECT g, count(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS exact_sum, " +
+        "CAST(count_if(h % 16 = 0) AS BIGINT) AS n_sample, " +
+        "CAST(coalesce(SUM(CASE WHEN h % 16 = 0 THEN v END), 0) AS BIGINT) AS sum_s, " +
+        "CAST(coalesce(SUM(CASE WHEN h % 16 = 0 THEN v * v END), 0) AS BIGINT) AS sum_sq_s " +
+        "FROM v GROUP BY 1) " +
+        "SELECT g, n_rows, n_sample, exact_sum, 16 * sum_s AS est_sum, " +
+        "CAST(abs(16 * sum_s - exact_sum) * 1000000 // greatest(1, exact_sum) AS BIGINT) AS err_ppm, " +
+        "CAST(floor(1.96 * sqrt(CAST(240 * sum_sq_s AS DOUBLE))) AS BIGINT) AS ci95, " +
+        "abs(16 * sum_s - exact_sum) <= CAST(floor(1.96 * sqrt(CAST(240 * sum_sq_s AS DOUBLE))) AS BIGINT) AS within_ci " +
+        "FROM a ORDER BY g")),
+
+    // Approximate query processing, stratified flavor: a pilot pass
+    // counts each ship-year stratum, an adaptive rate k/64 targets
+    // ~2000 sampled rows per stratum (clamped to census for small
+    // strata — at sf0.001 every stratum IS a census and the error is
+    // exactly 0; at sf0.1 k=2), and the sample pass estimates the
+    // stratum sum. This is the estimator uniform sampling can't give
+    // you: rare strata keep full accuracy while huge ones pay ~2000
+    // rows regardless of size. The pilot output is stratum-count-sized
+    // (tiny — broadcast back), so the op is two scans total, the
+    // second pre-filtered by the broadcast rate table.
+    Op("rel_stratified_estimate",
+      (s, d) => {
+        val v = T.t(s, d, "lineitem")
+          .select(expr("CAST(year(CAST(l_shipdate AS DATE)) AS INT)").as("g"),
+            expr("CAST(floor(l_extendedprice) AS BIGINT)").as("v"),
+            expr(rowHash).as("h"))
+        val ex = v.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("exact_sum"))
+          .localCheckpoint()
+        val rt = ex.select(col("g"),
+          expr("CAST(least(64, greatest(1, (64 * 2000 + n_rows - 1) div n_rows)) AS BIGINT)").as("k"))
+        val sm = v.join(broadcast(rt), "g").where("h % 64 < k")
+          .groupBy("g").agg(count(lit(1)).as("n_sample"),
+            coalesce(sum("v"), lit(0L)).as("sum_s"))
+        ex.join(rt, "g").join(sm, Seq("g"), "left")
+          .select(col("g"), col("n_rows"), col("k"),
+            expr("CAST(coalesce(n_sample, 0) AS BIGINT)").as("n_sample"), col("exact_sum"),
+            expr("CAST(coalesce(sum_s * 64 div k, 0) AS BIGINT)").as("est_sum"),
+            expr("CAST(abs(coalesce(sum_s * 64 div k, 0) - exact_sum) * 1000000 " +
+              "div greatest(1, exact_sum) AS BIGINT)").as("err_ppm"))
+          .orderBy("g")
+      },
+      Some("WITH v AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS g, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS v, " +
+        s"$oRowHash AS h FROM lineitem), " +
+        "ex AS (SELECT g, count(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS exact_sum FROM v GROUP BY 1), " +
+        "rt AS (SELECT g, CAST(least(64, greatest(1, (64 * 2000 + n_rows - 1) // n_rows)) AS BIGINT) AS k FROM ex), " +
+        "sm AS (SELECT v.g, count(*) AS n_sample, CAST(coalesce(SUM(v), 0) AS BIGINT) AS sum_s " +
+        "FROM v JOIN rt ON v.g = rt.g WHERE v.h % 64 < rt.k GROUP BY 1) " +
+        "SELECT ex.g, n_rows, rt.k, CAST(coalesce(n_sample, 0) AS BIGINT) AS n_sample, exact_sum, " +
+        "CAST(coalesce(sum_s * 64 // rt.k, 0) AS BIGINT) AS est_sum, " +
+        "CAST(abs(coalesce(sum_s * 64 // rt.k, 0) - exact_sum) * 1000000 // greatest(1, exact_sum) AS BIGINT) AS err_ppm " +
+        "FROM ex JOIN rt ON ex.g = rt.g LEFT JOIN sm ON ex.g = sm.g ORDER BY ex.g")),
   )
 }

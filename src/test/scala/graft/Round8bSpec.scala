@@ -88,6 +88,44 @@ class Round8bSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("uniform sample estimator == brute-force md5 sample, CI verdict consistent") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .selectExpr("l_returnflag", "CAST(floor(l_extendedprice) AS BIGINT) AS v",
+        "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING), ':', " +
+          "CAST(l_partkey AS STRING), ':', CAST(l_suppkey AS STRING)) AS key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def h32(sx: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).take(4)
+      d.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val got = Registry.byKey("rel_sample_estimate_agg").query(spark, sf).collect()
+    got.foreach { r =>
+      val grp = rows.filter(_._1 == r.getString(0))
+      val sample = grp.filter(t => h32(t._3) % 16 == 0)
+      val exact = grp.map(_._2).sum
+      val est = 16 * sample.map(_._2).sum
+      val ci = math.floor(1.96 * math.sqrt(240.0 * sample.map(t => t._2 * t._2).sum)).toLong
+      assert(r.getLong(1) == grp.size.toLong && r.getLong(2) == sample.size.toLong)
+      assert(r.getLong(3) == exact && r.getLong(4) == est)
+      assert(r.getLong(6) == ci)
+      assert(r.getBoolean(7) == (math.abs(est - exact) <= ci), "within_ci verdict")
+    }
+  }
+
+  test("stratified estimator: sub-target strata are a census with exactly 0 error") {
+    // at sf0.001 every ship-year stratum is under the 2000-row target,
+    // so the adaptive rate clamps to k=64 (all 64 hash buckets = census)
+    val got = Registry.byKey("rel_stratified_estimate").query(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) == 64L, s"year ${r.getInt(0)}: expected census rate")
+      assert(r.getLong(3) == r.getLong(1), "census samples every row")
+      assert(r.getLong(5) == r.getLong(4), "census estimate is exact")
+      assert(r.getLong(6) == 0L, "census error is zero")
+    }
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
