@@ -389,8 +389,8 @@ object Round7 {
           .agg(count(lit(1)).as("n_probes"),
             sum(when(col("nset") === 6L, 1L).otherwise(0L)).as("false_pos"))
         keys.agg(count(lit(1)).as("n_keys"))
-          .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
-          .crossJoin(hit)
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+          .crossJoin(broadcast(hit))
           .withColumn("p", expr(
             s"1.0 - exp((0.0 - CAST(6 * n_keys AS DOUBLE)) / $m.0)"))
           .select(col("n_keys"), col("bits_set"), col("n_probes"), col("false_pos"),

@@ -94,6 +94,62 @@ object Round8b {
     */
   private val medianCond = "cum - c < (n + 1) div 2 AND (n + 1) div 2 <= cum"
 
+  /** Per-type (med, mad, n) thresholds via the histogram method — shared
+    * by the batch anomaly report and the streaming alert gate, so the
+    * offline-trained thresholds and the batch analysis can never
+    * disagree. Returns (event_type, med, mad, n); tiny (one row per
+    * event type), safe to broadcast anywhere.
+    */
+  private[graft] def madThresholds(s: SparkSession, d: String): DataFrame = {
+    val vf = eventsFp(s, d).select("event_type", "v")
+    // the compressed value-frequency histogram feeds three separate
+    // consumers (median, MAD, outlier count) — materialize it once
+    val h = vf.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val md = h.withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .where(medianCond)
+      .select(col("event_type"), col("v").as("med"), col("n"))
+    val dh = h.join(broadcast(md), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("dv"), col("c"))
+      .groupBy("event_type", "dv").agg(sum("c").as("c"))
+    val dCum = Window.partitionBy("event_type").orderBy("dv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dh.withColumn("cum", sum("c").over(dCum))
+      .withColumn("n", sum("c").over(wTot))
+      .where(medianCond)
+      .select(col("event_type"), col("dv").as("mad"))
+    md.join(mad, "event_type")
+      .select(col("event_type"), col("med"), col("mad"), col("n"))
+  }
+
+  /** Histogram frame `h` again, for consumers needing the raw counts. */
+  private def valueHistogram(s: SparkSession, d: String): DataFrame =
+    eventsFp(s, d).select("event_type", "v")
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+
+  /** DuckDB twin of [[madThresholds]]: CTEs ending in `md(event_type,
+    * med, n)` and `mad(event_type, mad)`.
+    */
+  private[graft] val oMadCtes: String =
+    "vf AS (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+      "h AS (SELECT event_type, v, count(*) AS c FROM vf GROUP BY 1, 2), " +
+      "h2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+      "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h), " +
+      "md AS (SELECT event_type, v AS med, n FROM h2 " +
+      "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum), " +
+      "dh AS (SELECT h.event_type, abs(h.v - md.med) AS dv, CAST(SUM(h.c) AS BIGINT) AS c " +
+      "FROM h JOIN md USING(event_type) GROUP BY 1, 2), " +
+      "dh2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dv " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+      "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dh), " +
+      "mad AS (SELECT event_type, dv AS mad FROM dh2 " +
+      "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum)"
+
   // ---- approximate-query-processing estimators --------------------------
 
   /** 32-bit md5 prefix of a lineitem row key — the derandomized sampling
@@ -201,57 +257,46 @@ object Round8b {
     // |v - med| > 5*MAD outlier count, all in 1e-6 fixed point.
     Op("rel_anomaly_mad",
       (s, d) => {
-        val vf = eventsFp(s, d).select("event_type", "v")
-        // the compressed value-frequency histogram feeds three separate
-        // consumers (median, MAD, outlier count) — materialize it once
-        val h = vf.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
-          .localCheckpoint()
-        val wCum = Window.partitionBy("event_type").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wTot = Window.partitionBy("event_type")
-        val md = h.withColumn("cum", sum("c").over(wCum))
-          .withColumn("n", sum("c").over(wTot))
-          .where(medianCond)
-          .select(col("event_type"), col("v").as("med"), col("n"))
-        val dh = h.join(broadcast(md), "event_type")
-          .select(col("event_type"), abs(col("v") - col("med")).as("dv"), col("c"))
-          .groupBy("event_type", "dv").agg(sum("c").as("c"))
-        val dCum = Window.partitionBy("event_type").orderBy("dv")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val mad = dh.withColumn("cum", sum("c").over(dCum))
-          .withColumn("n", sum("c").over(wTot))
-          .where(medianCond)
-          .select(col("event_type"), col("dv").as("mad"))
-        val outl = h.join(broadcast(md), "event_type").join(broadcast(mad), "event_type")
+        val t = madThresholds(s, d)
+        val outl = valueHistogram(s, d).join(broadcast(t), "event_type")
           .groupBy("event_type")
           .agg(coalesce(sum(when(expr("abs(v - med) > 5 * mad"), col("c"))), lit(0L))
             .as("n_outliers"))
-        md.join(mad, "event_type").join(outl, "event_type")
+        t.join(outl, "event_type")
           .select(col("event_type"), col("n"), col("med").as("med_fp"),
             col("mad").as("mad_fp"), col("n_outliers"),
             expr("CAST(n_outliers * 1000000 div greatest(1, n) AS BIGINT)").as("outlier_ppm"))
           .orderBy("event_type")
       },
-      Some("WITH vf AS (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
-        "h AS (SELECT event_type, v, count(*) AS c FROM vf GROUP BY 1, 2), " +
-        "h2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
-        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h), " +
-        "md AS (SELECT event_type, v AS med, n FROM h2 " +
-        "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum), " +
-        "dh AS (SELECT h.event_type, abs(h.v - md.med) AS dv, CAST(SUM(h.c) AS BIGINT) AS c " +
-        "FROM h JOIN md USING(event_type) GROUP BY 1, 2), " +
-        "dh2 AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dv " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
-        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dh), " +
-        "mad AS (SELECT event_type, dv AS mad FROM dh2 " +
-        "WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum), " +
+      Some(s"WITH $oMadCtes, " +
         "outl AS (SELECT h.event_type, CAST(coalesce(SUM(CASE WHEN abs(h.v - md.med) > 5 * mad.mad " +
         "THEN h.c END), 0) AS BIGINT) AS n_outliers " +
         "FROM h JOIN md USING(event_type) JOIN mad USING(event_type) GROUP BY 1) " +
         "SELECT md.event_type, md.n, md.med AS med_fp, mad.mad AS mad_fp, outl.n_outliers, " +
         "CAST(n_outliers * 1000000 // greatest(1, md.n) AS BIGINT) AS outlier_ppm " +
         "FROM md JOIN mad USING(event_type) JOIN outl USING(event_type) ORDER BY event_type")),
+
+    // Train-batch / serve-stream anomaly gating, batch-equivalent form:
+    // the SAME madThresholds frame the batch report computes becomes
+    // the broadcast static side of an alert gate, and alerts roll up
+    // per hour x type — the dashboard a production monitor tails. The
+    // Structured Streaming twin (Streams.anomalyAlerts) applies one
+    // shared gate helper to a live stream with these offline-trained
+    // thresholds; parity is pinned in StreamingParitySpec, so the
+    // monitor and the offline analysis cannot disagree on what an
+    // anomaly is.
+    Op("strm_anomaly_alerts",
+      (s, d) => graft.streaming.Streams.anomalyAlerts(
+        T.events(s, d).select("event_type", "ts", "value"),
+        madThresholds(s, d).select("event_type", "med", "mad"))
+        .withColumn("bucket", expr("CAST(bucket AS TIMESTAMP_NTZ)"))
+        .orderBy("bucket", "event_type"),
+      Some(s"WITH $oMadCtes " +
+        "SELECT date_trunc('hour', e.ts) AS bucket, e.event_type, count(*) AS n_alerts " +
+        "FROM events e JOIN md ON e.event_type = md.event_type " +
+        "JOIN mad ON e.event_type = mad.event_type " +
+        "WHERE abs(CAST(floor(e.value * 1000000) AS BIGINT) - md.med) > 5 * mad.mad " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
 
     // Trailing-window OLS trend per user: the slope of value vs event
     // index over the last 8 events, integer fixed-point throughout

@@ -72,6 +72,25 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("c_name"), col("c_mktsegment"))
 
+  /** Anomaly alert gate, the train-batch / serve-stream shape: rows whose
+    * 1e-6 fixed-point value deviates from the offline-trained per-type
+    * median by more than 5 MADs, rolled up per hour x event type.
+    * `thresholds(event_type, med, mad)` is the OFFLINE frame (the batch
+    * op's madThresholds output), broadcast like any static dim — no
+    * streaming state beyond the windowed count. Works identically on a
+    * batch frame and a readStream; the batch op `strm_anomaly_alerts`
+    * and StreamingParitySpec pin the two equal, so the live monitor and
+    * the offline analysis share one definition of "anomaly".
+    */
+  def anomalyAlerts(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events
+      .withColumn("v", expr("CAST(floor(value * 1000000) AS BIGINT)"))
+      .join(broadcast(thresholds), "event_type")
+      .where("abs(v - med) > 5 * mad")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_alerts"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n_alerts"))
+
   case class UserEvent(user_id: Long, event_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 

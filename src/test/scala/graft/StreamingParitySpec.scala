@@ -178,6 +178,26 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming anomaly alerts == batch gate with offline-trained thresholds") {
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(200)
+    // offline thresholds (fixed-point 1e6): both types gated differently,
+    // chosen so a real subset of the synthetic values alerts
+    val thresholds = Seq(("view", 20000000L, 1000000L), ("click", 30000000L, 2000000L))
+      .toDF("event_type", "med", "mad")
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+    val name = s"alerts_${System.nanoTime()}"
+    val q = Streams.anomalyAlerts(mem.toDF(), thresholds)
+      .writeStream.outputMode(OutputMode.Complete()).format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = Streams.anomalyAlerts(events.toDF(), thresholds)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per key on a bounded-lateness stream") {
     implicit val ctx = spark.sqlContext
     val events = mkEvents(100)
