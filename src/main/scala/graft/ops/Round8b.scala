@@ -423,5 +423,81 @@ object Round8b {
         "CAST(coalesce(sum_s * 64 // rt.k, 0) AS BIGINT) AS est_sum, " +
         "CAST(abs(coalesce(sum_s * 64 // rt.k, 0) - exact_sum) * 1000000 // greatest(1, exact_sum) AS BIGINT) AS err_ppm " +
         "FROM ex JOIN rt ON ex.g = rt.g LEFT JOIN sm ON ex.g = sm.g ORDER BY ex.g")),
+
+    // Exact distinct counting via fixed-size bitmaps (the modern
+    // high-cardinality trick): bitmap_bucket_number partitions the key
+    // space into 4KB segments, bitmap_construct_agg ORs bits per
+    // (group, bucket) with map-side partials, and the final count is a
+    // sum of per-segment popcounts. The shuffle carries fixed 4KB
+    // bitmaps instead of raw keys, and huge distinct sets parallelize
+    // across buckets — count(DISTINCT) semantics at a fraction of the
+    // state. Oracle = plain COUNT(DISTINCT): the equality IS the test.
+    Op("rel_agg_bitmap_distinct",
+      (s, d) => {
+        T.views(s, d)
+        s.sql("SELECT g, CAST(SUM(cnt) AS BIGINT) AS distinct_parts FROM (" +
+          "SELECT l_returnflag AS g, bitmap_bucket_number(l_partkey) AS b, " +
+          "bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS cnt " +
+          "FROM lineitem GROUP BY 1, 2) GROUP BY g ORDER BY g")
+      },
+      Some("SELECT l_returnflag AS g, CAST(count(DISTINCT l_partkey) AS BIGINT) " +
+        "AS distinct_parts FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // Ingestion-gap monitor: which hourly buckets received ZERO events
+    // per type, how many, and the longest consecutive outage run — the
+    // data-loss dashboard every feed needs. The heavy side is one
+    // distinct (type, hour) aggregate of the corpus (well-distributed
+    // key, map-side combinable); the hour x type grid it anti-joins is
+    // calendar-sized (a decade is <90k hours), so the gap analysis
+    // itself never touches raw events. Gap runs via the integer
+    // islands trick (hour index minus rank), engine-identical.
+    Op("core_ingest_gap_report",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val eh = ev.select(col("event_type"),
+          expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("h")).distinct()
+          .localCheckpoint()
+        val b = ev.agg(
+          expr("CAST(date_trunc('hour', min(ts)) AS TIMESTAMP_NTZ)").as("mn"),
+          expr("CAST(date_trunc('hour', max(ts)) AS TIMESTAMP_NTZ)").as("mx"))
+        val hrs = b.select(explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("h"))
+        val types = eh.select("event_type").distinct()
+        val miss = hrs.crossJoin(broadcast(types))
+          .join(eh, Seq("event_type", "h"), "left_anti")
+        val runs = miss
+          .withColumn("grp", expr("unix_micros(CAST(h AS TIMESTAMP)) div 3600000000 - " +
+            "row_number() OVER (PARTITION BY event_type ORDER BY h)"))
+          .groupBy("event_type", "grp").agg(count(lit(1)).as("run"))
+        val perType = miss.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours_empty"), min("h").as("first_empty_hour"))
+        val maxGap = runs.groupBy("event_type").agg(max("run").as("max_gap_hours"))
+        val tot = hrs.agg(count(lit(1)).as("n_hours_total"))
+        types.crossJoin(broadcast(tot))
+          .join(perType, Seq("event_type"), "left")
+          .join(maxGap, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_hours_total"),
+            expr("CAST(coalesce(n_hours_empty, 0) AS BIGINT)").as("n_hours_empty"),
+            expr("CAST(coalesce(max_gap_hours, 0) AS BIGINT)").as("max_gap_hours"),
+            col("first_empty_hour"))
+          .orderBy("event_type")
+      },
+      Some("WITH eh AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events), " +
+        "b AS (SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx FROM events), " +
+        "hrs AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "t AS (SELECT DISTINCT event_type FROM eh), " +
+        "miss AS (SELECT t.event_type, hrs.h FROM hrs, t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM eh WHERE eh.event_type = t.event_type AND eh.h = hrs.h)), " +
+        "mi AS (SELECT event_type, h, epoch_us(h) // 3600000000 - " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp FROM miss), " +
+        "runs AS (SELECT event_type, grp, count(*) AS run FROM mi GROUP BY 1, 2), " +
+        "mg AS (SELECT event_type, max(run) AS max_gap_hours FROM runs GROUP BY 1), " +
+        "pt AS (SELECT event_type, count(*) AS n_hours_empty, min(h) AS first_empty_hour " +
+        "FROM miss GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_hours_total FROM hrs) " +
+        "SELECT t.event_type, tot.n_hours_total, " +
+        "CAST(coalesce(pt.n_hours_empty, 0) AS BIGINT) AS n_hours_empty, " +
+        "CAST(coalesce(mg.max_gap_hours, 0) AS BIGINT) AS max_gap_hours, pt.first_empty_hour " +
+        "FROM t CROSS JOIN tot LEFT JOIN pt ON t.event_type = pt.event_type " +
+        "LEFT JOIN mg ON t.event_type = mg.event_type ORDER BY t.event_type")),
   )
 }

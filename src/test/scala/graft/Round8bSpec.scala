@@ -126,6 +126,37 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap distinct == built-in countDistinct per group") {
+    val got = Registry.byKey("rel_agg_bitmap_distinct").query(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("ingest gap report: constructed outage yields exact run-length accounting") {
+    val dir = "target/tmp/gapfix"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:30:00").getTime
+    def ev(id: Long, tpe: String, hour: Int) =
+      (id, new java.sql.Timestamp(t0 + hour * 3600000L), id % 5, tpe, 1.0, "{}")
+    import spark.implicits._
+    // type A reports in hours {0,1,5} of the 0..6 span -> misses {2,3,4,6}:
+    // one 3-hour outage and one trailing 1-hour gap. type B never misses.
+    val rows = Seq(ev(1, "A", 0), ev(2, "A", 1), ev(3, "A", 5)) ++
+      (0 to 6).map(h => ev(10 + h, "B", h))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("core_ingest_gap_report").query(spark, dir).collect()
+    assert(got.length == 2)
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "A" && a.getLong(1) == 7 && a.getLong(2) == 4 &&
+      a.getLong(3) == 3, s"A row: $a")
+    assert(a.getAs[java.time.LocalDateTime](4).toString.startsWith("2024-03-01T02:00"))
+    assert(b.getString(0) == "B" && b.getLong(1) == 7 && b.getLong(2) == 0 &&
+      b.getLong(3) == 0 && b.isNullAt(4), s"B row: $b")
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
