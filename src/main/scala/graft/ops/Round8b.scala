@@ -100,8 +100,14 @@ object Round8b {
     * disagree. Returns (event_type, med, mad, n); tiny (one row per
     * event type), safe to broadcast anywhere.
     */
-  private[graft] def madThresholds(s: SparkSession, d: String): DataFrame = {
-    val vf = eventsFp(s, d).select("event_type", "v")
+  private[graft] def madThresholds(s: SparkSession, d: String): DataFrame =
+    madOf(eventsFp(s, d).select("event_type", "v"))
+
+  /** The histogram median/MAD pipeline over any (event_type, v) frame —
+    * separated from the table loader so property tests can drive it
+    * with arbitrary generated frames.
+    */
+  private[graft] def madOf(vf: DataFrame): DataFrame = {
     // the compressed value-frequency histogram feeds three separate
     // consumers (median, MAD, outlier count) — materialize it once
     val h = vf.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
@@ -499,5 +505,22 @@ object Round8b {
         "CAST(coalesce(mg.max_gap_hours, 0) AS BIGINT) AS max_gap_hours, pt.first_empty_hour " +
         "FROM t CROSS JOIN tot LEFT JOIN pt ON t.event_type = pt.event_type " +
         "LEFT JOIN mg ON t.event_type = mg.event_type ORDER BY t.event_type")),
+
+    // Data-governance masking: PII columns leave the trust boundary as
+    // deterministic md5 tokens (equality- and join-preserving — the
+    // masked key still groups/joins identically, pinned in spec) and
+    // quasi-identifiers are generalized (balances to 100-unit buckets)
+    // — the share-with-analysts projection. Everything is a codegen'd
+    // per-row projection: no shuffle, no state, scales linearly.
+    Op("core_column_mask",
+      (s, d) => T.t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("concat('cust_', substring(md5(c_name), 1, 12))").as("masked_name"),
+          expr("CAST(floor(c_acctbal / 100) * 100 AS DOUBLE)").as("acct_bucket"),
+          col("c_mktsegment"), col("c_nationkey"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, concat('cust_', substr(md5(c_name), 1, 12)) AS masked_name, " +
+        "CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acct_bucket, " +
+        "c_mktsegment, c_nationkey FROM customer ORDER BY c_custkey")),
   )
 }

@@ -197,4 +197,27 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"left=$lRows right=$rRows")
     }
   }
+
+  test("histogram median/MAD == brute-force order statistics on random frames") {
+    val valuesGen: Gen[List[(String, Long)]] = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-50L, 50L) // duplicates guaranteed: ties exercise the cum bounds
+      } yield (t, v))
+    } yield rows
+    forSamples(valuesGen, n = 8) { rows =>
+      val got = graft.ops.Round8b.madOf(rows.toDF("event_type", "v"))
+        .select("event_type", "med", "mad", "n")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val want = rows.groupBy(_._1).map { case (t, rs) =>
+        val vs = rs.map(_._2).sorted
+        def lower(s: Seq[Long]) = s(((s.size + 1) / 2) - 1)
+        val med = lower(vs)
+        t -> (med, lower(vs.map(v => math.abs(v - med)).sorted), vs.size.toLong)
+      }
+      assert(got == want, s"rows=$rows")
+    }
+  }
 }

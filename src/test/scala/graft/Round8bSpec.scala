@@ -157,6 +157,18 @@ class Round8bSpec extends AnyFunSuite {
       b.getLong(3) == 0 && b.isNullAt(4), s"B row: $b")
   }
 
+  test("column mask preserves joinability: masked tokens group exactly like raw keys") {
+    val masked = Registry.byKey("core_column_mask").query(spark, sf)
+    // same name -> same token, different name -> different token (md5
+    // equality-preservation is what makes masked data analyzable)
+    val raw = Tables.t(spark, sf, "customer")
+    assert(masked.select("masked_name").distinct().count() ==
+      raw.select("c_name").distinct().count())
+    // and the mask is deterministic: re-running yields identical rows
+    val again = Registry.byKey("core_column_mask").query(spark, sf)
+    assert(masked.collect().toSeq == again.collect().toSeq)
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
