@@ -522,5 +522,103 @@ object Round8b {
       Some("SELECT c_custkey, concat('cust_', substr(md5(c_name), 1, 12)) AS masked_name, " +
         "CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acct_bucket, " +
         "c_mktsegment, c_nationkey FROM customer ORDER BY c_custkey")),
+
+    // A/B experiment readout: users md5-hash into control/treatment
+    // (derandomized — assignment survives restarts and engines agree),
+    // and a Welch t-statistic per event type falls out of six integer
+    // aggregates in ONE scan. Sums of squares accumulate in
+    // DECIMAL(38,0) — mergeable, overflow-proof at any corpus size —
+    // and convert to DOUBLE only inside the final one-row-per-type
+    // t formula, where both engines evaluate the identical IEEE tree.
+    Op("rel_ab_welch_ttest",
+      (s, d) => {
+        eventsFp(s, d)
+          .withColumn("arm", expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+          .withColumn("v3", expr("v div 1000")) // 1e-3 fixed point
+          .groupBy("event_type").agg(
+            expr("count_if(arm = 0)").as("n0"),
+            expr("count_if(arm = 1)").as("n1"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN v3 END), 0) AS BIGINT)").as("s0"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN v3 END), 0) AS BIGINT)").as("s1"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").as("q0"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").as("q1"))
+          .where("n0 > 1 AND n1 > 1")
+          .withColumn("var0", expr(
+            "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)"))
+          .withColumn("var1", expr(
+            "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)"))
+          .withColumn("se2", expr("var0 / n0 + var1 / n1"))
+          .select(col("event_type"), col("n0"), col("n1"),
+            expr("CAST(floor(CAST(s0 AS DOUBLE) / n0 * 1000) AS BIGINT)").as("mean0_fp"),
+            expr("CAST(floor(CAST(s1 AS DOUBLE) / n1 * 1000) AS BIGINT)").as("mean1_fp"),
+            expr("CASE WHEN se2 > 0 THEN CAST(floor(" +
+              "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / sqrt(se2) * 1000000) " +
+              "AS BIGINT) ELSE 0 END").as("t_fp"))
+          .orderBy("event_type")
+      },
+      Some("WITH v AS (SELECT event_type, " +
+        "CAST(floor(value * 1000000) AS BIGINT) // 1000 AS v3, " +
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm " +
+        "FROM events), " +
+        "a AS (SELECT event_type, " +
+        "CAST(count_if(arm = 0) AS BIGINT) AS n0, CAST(count_if(arm = 1) AS BIGINT) AS n1, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN v3 END), 0) AS BIGINT) AS s0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN v3 END), 0) AS BIGINT) AS s1, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS q0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS q1 " +
+        "FROM v GROUP BY 1), " +
+        "b AS (SELECT *, " +
+        "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS var0, " +
+        "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS var1 " +
+        "FROM a WHERE n0 > 1 AND n1 > 1), " +
+        "c AS (SELECT *, var0 / n0 + var1 / n1 AS se2 FROM b) " +
+        "SELECT event_type, n0, n1, " +
+        "CAST(floor(CAST(s0 AS DOUBLE) / n0 * 1000) AS BIGINT) AS mean0_fp, " +
+        "CAST(floor(CAST(s1 AS DOUBLE) / n1 * 1000) AS BIGINT) AS mean1_fp, " +
+        "CASE WHEN se2 > 0 THEN CAST(floor(" +
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / sqrt(se2) * 1000000) " +
+        "AS BIGINT) ELSE 0 END AS t_fp " +
+        "FROM c ORDER BY event_type")),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent non-purchase event within a 7-day lookback (else 'none').
+    // One IGNORE NULLS window pass on the user_id exchange — the same
+    // single-shuffle discipline as the rest of the event family; the
+    // channel rollup is a tiny final aggregate.
+    Op("rel_attribution_last_touch",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val attributed = eventsFp(s, d)
+          .withColumn("src_type",
+            last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("src_us",
+            last(when(col("event_type") =!= "purchase", col("us")), ignoreNulls = true).over(w))
+          .where("event_type = 'purchase'")
+          .withColumn("channel", expr(
+            "CASE WHEN src_us IS NOT NULL AND us - src_us <= 604800000000 " +
+              "THEN src_type ELSE 'none' END"))
+        val total = attributed.agg(count(lit(1)).as("total"))
+        attributed.groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+          .crossJoin(broadcast(total))
+          .select(col("channel"), col("n_purchases"),
+            expr("CAST(n_purchases * 1000000 div greatest(1, total) AS BIGINT)").as("share_ppm"))
+          .orderBy("channel")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "lt AS (SELECT *, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER w AS src_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS) " +
+        "OVER w AS src_us FROM ev " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "at AS (SELECT CASE WHEN src_us IS NOT NULL AND us - src_us <= 604800000000 " +
+        "THEN src_type ELSE 'none' END AS channel FROM lt WHERE event_type = 'purchase'), " +
+        "tot AS (SELECT count(*) AS total FROM at) " +
+        "SELECT channel, count(*) AS n_purchases, " +
+        "CAST(count(*) * 1000000 // greatest(1, tot.total) AS BIGINT) AS share_ppm " +
+        "FROM at, tot GROUP BY channel, tot.total ORDER BY channel")),
   )
 }

@@ -169,6 +169,57 @@ class Round8bSpec extends AnyFunSuite {
     assert(masked.collect().toSeq == again.collect().toSeq)
   }
 
+  test("welch t-test == brute-force arms, sums, and IEEE formula") {
+    def h32(sx: String): Long = {
+      val dd = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).take(4)
+      dd.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "CAST(floor(value * 1000000) AS BIGINT) div 1000 AS v3")
+      .collect().map(r => (r.getString(0), h32(r.getLong(1).toString) % 2, r.getLong(2)))
+    val got = Registry.byKey("rel_ab_welch_ttest").query(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val grp = ev.filter(_._1 == r.getString(0))
+      val a0 = grp.filter(_._2 == 0).map(_._3); val a1 = grp.filter(_._2 == 1).map(_._3)
+      val (n0, n1) = (a0.length.toLong, a1.length.toLong)
+      val (s0, s1) = (a0.sum, a1.sum)
+      val (q0, q1) = (a0.map(v => BigInt(v) * v).sum, a1.map(v => BigInt(v) * v).sum)
+      val var0 = (q0.toDouble - s0.toDouble * s0 / n0) / (n0 - 1)
+      val var1 = (q1.toDouble - s1.toDouble * s1 / n1) / (n1 - 1)
+      val se2 = var0 / n0 + var1 / n1
+      val t = if (se2 > 0)
+        math.floor((s1.toDouble / n1 - s0.toDouble / n0) / math.sqrt(se2) * 1000000).toLong
+      else 0L
+      assert((r.getLong(1), r.getLong(2)) == (n0, n1), r.getString(0))
+      assert(r.getLong(3) == math.floor(s0.toDouble / n0 * 1000).toLong)
+      assert(r.getLong(4) == math.floor(s1.toDouble / n1 * 1000).toLong)
+      assert(r.getLong(5) == t, s"${r.getString(0)} t-stat")
+    }
+  }
+
+  test("last-touch attribution == brute-force per-user walk") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val channels = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastSrc: Option[(String, Long)] = None
+      rows.sortBy(r => (r._4, r._2)).flatMap { case (_, _, tpe, us) =>
+        val out = if (tpe == "purchase")
+          Some(lastSrc.filter(us - _._2 <= 604800000000L).map(_._1).getOrElse("none"))
+        else None
+        if (tpe != "purchase") lastSrc = Some((tpe, us))
+        out
+      }
+    }
+    val want = channels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.byKey("rel_attribution_last_touch").query(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.values.sum == channels.size.toLong)
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
