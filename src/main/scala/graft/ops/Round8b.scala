@@ -581,6 +581,143 @@ object Round8b {
         "AS BIGINT) ELSE 0 END AS t_fp " +
         "FROM c ORDER BY event_type")),
 
+    // CUPED variance reduction (the modern experimentation-platform
+    // companion to the t-test): each user's pre-period sum is the
+    // control covariate for their post-period sum; theta = cov/var on
+    // the pooled users, and BOTH the adjusted effect and the adjusted
+    // variance are derived ALGEBRAICALLY from per-arm integer /
+    // DECIMAL(38) sums — var(y-θx) = var(y) - 2θcov + θ²var(x) — so no
+    // second pass ever touches per-user doubles and partition order
+    // cannot perturb the result. Two shuffles total: the per-user
+    // aggregate and a 2-row arm rollup.
+    Op("rel_ab_cuped",
+      (s, d) => {
+        val ev = eventsFp(s, d).select(col("user_id"), col("us"),
+          expr("v div 1000").as("v3"))
+        val b = ev.agg(expr("min(us) + (max(us) - min(us)) div 2").as("mid"))
+        val pu = ev.crossJoin(broadcast(b)).groupBy("user_id").agg(
+          expr("CAST(coalesce(SUM(CASE WHEN us < mid THEN v3 END), 0) AS BIGINT)").as("x"),
+          expr("CAST(coalesce(SUM(CASE WHEN us >= mid THEN v3 END), 0) AS BIGINT)").as("y"))
+          .withColumn("arm", expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        pu.agg(
+          expr("count_if(arm = 0)").as("n0"), expr("count_if(arm = 1)").as("n1"),
+          expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN x END), 0) AS BIGINT)").as("sx0"),
+          expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN x END), 0) AS BIGINT)").as("sx1"),
+          expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN y END), 0) AS BIGINT)").as("sy0"),
+          expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN y END), 0) AS BIGINT)").as("sy1"),
+          expr("CAST(coalesce(SUM(CAST(x AS DECIMAL(38,0)) * y), 0) AS DECIMAL(38,0))").as("sxy"),
+          expr("CAST(coalesce(SUM(CAST(x AS DECIMAL(38,0)) * x), 0) AS DECIMAL(38,0))").as("sxx"),
+          expr("CAST(coalesce(SUM(CAST(y AS DECIMAL(38,0)) * y), 0) AS DECIMAL(38,0))").as("syy"))
+          .where("n0 > 1 AND n1 > 1")
+          .withColumn("n", expr("n0 + n1"))
+          .withColumn("sx", expr("CAST(sx0 + sx1 AS BIGINT)"))
+          .withColumn("sy", expr("CAST(sy0 + sy1 AS BIGINT)"))
+          .withColumn("covxy", expr("CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n"))
+          .withColumn("varx", expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n"))
+          .withColumn("vary", expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n"))
+          .withColumn("theta", expr("CASE WHEN varx > 0 THEN covxy / varx ELSE 0 END"))
+          .select(col("n0"), col("n1"),
+            expr("CAST(floor(theta * 1000000) AS BIGINT)").as("theta_fp"),
+            expr("CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) * 1000) AS BIGINT)").as("diff_raw_fp"),
+            expr("CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 " +
+              "- theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)) * 1000) AS BIGINT)").as("diff_adj_fp"),
+            expr("CASE WHEN vary > 0 THEN CAST(floor((1.0 - (vary - 2 * theta * covxy " +
+              "+ theta * theta * varx) / vary) * 1000000) AS BIGINT) ELSE 0 END").as("var_reduction_ppm"))
+      },
+      Some("WITH ev AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "CAST(floor(value * 1000000) AS BIGINT) // 1000 AS v3 FROM events), " +
+        "b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev), " +
+        "pu AS (SELECT user_id, " +
+        "CAST(coalesce(SUM(CASE WHEN us < b.mid THEN v3 END), 0) AS BIGINT) AS x, " +
+        "CAST(coalesce(SUM(CASE WHEN us >= b.mid THEN v3 END), 0) AS BIGINT) AS y " +
+        "FROM ev, b GROUP BY user_id), " +
+        "pa AS (SELECT x, y, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm FROM pu), " +
+        "ag AS (SELECT CAST(count_if(arm = 0) AS BIGINT) AS n0, CAST(count_if(arm = 1) AS BIGINT) AS n1, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN x END), 0) AS BIGINT) AS sx0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN x END), 0) AS BIGINT) AS sx1, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN y END), 0) AS BIGINT) AS sy0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN y END), 0) AS BIGINT) AS sy1, " +
+        "CAST(coalesce(SUM(CAST(x AS DECIMAL(38,0)) * y), 0) AS DECIMAL(38,0)) AS sxy, " +
+        "CAST(coalesce(SUM(CAST(x AS DECIMAL(38,0)) * x), 0) AS DECIMAL(38,0)) AS sxx, " +
+        "CAST(coalesce(SUM(CAST(y AS DECIMAL(38,0)) * y), 0) AS DECIMAL(38,0)) AS syy FROM pa), " +
+        "st AS (SELECT *, n0 + n1 AS n, CAST(sx0 + sx1 AS BIGINT) AS sx, " +
+        "CAST(sy0 + sy1 AS BIGINT) AS sy FROM ag WHERE n0 > 1 AND n1 > 1), " +
+        "th AS (SELECT *, CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS covxy, " +
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS varx, " +
+        "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS vary FROM st), " +
+        "fin AS (SELECT *, CASE WHEN varx > 0 THEN covxy / varx ELSE 0 END AS theta FROM th) " +
+        "SELECT n0, n1, CAST(floor(theta * 1000000) AS BIGINT) AS theta_fp, " +
+        "CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) * 1000) AS BIGINT) AS diff_raw_fp, " +
+        "CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0 " +
+        "- theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)) * 1000) AS BIGINT) AS diff_adj_fp, " +
+        "CASE WHEN vary > 0 THEN CAST(floor((1.0 - (vary - 2 * theta * covxy " +
+        "+ theta * theta * varx) / vary) * 1000000) AS BIGINT) ELSE 0 END AS var_reduction_ppm " +
+        "FROM fin")),
+
+    // Seasonal-naive forecast backtest: hourly event counts, a
+    // hour-of-week mean forecast trained on weeks 0-2, tested on week
+    // 3, scored as MASE against the one-week-lag naive baseline — the
+    // standard "is this forecast better than doing nothing" metric.
+    // Counting happens on the corpus ONCE (keyed (type, hour-index),
+    // missing hours restored as zero by a calendar-sized grid join);
+    // every train/test/score step after that touches only the 672-row
+    // per-type grid. All integer fixed-point, engine-identical.
+    Op("rel_forecast_snaive_mase",
+      (s, d) => {
+        val ev = eventsFp(s, d).select("event_type", "us")
+        val b = ev.agg(min("us").as("anchor"))
+        val cnt = ev.crossJoin(broadcast(b))
+          .withColumn("hidx", expr("(us - anchor) div 3600000000"))
+          .where("hidx < 672")
+          .groupBy("event_type", "hidx").agg(count(lit(1)).as("y"))
+          .localCheckpoint()
+        val grid = cnt.select("event_type").distinct()
+          .crossJoin(s.range(672).select(col("id").as("hidx")))
+        val g2 = grid.join(cnt, Seq("event_type", "hidx"), "left")
+          .select(col("event_type"), col("hidx"),
+            expr("hidx div 168").as("wk"), expr("hidx % 168").as("how"),
+            expr("CAST(coalesce(y, 0) AS BIGINT)").as("y"))
+          .localCheckpoint()
+        val f = g2.where("wk < 3").groupBy("event_type", "how")
+          .agg(expr("CAST(SUM(y) * 1000 div 3 AS BIGINT)").as("f_fp"))
+        val nv = g2.where("wk IN (1, 2)").as("a")
+          .join(g2.as("p"), expr("a.event_type = p.event_type AND p.hidx = a.hidx - 168"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(expr("CAST(SUM(abs(a.y - p.y)) * 1000 div 336 AS BIGINT)").as("denom_fp"))
+        val tm = g2.where("wk = 3")
+          .join(f, Seq("event_type", "how"))
+          .groupBy("event_type")
+          .agg(expr("CAST(SUM(abs(y * 1000 - f_fp)) div 168 AS BIGINT)").as("test_mae_fp"))
+        nv.join(tm, "event_type")
+          .select(col("event_type"), col("denom_fp"), col("test_mae_fp"),
+            expr("CASE WHEN denom_fp > 0 THEN CAST(test_mae_fp * 1000000 div denom_fp " +
+              "AS BIGINT) ELSE 0 END").as("mase_ppm"))
+          .orderBy("event_type")
+      },
+      Some("WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT min(us) AS anchor FROM ev), " +
+        "c AS (SELECT event_type, (us - b.anchor) // 3600000000 AS hidx FROM ev, b " +
+        "WHERE (us - b.anchor) // 3600000000 < 672), " +
+        "cnt AS (SELECT event_type, hidx, count(*) AS y FROM c GROUP BY 1, 2), " +
+        "t AS (SELECT DISTINCT event_type FROM cnt), " +
+        "grid AS (SELECT t.event_type, g.range AS hidx FROM t, range(0, 672) g), " +
+        "g2 AS (SELECT grid.event_type, grid.hidx, grid.hidx // 168 AS wk, grid.hidx % 168 AS how, " +
+        "CAST(coalesce(cnt.y, 0) AS BIGINT) AS y FROM grid LEFT JOIN cnt " +
+        "ON grid.event_type = cnt.event_type AND grid.hidx = cnt.hidx), " +
+        "f AS (SELECT event_type, how, CAST(SUM(y) * 1000 // 3 AS BIGINT) AS f_fp " +
+        "FROM g2 WHERE wk < 3 GROUP BY 1, 2), " +
+        "nv AS (SELECT a.event_type, CAST(SUM(abs(a.y - p.y)) * 1000 // 336 AS BIGINT) AS denom_fp " +
+        "FROM g2 a JOIN g2 p ON a.event_type = p.event_type AND p.hidx = a.hidx - 168 " +
+        "WHERE a.wk IN (1, 2) GROUP BY 1), " +
+        "tm AS (SELECT g2.event_type, CAST(SUM(abs(g2.y * 1000 - f.f_fp)) // 168 AS BIGINT) AS test_mae_fp " +
+        "FROM g2 JOIN f ON g2.event_type = f.event_type AND g2.how = f.how " +
+        "WHERE g2.wk = 3 GROUP BY 1) " +
+        "SELECT nv.event_type, nv.denom_fp, tm.test_mae_fp, " +
+        "CASE WHEN nv.denom_fp > 0 THEN CAST(tm.test_mae_fp * 1000000 // nv.denom_fp AS BIGINT) " +
+        "ELSE 0 END AS mase_ppm " +
+        "FROM nv JOIN tm ON nv.event_type = tm.event_type ORDER BY nv.event_type")),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent non-purchase event within a 7-day lookback (else 'none').
     // One IGNORE NULLS window pass on the user_id exchange — the same

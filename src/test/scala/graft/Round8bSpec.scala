@@ -220,6 +220,62 @@ class Round8bSpec extends AnyFunSuite {
     assert(got == want && got.values.sum == channels.size.toLong)
   }
 
+  test("cuped == brute-force per-user pre/post sums and algebraic variance") {
+    def h32(sx: String): Long = {
+      val dd = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).take(4)
+      dd.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(floor(value * 1000000) AS BIGINT) div 1000 AS v3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = ev.map(_._2).min + (ev.map(_._2).max - ev.map(_._2).min) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      (h32(u.toString) % 2,
+        rows.filter(_._2 < mid).map(_._3).sum, rows.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val (a0, a1) = (perUser.filter(_._1 == 0), perUser.filter(_._1 == 1))
+    val (n0, n1) = (a0.size.toLong, a1.size.toLong); val n = n0 + n1
+    val (sx, sy) = (perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val sxy = perUser.map(r => BigInt(r._2) * r._3).sum
+    val sxx = perUser.map(r => BigInt(r._2) * r._2).sum
+    val syy = perUser.map(r => BigInt(r._3) * r._3).sum
+    val covxy = sxy.toDouble - sx.toDouble * sy / n
+    val varx = sxx.toDouble - sx.toDouble * sx / n
+    val vary = syy.toDouble - sy.toDouble * sy / n
+    val theta = if (varx > 0) covxy / varx else 0.0
+    val r = Registry.byKey("rel_ab_cuped").query(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1)) == (n0, n1))
+    assert(r.getLong(2) == math.floor(theta * 1000000).toLong, "theta")
+    val diffRaw = a1.map(_._3).sum.toDouble / n1 - a0.map(_._3).sum.toDouble / n0
+    val diffX = a1.map(_._2).sum.toDouble / n1 - a0.map(_._2).sum.toDouble / n0
+    assert(r.getLong(3) == math.floor(diffRaw * 1000).toLong, "raw diff")
+    assert(r.getLong(4) == math.floor((diffRaw - theta * diffX) * 1000).toLong, "adjusted diff")
+    val adjVar = vary - 2 * theta * covxy + theta * theta * varx
+    assert(r.getLong(5) == math.floor((1.0 - adjVar / vary) * 1000000).toLong, "variance reduction")
+  }
+
+  test("snaive mase: constructed periodic series scores exactly zero error") {
+    val dir = "target/tmp/masefix"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-04 00:30:00").getTime
+    def ev(id: Long, hour: Int) =
+      (id, new java.sql.Timestamp(t0 + hour * 3600000L), id % 3, "P", 1.0, "{}")
+    import spark.implicits._
+    // hour-of-week 0 carries 1,2,3 events in train weeks 0-2 and the
+    // train mean (2) in test week 3; every other hour is empty. The
+    // 1-week-lag naive errs by 1+1 over 336 hours; the forecast errs 0.
+    val rows = Seq(ev(1, 0)) ++ (2 to 3).map(i => ev(i.toLong, 168)) ++
+      (4 to 6).map(i => ev(i.toLong, 336)) ++ (7 to 8).map(i => ev(i.toLong, 504))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("rel_forecast_snaive_mase").query(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "P" && r.getLong(1) == 2000L / 336 &&
+      r.getLong(2) == 0L && r.getLong(3) == 0L, s"row: $r")
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
