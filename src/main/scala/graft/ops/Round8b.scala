@@ -171,6 +171,34 @@ object Round8b {
       "CAST(l_linenumber AS VARCHAR), ':', CAST(l_partkey AS VARCHAR), ':', " +
       "CAST(l_suppkey AS VARCHAR))), 1, 8)) AS BIGINT)"
 
+  // ---- distribution drift (KS / PSI) ------------------------------------
+
+  /** Two-sample value histogram: events split at the time midpoint into
+    * reference (a) and current (b) halves, counted per (event_type,
+    * value_fp) — the same compressed-histogram discipline as the MAD
+    * family: everything downstream of this one aggregate touches only
+    * distinct values, never raw rows.
+    */
+  private def driftHistogram(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsFp(s, d).select("event_type", "us", "v")
+    val b = ev.agg(expr("min(us) + (max(us) - min(us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(b))
+      .groupBy("event_type", "v").agg(
+        expr("count_if(us < mid)").as("ca"),
+        expr("count_if(us >= mid)").as("cb"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB twin: CTEs ending in `h(event_type, v, ca, cb)`. */
+  private val oDriftHist: String =
+    "ev AS (SELECT event_type, epoch_us(ts) AS us, " +
+      "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+      "b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev), " +
+      "h AS (SELECT event_type, v, " +
+      "CAST(count_if(us < b.mid) AS BIGINT) AS ca, " +
+      "CAST(count_if(us >= b.mid) AS BIGINT) AS cb " +
+      "FROM ev, b GROUP BY 1, 2)"
+
   // ---- shared fixed-point event frame ----------------------------------
 
   private def eventsFp(s: SparkSession, d: String): DataFrame =
@@ -717,6 +745,103 @@ object Round8b {
         "CASE WHEN nv.denom_fp > 0 THEN CAST(tm.test_mae_fp * 1000000 // nv.denom_fp AS BIGINT) " +
         "ELSE 0 END AS mase_ppm " +
         "FROM nv JOIN tm ON nv.event_type = tm.event_type ORDER BY nv.event_type")),
+
+    // Kolmogorov-Smirnov two-sample drift test: is this half-period's
+    // value distribution the same as the last one's, per event type?
+    // D = max |ECDF_a - ECDF_b| computed entirely in integers over the
+    // compressed histogram (|cumA*nB - cumB*nA| avoids every division
+    // until the final ppm), with the value attaining the supremum
+    // reported alongside — the drift monitor that needs no binning
+    // choices at all.
+    Op("rel_ks_drift_test",
+      (s, d) => {
+        val h = driftHistogram(s, d)
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("event_type")
+        val wMax = Window.partitionBy("event_type")
+          .orderBy(expr("abs(cuma * nb - cumb * na)").desc, col("v"))
+        h.withColumn("cuma", sum("ca").over(wCum))
+          .withColumn("cumb", sum("cb").over(wCum))
+          .withColumn("na", sum("ca").over(wTot))
+          .withColumn("nb", sum("cb").over(wTot))
+          .where("na > 0 AND nb > 0")
+          .withColumn("rn", row_number().over(wMax))
+          .where("rn = 1")
+          .select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+            col("v").as("ks_at_fp"),
+            expr("CAST(abs(cuma * nb - cumb * na) * 1000000 div (na * nb) AS BIGINT)").as("ks_ppm"))
+          .orderBy("event_type")
+      },
+      Some(s"WITH $oDriftHist, " +
+        "c AS (SELECT *, CAST(SUM(ca) OVER w AS BIGINT) AS cuma, " +
+        "CAST(SUM(cb) OVER w AS BIGINT) AS cumb, " +
+        "CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb FROM h " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
+        "d AS (SELECT event_type, v, na, nb, abs(cuma * nb - cumb * na) AS dd, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY abs(cuma * nb - cumb * na) DESC, v) AS rn " +
+        "FROM c WHERE na > 0 AND nb > 0) " +
+        "SELECT event_type, na AS n_a, nb AS n_b, v AS ks_at_fp, " +
+        "CAST(dd * 1000000 // (na * nb) AS BIGINT) AS ks_ppm " +
+        "FROM d WHERE rn = 1 ORDER BY event_type")),
+
+    // Population Stability Index on reference-decile buckets: edges are
+    // side A's exact deciles (order statistics off the cumulated
+    // histogram), bucket membership is a broadcast <=9-edge join, and
+    // the PSI terms are Laplace-smoothed ((c+1)/(n+10): no empty-bucket
+    // infinities, fully deterministic) then QUANTIZED to 1e-9 BEFORE
+    // the per-type sum — ten doubles summed in engine-defined order
+    // would be the one nondeterminism this file bans.
+    Op("rel_psi_drift",
+      (s, d) => {
+        val h = driftHistogram(s, d)
+        val wCum = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nn = h.groupBy("event_type").agg(
+          expr("CAST(SUM(ca) AS BIGINT)").as("na"), expr("CAST(SUM(cb) AS BIGINT)").as("nb"))
+        val c = h.withColumn("cuma", sum("ca").over(wCum))
+        val e = c.join(broadcast(nn), "event_type").where("na > 0")
+          .crossJoin(s.range(1, 10).select(col("id").as("i")))
+          .where("cuma * 10 >= i * na")
+          .groupBy("event_type", "i").agg(min("v").as("edge"))
+        val bk = h.as("h").join(broadcast(e).as("e"),
+            expr("h.event_type = e.event_type AND e.edge <= h.v"), "left")
+          .groupBy(col("h.event_type").as("event_type"), col("h.v"),
+            col("h.ca"), col("h.cb"))
+          .agg(count(col("e.edge")).as("bucket"))
+        val g = bk.groupBy("event_type", "bucket")
+          .agg(expr("CAST(SUM(ca) AS BIGINT)").as("ba"), expr("CAST(SUM(cb) AS BIGINT)").as("bb"))
+        g.join(broadcast(nn), "event_type").where("na > 0 AND nb > 0")
+          .withColumn("term_fp", expr(
+            "CAST(floor((CAST(bb + 1 AS DOUBLE) / (nb + 10) - CAST(ba + 1 AS DOUBLE) / (na + 10)) " +
+              "* ln((CAST(bb + 1 AS DOUBLE) / (nb + 10)) / (CAST(ba + 1 AS DOUBLE) / (na + 10))) " +
+              "* 1000000000) AS BIGINT)"))
+          .groupBy("event_type")
+          .agg(expr("CAST(SUM(term_fp) div 1000 AS BIGINT)").as("psi_fp"),
+            count(lit(1)).as("n_buckets"))
+          .orderBy("event_type")
+      },
+      Some(s"WITH $oDriftHist, " +
+        "nn AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM h GROUP BY 1), " +
+        "c AS (SELECT *, CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma FROM h), " +
+        "e AS (SELECT c.event_type, i.range AS i, min(v) AS edge " +
+        "FROM c JOIN nn USING(event_type), range(1, 10) i " +
+        "WHERE nn.na > 0 AND c.cuma * 10 >= i.range * nn.na GROUP BY 1, 2), " +
+        "bk AS (SELECT h.event_type, h.v, h.ca, h.cb, count(e.edge) AS bucket " +
+        "FROM h LEFT JOIN e ON h.event_type = e.event_type AND e.edge <= h.v " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "g AS (SELECT event_type, bucket, CAST(SUM(ca) AS BIGINT) AS ba, " +
+        "CAST(SUM(cb) AS BIGINT) AS bb FROM bk GROUP BY 1, 2), " +
+        "terms AS (SELECT g.event_type, CAST(floor(" +
+        "(CAST(bb + 1 AS DOUBLE) / (nb + 10) - CAST(ba + 1 AS DOUBLE) / (na + 10)) " +
+        "* ln((CAST(bb + 1 AS DOUBLE) / (nb + 10)) / (CAST(ba + 1 AS DOUBLE) / (na + 10))) " +
+        "* 1000000000) AS BIGINT) AS term_fp " +
+        "FROM g JOIN nn ON g.event_type = nn.event_type WHERE nn.na > 0 AND nn.nb > 0) " +
+        "SELECT event_type, CAST(SUM(term_fp) // 1000 AS BIGINT) AS psi_fp, " +
+        "count(*) AS n_buckets FROM terms GROUP BY 1 ORDER BY 1")),
 
     // Last-touch attribution: each purchase credits the user's most
     // recent non-purchase event within a 7-day lookback (else 'none').

@@ -276,6 +276,50 @@ class Round8bSpec extends AnyFunSuite {
       r.getLong(2) == 0L && r.getLong(3) == 0L, s"row: $r")
   }
 
+  test("ks drift == brute-force integer ECDF supremum") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(floor(value * 1000000) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = ev.map(_._2).min + (ev.map(_._2).max - ev.map(_._2).min) / 2
+    val got = Registry.byKey("rel_ks_drift_test").query(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val grp = ev.filter(_._1 == r.getString(0))
+      val a = grp.filter(_._2 < mid).map(_._3).sorted
+      val b = grp.filter(_._2 >= mid).map(_._3).sorted
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val vs = (a ++ b).distinct.sorted
+      val best = vs.map { v =>
+        val dd = math.abs(a.count(_ <= v) * nb - b.count(_ <= v) * na)
+        (dd, v)
+      }.maxBy(t => (t._1, -t._2)) // max dd, smallest v on ties
+      assert((r.getLong(1), r.getLong(2)) == (na, nb))
+      assert(r.getLong(3) == best._2, s"${r.getString(0)} argmax value")
+      assert(r.getLong(4) == best._1 * 1000000L / (na * nb), s"${r.getString(0)} D")
+    }
+  }
+
+  test("drift pair flags a constructed distribution shift") {
+    val dir = "target/tmp/driftfix"
+    val t0 = java.sql.Timestamp.valueOf("2024-05-06 00:30:00").getTime
+    import spark.implicits._
+    // first half: values 1..50; second half: values 51..100 — disjoint
+    // supports, so KS must read exactly D=1 at the reference maximum
+    // and PSI must scream (all current mass lands in the top decile)
+    val rows = (1 to 100).map { h =>
+      (h.toLong, new java.sql.Timestamp(t0 + h * 3600000L), h.toLong % 7, "P",
+        h.toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ks = Registry.byKey("rel_ks_drift_test").query(spark, dir).collect().head
+    assert(ks.getLong(4) == 1000000L, s"disjoint halves must give D=1: $ks")
+    assert(ks.getLong(3) == 50000000L, "supremum at the reference maximum")
+    val psi = Registry.byKey("rel_psi_drift").query(spark, dir).collect().head
+    assert(psi.getLong(1) > 500000L, s"PSI must flag the shift (>0.5): $psi")
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
