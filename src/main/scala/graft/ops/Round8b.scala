@@ -843,6 +843,110 @@ object Round8b {
         "SELECT event_type, CAST(SUM(term_fp) // 1000 AS BIGINT) AS psi_fp, " +
         "count(*) AS n_buckets FROM terms GROUP BY 1 ORDER BY 1")),
 
+    // Kaplan-Meier survival: time from a user's first event to their
+    // first 'error', right-censored at last activity for users who
+    // never error — the reliability curve (works unchanged for churn
+    // once the corpus has any). The heavy work is ONE per-user
+    // aggregate; the lifetable is day-grid-sized, and the product
+    // estimator is an ln-cumsum with each term QUANTIZED to 1e-12
+    // fixed point before the ordered window sum — a raw running double
+    // sum drifted by 1 ulp between engines and flipped a floor at
+    // sf0.01 (measured, not hypothetical). d_t >= n_t (everyone at
+    // risk dies) pins survival to an exact 0 via a flag, not a -inf.
+    Op("rel_survival_km",
+      (s, d) => {
+        val u = eventsFp(s, d).groupBy("user_id").agg(
+          min("us").as("first_us"), max("us").as("last_us"),
+          min(when(col("event_type") === "error", col("us"))).as("err_us"))
+          .select(expr("CASE WHEN err_us IS NOT NULL THEN (err_us - first_us) div 86400000000 " +
+            "ELSE (last_us - first_us) div 86400000000 END").as("dur"),
+            expr("CASE WHEN err_us IS NOT NULL THEN 0 ELSE 1 END").as("cens"))
+          .localCheckpoint()
+        val tot = u.agg(count(lit(1)).as("n_users"), max("dur").as("maxd"))
+        val days = tot.select(explode(expr("sequence(0, maxd)")).as("t"), col("n_users"))
+        val dd = u.groupBy(col("dur").as("t")).agg(
+          expr("CAST(count_if(cens = 0) AS BIGINT)").as("dth"),
+          count(lit(1)).as("lv"))
+        // global windows — but over the lifetable (<= max-duration-in-days
+        // + 1 rows, calendar-bounded), never over corpus-sized data
+        val wCum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        days.join(dd, Seq("t"), "left")
+          .select(col("t"), col("n_users"),
+            expr("CAST(coalesce(dth, 0) AS BIGINT)").as("dth"),
+            expr("CAST(coalesce(lv, 0) AS BIGINT)").as("lv"))
+          .withColumn("n_risk", expr("n_users - CAST(coalesce(" +
+            "SUM(lv) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"))
+          .withColumn("lnsum_fp", sum(expr(
+            "CASE WHEN n_risk > 0 AND dth < n_risk THEN " +
+              "CAST(floor(ln(CAST(n_risk - dth AS DOUBLE) / n_risk) * 1000000000000) AS BIGINT) " +
+              "ELSE CAST(0 AS BIGINT) END"))
+            .over(wCum))
+          .withColumn("dead", max(expr(
+            "CASE WHEN dth >= n_risk AND n_risk > 0 THEN 1 ELSE 0 END")).over(wCum))
+          .select(col("t"), col("n_risk"), col("dth").as("n_events"),
+            expr("CASE WHEN dead = 1 THEN 0 " +
+              "ELSE CAST(floor(exp(CAST(lnsum_fp AS DOUBLE) / 1000000000000) * 1000000) AS BIGINT) END")
+              .as("survival_ppm"))
+          .orderBy("t")
+      },
+      Some("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "u AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us, " +
+        "min(CASE WHEN event_type = 'error' THEN us END) AS err_us FROM ev GROUP BY 1), " +
+        "du AS (SELECT CASE WHEN err_us IS NOT NULL THEN (err_us - first_us) // 86400000000 " +
+        "ELSE (last_us - first_us) // 86400000000 END AS dur, " +
+        "CASE WHEN err_us IS NOT NULL THEN 0 ELSE 1 END AS cens FROM u), " +
+        "tot AS (SELECT count(*) AS n_users, max(dur) AS maxd FROM du), " +
+        "days AS (SELECT unnest(generate_series(0, maxd)) AS t, n_users FROM tot), " +
+        "dd AS (SELECT dur AS t, CAST(count_if(cens = 0) AS BIGINT) AS dth, " +
+        "count(*) AS lv FROM du GROUP BY 1), " +
+        "g AS (SELECT days.t, days.n_users, CAST(coalesce(dd.dth, 0) AS BIGINT) AS dth, " +
+        "CAST(coalesce(dd.lv, 0) AS BIGINT) AS lv FROM days LEFT JOIN dd ON days.t = dd.t), " +
+        "r AS (SELECT t, dth, CAST(n_users - coalesce(SUM(lv) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM g), " +
+        "sv AS (SELECT t, dth, n_risk, " +
+        "SUM(CASE WHEN n_risk > 0 AND dth < n_risk THEN " +
+        "CAST(floor(ln(CAST(n_risk - dth AS DOUBLE) / n_risk) * 1000000000000) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum_fp, " +
+        "max(CASE WHEN dth >= n_risk AND n_risk > 0 THEN 1 ELSE 0 END) OVER " +
+        "(ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead FROM r) " +
+        "SELECT t, n_risk, dth AS n_events, " +
+        "CASE WHEN dead = 1 THEN 0 ELSE CAST(floor(exp(CAST(lnsum_fp AS DOUBLE) / 1000000000000) " +
+        "* 1000000) AS BIGINT) END AS survival_ppm " +
+        "FROM sv ORDER BY t")),
+
+    // Value-concentration diagnostics: the Gini coefficient of per-user
+    // value per event type (how whale-dominated is each stream). The
+    // rank weighting 2*sum(i*s) needs a per-type sort of USER SUMS (one
+    // row per user — never raw events); ties in s share consecutive
+    // ranks, which the identity is invariant to.
+    Op("rel_value_gini",
+      (s, d) => {
+        val pu = eventsFp(s, d)
+          .groupBy("event_type", "user_id")
+          .agg(expr("CAST(SUM(v div 1000) AS BIGINT)").as("s"))
+        val wRank = Window.partitionBy("event_type").orderBy("s", "user_id")
+        pu.withColumn("i", row_number().over(wRank).cast("bigint"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"), expr("CAST(SUM(s) AS BIGINT)").as("total_fp"),
+            expr("CAST(SUM(i * s) AS BIGINT)").as("ws"))
+          .select(col("event_type"), col("n"), col("total_fp"),
+            expr("CASE WHEN n > 0 AND total_fp > 0 THEN CAST(floor(" +
+              "(2.0 * ws - (n + 1.0) * total_fp) / (CAST(n AS DOUBLE) * total_fp) * 1000000) " +
+              "AS BIGINT) ELSE 0 END").as("gini_ppm"))
+          .orderBy("event_type")
+      },
+      Some("WITH ev AS (SELECT event_type, user_id, " +
+        "CAST(floor(value * 1000000) AS BIGINT) // 1000 AS v3 FROM events), " +
+        "pu AS (SELECT event_type, user_id, CAST(SUM(v3) AS BIGINT) AS s FROM ev GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type, s, CAST(row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY s, user_id) AS BIGINT) AS i FROM pu), " +
+        "ag AS (SELECT event_type, count(*) AS n, CAST(SUM(s) AS BIGINT) AS total_fp, " +
+        "CAST(SUM(i * s) AS BIGINT) AS ws FROM rk GROUP BY 1) " +
+        "SELECT event_type, n, total_fp, " +
+        "CASE WHEN n > 0 AND total_fp > 0 THEN CAST(floor(" +
+        "(2.0 * ws - (n + 1.0) * total_fp) / (CAST(n AS DOUBLE) * total_fp) * 1000000) " +
+        "AS BIGINT) ELSE 0 END AS gini_ppm FROM ag ORDER BY event_type")),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent non-purchase event within a 7-day lookback (else 'none').
     // One IGNORE NULLS window pass on the user_id exchange — the same

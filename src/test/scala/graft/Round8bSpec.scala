@@ -320,6 +320,51 @@ class Round8bSpec extends AnyFunSuite {
     assert(psi.getLong(1) > 500000L, s"PSI must flag the shift (>0.5): $psi")
   }
 
+  test("kaplan-meier == brute-force lifetable with quantized ln terms") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val first = rows.map(_._3).min
+      val errs = rows.filter(_._2 == "error").map(_._3)
+      if (errs.nonEmpty) ((errs.min - first) / 86400000000L, 0)
+      else ((rows.map(_._3).max - first) / 86400000000L, 1)
+    }.toSeq
+    val nUsers = users.size.toLong
+    val maxd = users.map(_._1).max
+    var lnsum = 0L; var atRisk = nUsers; var dead = false
+    val want = (0L to maxd).map { t =>
+      val dth = users.count(u => u._1 == t && u._2 == 0).toLong
+      val leave = users.count(_._1 == t).toLong
+      if (atRisk > 0 && dth >= atRisk) dead = true
+      else if (atRisk > 0 && dth > 0)
+        lnsum += math.floor(math.log((atRisk - dth).toDouble / atRisk) * 1e12).toLong
+      val surv = if (dead) 0L else math.floor(math.exp(lnsum.toDouble / 1e12) * 1e6).toLong
+      val row = (t, atRisk, dth, surv)
+      atRisk -= leave
+      row
+    }
+    val got = Registry.byKey("rel_survival_km").query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("gini == brute-force rank-weighted concentration per type") {
+    val pu = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "CAST(floor(value * 1000000) AS BIGINT) div 1000 AS v3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val got = Registry.byKey("rel_value_gini").query(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ss = pu.collect { case ((t, _), sum) if t == r.getString(0) => sum }.toSeq.sorted
+      val n = ss.size.toLong; val tot = ss.sum
+      val ws = ss.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      val gini = math.floor((2.0 * ws - (n + 1.0) * tot) / (n.toDouble * tot) * 1e6).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (n, tot, gini), r.getString(0))
+    }
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
