@@ -5,9 +5,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-8 second batch: DATA-QUALITY AUDITS AND ROBUST TIME-SERIES
+/** Round-8 second batch: DATA-QUALITY, GOVERNANCE, AND SELF-MEASURING
   * ANALYTICS — the "is the data I'm about to train on actually sound"
-  * pass that runs before any of the dedup/curation ops downstream.
+  * pass (FK integrity, expectations, ingestion gaps, masking), the
+  * approximate-query estimators that ship their own error (uniform +
+  * stratified sampling, bitmap distinct), and the statistics an
+  * experimentation/monitoring platform runs on the event stream
+  * (Welch t, CUPED, attribution, KS/PSI drift, MASE backtest,
+  * Kaplan-Meier, MAD anomalies, Gini).
+  *
+  * FILE-WIDE DETERMINISM RULE, learned the hard way (see
+  * rel_survival_km): no raw double is ever accumulated — not in an
+  * aggregate, not even in an ordered window whose evaluation order
+  * both engines define. Every double reduction is either a single
+  * closed-form expression over already-aggregated integers (identical
+  * IEEE tree on both engines) or quantized to fixed point BEFORE the
+  * sum. Running ln() doubles through a window cumsum drifted 1 ulp
+  * between Spark and DuckDB at sf0.01 and flipped a floor().
   *
   * 100-TB design notes, per op:
   *
