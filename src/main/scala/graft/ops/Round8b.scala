@@ -857,6 +857,60 @@ object Round8b {
         "SELECT event_type, CAST(SUM(term_fp) // 1000 AS BIGINT) AS psi_fp, " +
         "count(*) AS n_buckets FROM terms GROUP BY 1 ORDER BY 1")),
 
+    // Linear multi-touch attribution: every touch in a purchase's
+    // 7-day lookback shares the credit equally, in integer ppm with
+    // the division remainder assigned to the earliest touches — so
+    // credit is conserved EXACTLY (sum over channels == purchases x
+    // 1e6, spec-pinned as an invariant). The touch join is keyed
+    // user_id with a bounded per-user quadratic (the funnel-family
+    // discipline: a user's own history, never a global pair space);
+    // untouched purchases roll up under 'none'.
+    Op("rel_attribution_linear",
+      (s, d) => {
+        val ev = eventsFp(s, d)
+        val p = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
+        val t = ev.where("event_type <> 'purchase'")
+          .select(col("user_id"), col("event_id").as("tid"),
+            col("event_type").as("channel"), col("us").as("tus"))
+        val j = p.join(t, p("user_id") === t("user_id") &&
+            col("tus") < col("pus") && col("pus") - col("tus") <= 604800000000L)
+          .select("pid", "channel", "tus", "tid")
+          .localCheckpoint()
+        val wK = Window.partitionBy("pid")
+        val wR = Window.partitionBy("pid").orderBy("tus", "tid")
+        val ch = j.withColumn("k", count(lit(1)).over(wK))
+          .withColumn("rnk", row_number().over(wR))
+          .withColumn("credit", expr(
+            "CAST(1000000 div k + CASE WHEN rnk <= 1000000 % k THEN 1 ELSE 0 END AS BIGINT)"))
+          .groupBy("channel").agg(
+            expr("CAST(SUM(credit) AS BIGINT)").as("credit_total"),
+            count(lit(1)).as("n_touches"))
+        val none = p.join(j.select("pid"), Seq("pid"), "left_anti")
+          .agg(expr("CAST(count(*) * 1000000 AS BIGINT)").as("credit_total"),
+            count(lit(1)).as("n_touches"))
+          .where("n_touches > 0")
+          .select(lit("none").as("channel"), col("credit_total"), col("n_touches"))
+        ch.unionByName(none).orderBy("channel")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "p AS (SELECT user_id, event_id AS pid, us AS pus FROM ev WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, event_id AS tid, event_type AS channel, us AS tus FROM ev " +
+        "WHERE event_type <> 'purchase'), " +
+        "j AS (SELECT p.pid, t.channel, t.tus, t.tid FROM p JOIN t ON p.user_id = t.user_id " +
+        "AND t.tus < p.pus AND p.pus - t.tus <= 604800000000), " +
+        "r AS (SELECT pid, channel, count(*) OVER (PARTITION BY pid) AS k, " +
+        "row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rnk FROM j), " +
+        "c AS (SELECT pid, channel, CAST(1000000 // k + CASE WHEN rnk <= 1000000 % k " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS credit FROM r), " +
+        "nt AS (SELECT 'none' AS channel, CAST(count(*) * 1000000 AS BIGINT) AS credit_total, " +
+        "CAST(count(*) AS BIGINT) AS n_touches FROM p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)), " +
+        "ch AS (SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_total, " +
+        "count(*) AS n_touches FROM c GROUP BY 1) " +
+        "SELECT * FROM (SELECT * FROM ch UNION ALL SELECT * FROM nt WHERE n_touches > 0) " +
+        "ORDER BY channel")),
+
     // Kaplan-Meier survival: time from a user's first event to their
     // first 'error', right-censored at last activity for users who
     // never error — the reliability curve (works unchanged for churn

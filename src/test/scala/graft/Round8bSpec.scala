@@ -365,6 +365,18 @@ class Round8bSpec extends AnyFunSuite {
     }
   }
 
+  test("linear attribution conserves credit exactly and agrees with last-touch on 'none'") {
+    val lin = Registry.byKey("rel_attribution_linear").query(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val purchases = Tables.events(spark, sf).where("event_type = 'purchase'").count()
+    assert(lin.map(_._2).sum == purchases * 1000000L,
+      "every purchase's 1e6 ppm must be fully distributed")
+    val lastNone = Registry.byKey("rel_attribution_last_touch").query(spark, sf)
+      .collect().find(_.getString(0) == "none").map(_.getLong(1)).getOrElse(0L)
+    val linNone = lin.find(_._1 == "none").map(_._3).getOrElse(0L)
+    assert(linNone == lastNone, "both models define an unattributed purchase identically")
+  }
+
   test("rolling regression runs on ONE hash exchange (windows + top-k reuse it)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
