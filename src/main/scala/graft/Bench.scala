@@ -123,7 +123,17 @@ object Bench {
       .map(n => bySlowest.take(n))
       .find(kept => line(kept, all.size - kept.size).length <= budget)
       .getOrElse(Seq.empty)
-    println(line(keep, all.size - keep.size))
+    val out = line(keep, all.size - keep.size)
+    // guardrail: a driver-tail overflow must fail HERE, not as a
+    // truncated BENCH_r{N}.json
+    require(out.length <= budget,
+      s"bench JSON line ${out.length} B exceeds the $budget B driver-tail budget")
+    // push any WARN noise accumulated during the runs out of the
+    // driver's 2000-byte stdout tail: after this pad the final window
+    // holds only newlines + the JSON (+ sbt's ~80-byte status line),
+    // so the JSON's first byte is the first non-pad byte of the tail
+    print("\n" * 2000)
+    println(out)
     spark.stop()
   }
 }

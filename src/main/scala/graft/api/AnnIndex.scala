@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * probe cells.
   *
   * On disk: `dir/centroids` (k rows: c_id, n, c_vec) and
-  * `dir/assignments` (one row per vector, `partitionBy(c_id)` so the
-  * nProbe-cell candidate scan is a partition-pruned read, never a
-  * corpus scan). `update` assigns a new batch against the FIXED
-  * centroids and appends only new cell files — the between-retrains
-  * ingestion path; `train`/`build` is the periodic retrain.
+  * `dir/assignments` (one row per vector, `partitionBy(batch_key,
+  * c_id)` so the nProbe-cell candidate scan is a partition-pruned
+  * read, never a corpus scan, and each ingested batch owns its own
+  * partitions — replay-overwritable). `update` assigns a new batch
+  * against the FIXED centroids and writes only its own partitions —
+  * the between-retrains ingestion path; `train`/`build` is the
+  * periodic retrain.
   *
   * All arithmetic is the fixed-point Lloyd iteration the
   * `llm_kmeans_train` operator pins against the DuckDB oracle
@@ -36,7 +38,7 @@ object AnnIndex {
       "CAST(0 AS DOUBLE), (a, v) -> a + v)"
 
   private val trainCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, String), DataFrame]
 
   /** Training-job counter, observable by tests. */
   @volatile private[graft] var trainJobs: Long = 0L
@@ -55,9 +57,34 @@ object AnnIndex {
     // coarse lock: see Models.logregTrainFor — prevents double Lloyd
     // runs (one leaked) and lost counter increments under races
     trainCache.synchronized {
-      trainCache.getOrElseUpdate((s, dir, k, iters), {
+      trainCache.getOrElseUpdate((s, dir, k, iters, "full"), {
         trainJobs += 1
         train(s.read.parquet(s"$dir/embeddings.parquet"), k, iters)
+      })
+    }
+
+  /** [[trainFor]] for a contiguous SUBSPACE slice (1-based `start`,
+    * `len` dims) of the stored embeddings: the memo key carries the
+    * slice descriptor, so the PQ family (`llm_pq_train`,
+    * `llm_pq_adc_recall`) trains M subspace codebooks ONCE per
+    * session instead of once per op — the codebooks are a pure
+    * function of (dir, slice, k, iters), and re-running Lloyd for the
+    * second consumer is the same redundant work whole-vector
+    * [[trainFor]] already eliminates.
+    */
+  def trainSliceFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      start: Int,
+      len: Int,
+      k: Int,
+      iters: Int): DataFrame =
+    trainCache.synchronized {
+      trainCache.getOrElseUpdate((s, dir, k, iters, s"slice:$start:$len"), {
+        trainJobs += 1
+        val sub = graft.Tables.spread(s.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"), expr(s"slice(embedding, $start, $len)").as("embedding"))
+        train(sub, k, iters)
       })
     }
 
@@ -139,21 +166,44 @@ object AnnIndex {
   def build(emb: DataFrame, dir: String, k: Int = 10, iters: Int = 3): Unit = {
     val cent = train(emb, k, iters).localCheckpoint()
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    assign(emb, cent).write.mode("overwrite")
-      .partitionBy("c_id").parquet(s"$dir/assignments")
+    assign(emb, cent)
+      .withColumn("batch_key", lit("base"))
+      .write.mode("overwrite")
+      .partitionBy("batch_key", "c_id").parquet(s"$dir/assignments")
   }
 
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
-  /** Fold a new batch into the index against the FIXED centroids —
-    * an append of new cell files only, so concurrent readers keep a
-    * consistent view and nothing existing is rewritten.
+  /** Fold a new batch into the index against the FIXED centroids.
+    * Assignments are partitioned (batch_key, c_id) and each update
+    * lands with DYNAMIC partition overwrite under its own batch_key,
+    * so a redelivered batch rewrites exactly its own partitions
+    * instead of appending duplicates — the property that lets
+    * [[graft.streaming.Streams.annSink]] run at-least-once
+    * foreachBatch replays safely. With `batchId` set, an
+    * already-applied batch (per the `dir/applied` ledger) is a full
+    * no-op and the ledger entry is recorded after the write. Nothing
+    * existing is rewritten, so concurrent readers keep a consistent
+    * view.
     */
-  def update(newVecs: DataFrame, dir: String): Unit = {
-    val cent = readCentroids(newVecs.sparkSession, dir)
-    assign(newVecs, cent).write.mode("append")
-      .partitionBy("c_id").parquet(s"$dir/assignments")
+  def update(newVecs: DataFrame, dir: String, batchId: Option[String] = None): Boolean = {
+    val spark = newVecs.sparkSession
+    if (batchId.isDefined && !StoreIO.exists(spark, s"$dir/applied") &&
+        !StoreIO.exists(spark, s"$dir/applied-old")) {
+      StoreIO.swapIn(StoreIO.ledgerDf(spark, Seq.empty), spark, s"$dir/applied")
+    }
+    if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
+    val cent = readCentroids(spark, dir)
+    val batchKey = batchId.getOrElse(
+      s"adhoc-${java.util.UUID.randomUUID().toString.take(8)}")
+    assign(newVecs, cent)
+      .withColumn("batch_key", lit(batchKey))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_key", "c_id").parquet(s"$dir/assignments")
+    batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+    true
   }
 
   /** Search the stored index. The probe cells resolve first (bounded:

@@ -116,10 +116,15 @@ final class Environment(val spark: SparkSession) {
 object RunLog {
   final case class Entry(stage: String, runSeq: Long, watermark: Long, rowsConsumed: Long)
 
-  private def exists(dir: String): Boolean = {
-    val f = new java.io.File(dir)
-    f.isDirectory && f.listFiles() != null &&
-      f.listFiles().exists(_.getName.endsWith(".parquet"))
+  /** Hadoop-FS existence probe (NOT java.io.File — a stateDir on
+    * HDFS/S3 must read its own history, or runIncremental silently
+    * resets to run_seq 1 and re-consumes from Long.MinValue).
+    */
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val fs = StoreIO.fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
   def read(spark: SparkSession, dir: String): DataFrame = {
@@ -127,7 +132,7 @@ object RunLog {
     val schema = StructType(Seq(
       StructField("stage", StringType), StructField("run_seq", LongType),
       StructField("watermark", LongType), StructField("rows_consumed", LongType)))
-    if (exists(dir)) spark.read.schema(schema).parquet(dir)
+    if (exists(spark, dir)) spark.read.schema(schema).parquet(dir)
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 

@@ -48,4 +48,19 @@ object CorpusStats {
     val (n, r) = dupStats(s, dir)
     r > n - n / 10
   }
+
+  /** Scale-invariant rare-term document-frequency cap for the exact
+    * near-dup candidate generators (shared-shingle / shared-window):
+    * max(256, 1% of corpus docs). An ABSOLUTE cap silently loses
+    * near-dup recall as the corpus grows — an ever-larger share of
+    * shingles crosses it and drops out of candidate generation — so
+    * the cap tracks |docs|. The oracle derives the identical number
+    * via [[oRareDfCap]]'s scalar subquery, so engine parity holds at
+    * every SF. Reuses the memoized [[dupStats]] job: no extra scan.
+    */
+  def rareDfCap(s: SparkSession, dir: String): Long =
+    math.max(256L, dupStats(s, dir)._1 / 100)
+
+  /** DuckDB expression computing the same cap as [[rareDfCap]]. */
+  val oRareDfCap: String = "greatest(256, (SELECT count(*) FROM documents) // 100)"
 }

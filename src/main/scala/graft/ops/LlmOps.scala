@@ -181,7 +181,8 @@ object LlmOps {
         .select(col("doc_id"), explode(expr(shingleHashExpr)).as("sid"))
         .persist()
       val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val rare = sid.groupBy("sid").agg(count(lit(1)).as("df")).where("df <= 256")
+      val rare = sid.groupBy("sid").agg(count(lit(1)).as("df"))
+        .where(s"df <= ${CorpusStats.rareDfCap(s, d)}")
         .select("sid")
       val shRare = sid.join(rare, "sid")
       val pairs = shRare.as("x").join(shRare.as("y"),
@@ -207,7 +208,8 @@ object LlmOps {
       .select(col("rep"), col("n_dup"), explode(expr(shingleHashExpr)).as("sid"))
       .persist() // feeds the inverted-index self-join and the counts
     val counts = sid.groupBy("rep").agg(count(lit(1)).as("n_sh"))
-    val rare = sid.groupBy("sid").agg(sum("n_dup").as("df")).where("df <= 256")
+    val rare = sid.groupBy("sid").agg(sum("n_dup").as("df"))
+      .where(s"df <= ${CorpusStats.rareDfCap(s, d)}")
       .select("sid")
     val shRare = sid.join(rare, "sid").select("rep", "sid").persist()
     val repPairs = shRare.as("x").join(shRare.as("y"),
@@ -251,7 +253,7 @@ object LlmOps {
       "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
       "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) WHERE len(toks) >= 3), " +
       "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-      "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
+      s"rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${CorpusStats.oRareDfCap}), " +
       "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
       "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared FROM shrare x JOIN shrare y " +
       "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id), " +
@@ -357,7 +359,7 @@ object LlmOps {
       "range(1, len(toks) - 18), i -> array_to_string(list_slice(toks, i, i + 19), ' ')))) AS w " +
       "FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) " +
       "WHERE len(toks) >= 20), " +
-      "rare AS (SELECT w FROM w GROUP BY w HAVING count(*) <= 256), " +
+      s"rare AS (SELECT w FROM w GROUP BY w HAVING count(*) <= ${CorpusStats.oRareDfCap}), " +
       "wr AS (SELECT doc_id, w FROM w JOIN rare USING (w)), " +
       "spairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared " +
       "FROM wr x JOIN wr y ON x.w = y.w AND x.doc_id < y.doc_id GROUP BY 1, 2)"
@@ -574,7 +576,7 @@ object LlmOps {
         val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         // full-corpus df = multiplicity-weighted rep df
         val rare = sid.groupBy("sid").agg(sum("n_dup").as("df"))
-          .where("df <= 256").select("sid")
+          .where(s"df <= ${CorpusStats.rareDfCap(s, d)}").select("sid")
         // persisted: feeds both sides of the pair self-join AND the
         // rare-count aggregate
         val shRare = sid.join(rare, "sid").select("doc_id", "sid").persist()
@@ -1735,7 +1737,7 @@ object LlmOps {
             .select(col("doc_id"), explode(expr(winExpr)).as("w"))
             .persist()
           val rare = win.groupBy("w").agg(count(lit(1)).as("df"))
-            .where("df <= 256").select("w")
+            .where(s"df <= ${CorpusStats.rareDfCap(s, d)}").select("w")
           val wr = win.join(rare, "w")
           val out = wr.as("x").join(wr.as("y"),
               col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
@@ -1755,7 +1757,7 @@ object LlmOps {
           .select(col("rep"), col("n_dup"), explode(expr(winExpr)).as("w"))
           .persist()
         val rare = win.groupBy("w").agg(sum("n_dup").as("df"))
-          .where("df <= 256").select("w")
+          .where(s"df <= ${CorpusStats.rareDfCap(s, d)}").select("w")
         val wr = win.join(rare, "w").select("rep", "w").persist()
         val repPairs = wr.as("x").join(wr.as("y"),
             col("x.w") === col("y.w") && col("x.rep") < col("y.rep"))

@@ -518,7 +518,8 @@ object Round7 {
     // "these two overlap", containment says "one lies inside the
     // other" (boilerplate-wrapped copies, excerpt pages), the signal
     // that picks WHICH document to drop. Same inverted-index discipline
-    // as llm_ngram_jaccard: rare cap (df<=256) bounds posting lists,
+    // as llm_ngram_jaccard: the scale-invariant rare cap
+    // (df <= max(256, 1% of docs)) bounds posting lists,
     // denominators count every shingle; pair generation runs on one
     // representative per identical-(lowered-)text group, so the
     // quadratic term is |distinct texts| — bounded on duplicate-heavy
@@ -535,7 +536,7 @@ object Round7 {
           .localCheckpoint()
         val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val rare = sid.groupBy("sid").agg(count(lit(1)).as("df"))
-          .where("df <= 256").select("sid")
+          .where(s"df <= ${CorpusStats.rareDfCap(s, d)}").select("sid")
         val shRare = sid.join(rare, "sid")
         shRare.as("x").join(shRare.as("y"),
             col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
@@ -555,7 +556,7 @@ object Round7 {
         "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle " +
         "FROM (SELECT doc_id, string_split(ltext, ' ') AS toks FROM reps) WHERE len(toks) >= 3), " +
         "counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 256), " +
+        s"rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${CorpusStats.oRareDfCap}), " +
         "shrare AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)), " +
         "shared AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared " +
         "FROM shrare x JOIN shrare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id " +

@@ -601,7 +601,9 @@ object Round8 {
         val parts = (0 until 4).map { m =>
           val sub = emb.select(col("vec_id"),
             expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
-          val cent = graft.api.AnnIndex.train(sub, k = 8, iters = 2)
+          // session-memoized per slice: the ADC-recall op consumes the
+          // SAME 4 codebooks instead of re-running 8 Lloyd jobs
+          val cent = graft.api.AnnIndex.trainSliceFor(s, d, 16 * m + 1, 16, k = 8, iters = 2)
           graft.api.AnnIndex.assign(sub, cent)
             .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
             .select(lit(m).as("m"),
@@ -636,7 +638,7 @@ object Round8 {
         val subs = (0 until 4).map { m =>
           val sub = emb.select(col("vec_id"),
             expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
-          val cent = graft.api.AnnIndex.train(sub, k = 8, iters = 2)
+          val cent = graft.api.AnnIndex.trainSliceFor(s, d, 16 * m + 1, 16, k = 8, iters = 2)
           val codes = graft.api.AnnIndex.assign(sub, cent)
             .select(lit(m).as("m"), col("vec_id"), col("c_id"))
           val pdist = probes

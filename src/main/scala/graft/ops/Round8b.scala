@@ -567,24 +567,30 @@ object Round8b {
 
     // A/B experiment readout: users md5-hash into control/treatment
     // (derandomized — assignment survives restarts and engines agree),
-    // and a Welch t-statistic per event type falls out of six integer
-    // aggregates in ONE scan. Sums of squares accumulate in
-    // DECIMAL(38,0) — mergeable, overflow-proof at any corpus size —
-    // and convert to DOUBLE only inside the final one-row-per-type
-    // t formula, where both engines evaluate the identical IEEE tree.
+    // and a Welch t-statistic per event type over PER-USER totals: the
+    // unit of randomization is the user, so events aggregate to one
+    // observation per (event_type, user) first — treating clustered
+    // per-user events as independent samples would understate the
+    // variance and inflate t. Two shuffles (user rollup, then type
+    // rollup), both map-side-combining. Sums of squares accumulate in
+    // DECIMAL(38,0) — mergeable, overflow-proof past 1e19 fixed-point
+    // units per user — and convert to DOUBLE only inside the final
+    // one-row-per-type t formula, where both engines evaluate the
+    // identical IEEE tree.
     Op("rel_ab_welch_ttest",
       (s, d) => {
         eventsFp(s, d)
           .withColumn("arm", expr(
             "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"))
-          .withColumn("v3", expr("v div 1000")) // 1e-3 fixed point
+          .groupBy("event_type", "user_id", "arm")
+          .agg(expr("CAST(SUM(v div 1000) AS BIGINT)").as("uv")) // 1e-3 fixed point
           .groupBy("event_type").agg(
             expr("count_if(arm = 0)").as("n0"),
             expr("count_if(arm = 1)").as("n1"),
-            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN v3 END), 0) AS BIGINT)").as("s0"),
-            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN v3 END), 0) AS BIGINT)").as("s1"),
-            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").as("q0"),
-            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0))").as("q1"))
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN uv END), 0) AS BIGINT)").as("s0"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN uv END), 0) AS BIGINT)").as("s1"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(uv AS DECIMAL(19,0)) * CAST(uv AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0))").as("q0"),
+            expr("CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(uv AS DECIMAL(19,0)) * CAST(uv AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0))").as("q1"))
           .where("n0 > 1 AND n1 > 1")
           .withColumn("var0", expr(
             "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)"))
@@ -599,17 +605,19 @@ object Round8b {
               "AS BIGINT) ELSE 0 END").as("t_fp"))
           .orderBy("event_type")
       },
-      Some("WITH v AS (SELECT event_type, " +
+      Some("WITH v AS (SELECT event_type, user_id, " +
         "CAST(floor(value * 1000000) AS BIGINT) // 1000 AS v3, " +
         "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm " +
         "FROM events), " +
+        "pu AS (SELECT event_type, user_id, arm, CAST(SUM(v3) AS BIGINT) AS uv " +
+        "FROM v GROUP BY 1, 2, 3), " +
         "a AS (SELECT event_type, " +
         "CAST(count_if(arm = 0) AS BIGINT) AS n0, CAST(count_if(arm = 1) AS BIGINT) AS n1, " +
-        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN v3 END), 0) AS BIGINT) AS s0, " +
-        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN v3 END), 0) AS BIGINT) AS s1, " +
-        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS q0, " +
-        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(v3 * v3 AS DECIMAL(38,0)) END), 0) AS DECIMAL(38,0)) AS q1 " +
-        "FROM v GROUP BY 1), " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN uv END), 0) AS BIGINT) AS s0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN uv END), 0) AS BIGINT) AS s1, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 0 THEN CAST(uv AS DECIMAL(19,0)) * CAST(uv AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0)) AS q0, " +
+        "CAST(coalesce(SUM(CASE WHEN arm = 1 THEN CAST(uv AS DECIMAL(19,0)) * CAST(uv AS DECIMAL(19,0)) END), 0) AS DECIMAL(38,0)) AS q1 " +
+        "FROM pu GROUP BY 1), " +
         "b AS (SELECT *, " +
         "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS var0, " +
         "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS var1 " +
@@ -774,7 +782,9 @@ object Round8b {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wTot = Window.partitionBy("event_type")
         val wMax = Window.partitionBy("event_type")
-          .orderBy(expr("abs(cuma * nb - cumb * na)").desc, col("v"))
+          .orderBy(expr(
+            "abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)").desc,
+            col("v"))
         h.withColumn("cuma", sum("ca").over(wCum))
           .withColumn("cumb", sum("cb").over(wCum))
           .withColumn("na", sum("ca").over(wTot))
@@ -784,7 +794,8 @@ object Round8b {
           .where("rn = 1")
           .select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
             col("v").as("ks_at_fp"),
-            expr("CAST(abs(cuma * nb - cumb * na) * 1000000 div (na * nb) AS BIGINT)").as("ks_ppm"))
+            expr("CAST(abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na) " +
+              "* 1000000 div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("ks_ppm"))
           .orderBy("event_type")
       },
       Some(s"WITH $oDriftHist, " +
@@ -793,11 +804,13 @@ object Round8b {
         "CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na, " +
         "CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb FROM h " +
         "WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)), " +
-        "d AS (SELECT event_type, v, na, nb, abs(cuma * nb - cumb * na) AS dd, " +
-        "row_number() OVER (PARTITION BY event_type ORDER BY abs(cuma * nb - cumb * na) DESC, v) AS rn " +
+        "d AS (SELECT event_type, v, na, nb, " +
+        "abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dd, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY " +
+        "abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) DESC, v) AS rn " +
         "FROM c WHERE na > 0 AND nb > 0) " +
         "SELECT event_type, na AS n_a, nb AS n_b, v AS ks_at_fp, " +
-        "CAST(dd * 1000000 // (na * nb) AS BIGINT) AS ks_ppm " +
+        "CAST(dd * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm " +
         "FROM d WHERE rn = 1 ORDER BY event_type")),
 
     // Population Stability Index on reference-decile buckets: edges are
@@ -868,12 +881,17 @@ object Round8b {
     Op("rel_attribution_linear",
       (s, d) => {
         val ev = eventsFp(s, d)
+        // alias both self-join sides: p/t descend from one frame, and an
+        // unaliased p("user_id") === t("user_id") resolves to the same
+        // attribute (Spark's trivially-true-predicate warning)
         val p = ev.where("event_type = 'purchase'")
           .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
+          .alias("p")
         val t = ev.where("event_type <> 'purchase'")
           .select(col("user_id"), col("event_id").as("tid"),
             col("event_type").as("channel"), col("us").as("tus"))
-        val j = p.join(t, p("user_id") === t("user_id") &&
+          .alias("t")
+        val j = p.join(t, expr("p.user_id = t.user_id") &&
             col("tus") < col("pus") && col("pus") - col("tus") <= 604800000000L)
           .select("pid", "channel", "tus", "tid")
           .localCheckpoint()
@@ -996,7 +1014,7 @@ object Round8b {
         pu.withColumn("i", row_number().over(wRank).cast("bigint"))
           .groupBy("event_type").agg(
             count(lit(1)).as("n"), expr("CAST(SUM(s) AS BIGINT)").as("total_fp"),
-            expr("CAST(SUM(i * s) AS BIGINT)").as("ws"))
+            expr("CAST(SUM(CAST(i AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))").as("ws"))
           .select(col("event_type"), col("n"), col("total_fp"),
             expr("CASE WHEN n > 0 AND total_fp > 0 THEN CAST(floor(" +
               "(2.0 * ws - (n + 1.0) * total_fp) / (CAST(n AS DOUBLE) * total_fp) * 1000000) " +
@@ -1009,7 +1027,7 @@ object Round8b {
         "rk AS (SELECT event_type, s, CAST(row_number() OVER " +
         "(PARTITION BY event_type ORDER BY s, user_id) AS BIGINT) AS i FROM pu), " +
         "ag AS (SELECT event_type, count(*) AS n, CAST(SUM(s) AS BIGINT) AS total_fp, " +
-        "CAST(SUM(i * s) AS BIGINT) AS ws FROM rk GROUP BY 1) " +
+        "CAST(SUM(CAST(i AS HUGEINT) * s) AS HUGEINT) AS ws FROM rk GROUP BY 1) " +
         "SELECT event_type, n, total_fp, " +
         "CASE WHEN n > 0 AND total_fp > 0 THEN CAST(floor(" +
         "(2.0 * ws - (n + 1.0) * total_fp) / (CAST(n AS DOUBLE) * total_fp) * 1000000) " +

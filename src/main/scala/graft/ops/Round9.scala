@@ -1,0 +1,238 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: DQ trend analytics and productionization
+  * companions to the persistent-store surface.
+  *
+  * Determinism discipline (same as the round-8 files): integer ppm /
+  * fixed-point arithmetic end-to-end, DECIMAL(38) where products of
+  * BIGINTs could overflow, total ORDER BY over a unique key, and both
+  * engines evaluating the identical expression tree wherever a DOUBLE
+  * is unavoidable.
+  */
+object Round9 {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** events with 1e-6 fixed-point value and epoch-microsecond ts (the
+    * Round8b event-family projection).
+    */
+  private def eventsFp(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("event_type"), col("user_id"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+
+  /** The 6-expectation DQ panel as stack() args, shared by the two
+    * runs of core_dq_trend (ppm against a declared threshold;
+    * discount_le_5pct keeps its deliberately-failing 99% bar).
+    */
+  private val panelStack =
+    "stack(6, " +
+      "'completeness_quantity', CAST(qty_nn * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+      "'range_discount', CAST(disc_rng * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+      "'set_returnflag', CAST(rf_set * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+      "'positive_price', CAST(price_pos * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
+      "'discount_le_5pct', CAST(disc_low * 1000000 div greatest(1, n) AS BIGINT), CAST(990000 AS BIGINT), " +
+      "'unique_orderline', CAST(ol_keys * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT)" +
+      ") AS (expectation, metric_ppm, threshold_ppm)"
+
+  private val oPanelRows = Seq(
+    ("completeness_quantity", "qty_nn", 1000000),
+    ("range_discount", "disc_rng", 1000000),
+    ("set_returnflag", "rf_set", 1000000),
+    ("positive_price", "price_pos", 1000000),
+    ("discount_le_5pct", "disc_low", 990000),
+    ("unique_orderline", "ol_keys", 1000000))
+
+  val ops: Seq[Op] = Seq(
+
+    // DQ metrics TREND — the Deequ-metrics-repository shape as a
+    // query: the same expectation panel core_dq_expectations computes,
+    // evaluated over two consecutive "runs" (the shipdate-midpoint
+    // halves of lineitem — a deterministic stand-in for run N-1 vs
+    // run N), then the per-expectation delta with a regression alert
+    // (ok flipped to failing, or metric dropped > 1000 ppm). ONE scan
+    // computes both runs' panels as conditional aggregates on a 2-row
+    // groupBy; everything after the agg touches 12 rows. The
+    // persistent companion (graft.api.DqHistory: append each real
+    // run's panel under a StoreIO generation + replay ledger, trend
+    // the two most recent) runs this exact delta math over stored
+    // history — spec-pinned to agree.
+    Op("core_dq_trend",
+      (s, d) => {
+        val b = T.t(s, d, "lineitem").agg(expr(
+          "date_add(CAST(min(l_shipdate) AS DATE), " +
+            "CAST(datediff(CAST(max(l_shipdate) AS DATE), CAST(min(l_shipdate) AS DATE)) div 2 AS INT))")
+          .as("mid"))
+        val p = T.t(s, d, "lineitem").crossJoin(broadcast(b))
+          .withColumn("h", expr("CASE WHEN CAST(l_shipdate AS DATE) < mid THEN 1 ELSE 2 END"))
+          .groupBy("h").agg(
+            count(lit(1)).as("n"),
+            count(col("l_quantity")).as("qty_nn"),
+            expr("count_if(l_discount >= 0 AND l_discount <= 0.1)").as("disc_rng"),
+            expr("count_if(l_returnflag IN ('A','N','R'))").as("rf_set"),
+            expr("count_if(l_extendedprice > 0)").as("price_pos"),
+            expr("count_if(l_discount <= 0.05)").as("disc_low"),
+            countDistinct(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("ol_keys"))
+          .select(col("h"), expr(panelStack))
+          .localCheckpoint() // 12 rows; feeds both sides of the run join
+        val r1 = p.where("h = 1")
+          .select(col("expectation"), col("threshold_ppm"), col("metric_ppm").as("prev_ppm"))
+        val r2 = p.where("h = 2").select(col("expectation"), col("metric_ppm"))
+        r1.join(r2, "expectation")
+          .withColumn("delta_ppm", expr("metric_ppm - prev_ppm"))
+          .withColumn("regressed", expr(
+            "(prev_ppm >= threshold_ppm AND metric_ppm < threshold_ppm) OR delta_ppm < -1000"))
+          .select("expectation", "threshold_ppm", "prev_ppm", "metric_ppm",
+            "delta_ppm", "regressed")
+          .orderBy("expectation")
+      },
+      Some("WITH bb AS (SELECT CAST(min(l_shipdate) AS DATE) + " +
+        "CAST((CAST(max(l_shipdate) AS DATE) - CAST(min(l_shipdate) AS DATE)) // 2 AS INTEGER) AS mid " +
+        "FROM lineitem), " +
+        "m AS (SELECT CASE WHEN CAST(l_shipdate AS DATE) < bb.mid THEN 1 ELSE 2 END AS h, " +
+        "count(*) AS n, count(l_quantity) AS qty_nn, " +
+        "count_if(l_discount >= 0 AND l_discount <= 0.1) AS disc_rng, " +
+        "count_if(l_returnflag IN ('A','N','R')) AS rf_set, " +
+        "count_if(l_extendedprice > 0) AS price_pos, " +
+        "count_if(l_discount <= 0.05) AS disc_low, " +
+        "count(DISTINCT concat(l_orderkey, ':', l_linenumber)) AS ol_keys " +
+        "FROM lineitem, bb GROUP BY 1), " +
+        "p AS (" + oPanelRows.map { case (nm, c, thr) =>
+          s"SELECT h, '$nm' AS expectation, " +
+            s"CAST($c * 1000000 // greatest(1, n) AS BIGINT) AS metric_ppm, " +
+            s"CAST($thr AS BIGINT) AS threshold_ppm FROM m"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT p1.expectation, p1.threshold_ppm, p1.metric_ppm AS prev_ppm, " +
+        "p2.metric_ppm AS metric_ppm, p2.metric_ppm - p1.metric_ppm AS delta_ppm, " +
+        "((p1.metric_ppm >= p1.threshold_ppm AND p2.metric_ppm < p1.threshold_ppm) " +
+        "OR p2.metric_ppm - p1.metric_ppm < -1000) AS regressed " +
+        "FROM p p1 JOIN p p2 ON p1.expectation = p2.expectation AND p1.h = 1 AND p2.h = 2 " +
+        "ORDER BY p1.expectation")),
+
+    // Per-user EWMA smoothed value state — the "current smoothed
+    // metric per entity" a monitoring/personalization pipeline keeps.
+    // Dyadic alpha = 1/2 truncated at 8 lags makes the smoother EXACT
+    // integer arithmetic: weights 2^(7-j) summed then ONE div 255
+    // (= the 1/(1 - 2^-8)-normalized truncated EWMA) — no float
+    // recursion, so engines and partitionings agree bit-for-bit. Both
+    // windows (lag chain, per-user count) sit on ONE user_id exchange;
+    // output is one row per qualifying user, never per event.
+    Op("rel_window_ewma",
+      (s, d) => {
+        val wAsc = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wAll = Window.partitionBy("user_id")
+        eventsFp(s, d)
+          .withColumn("rn", row_number().over(wAsc))
+          .withColumn("wsum", (0 to 7)
+            .map(j => coalesce(lag(col("v"), j).over(wAsc), lit(0L)) * lit(1L << (7 - j)))
+            .reduce(_ + _))
+          .withColumn("n_events", count(lit(1)).over(wAll))
+          .where("rn = n_events AND n_events >= 8")
+          .select(col("user_id"), col("n_events"),
+            expr("wsum div 255").as("ewma_fp"))
+          .orderBy("user_id")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+        "l AS (SELECT user_id, row_number() OVER w AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events, " +
+        (0 to 7).map(j =>
+          s"coalesce(lag(v, $j) OVER w, 0) * ${1L << (7 - j)}").mkString(" + ") +
+        " AS wsum FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)) " +
+        "SELECT user_id, n_events, CAST(wsum // 255 AS BIGINT) AS ewma_fp FROM l " +
+        "WHERE rn = n_events AND n_events >= 8 ORDER BY user_id")),
+
+    // First-order Markov transition matrix of the event stream: per
+    // (from_type, to_type), the count of consecutive-pair transitions
+    // within a user's timeline and the row-normalized probability in
+    // ppm — the base table for Markov attribution / next-event
+    // prediction. One lead() on the user_id exchange, a tiny
+    // type-pair aggregate, and a broadcast row-total join; nothing
+    // after the window touches more than |types|^2 rows.
+    Op("rel_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val tr = eventsFp(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where("next_type IS NOT NULL")
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("from_type").agg(sum("n").as("n_from"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("CAST(n * 1000000 div n_from AS BIGINT)").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "tr AS (SELECT event_type AS from_type, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type " +
+        "FROM ev), " +
+        "cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1) " +
+        "SELECT cnt.from_type, cnt.to_type, cnt.n, " +
+        "CAST(cnt.n * 1000000 // tot.n_from AS BIGINT) AS p_ppm " +
+        "FROM cnt JOIN tot USING (from_type) ORDER BY from_type, to_type")),
+
+    // CUSUM changepoint detection on the hourly event-rate series per
+    // type: deviations from the per-type mean accumulate as
+    // y*H - total (PRE-SCALED by the hour count, so the running sum is
+    // exact integer — no mean division ever happens), and the hour
+    // attaining max |CUSUM| is the level-shift point; the peak is
+    // normalized to ppm of total*H through DECIMAL(38)/HUGEINT (the
+    // only product that can exceed int64). Complements KS/PSI: those
+    // ask IF the distribution moved, CUSUM asks WHEN the rate moved.
+    // The hour grid (zero-count hours included — a silent outage IS a
+    // level shift) is calendar-sized, never event-sized.
+    Op("rel_changepoint_cusum",
+      (s, d) => {
+        val ev = eventsFp(s, d)
+        val b = ev.agg(min("us").as("anchor"))
+        val cnt = ev.crossJoin(broadcast(b))
+          .select(col("event_type"), expr("(us - anchor) div 3600000000").as("hidx"))
+          .groupBy("event_type", "hidx").agg(count(lit(1)).as("y"))
+        val grid = cnt.groupBy("event_type").agg(max("hidx").as("maxh"))
+          .select(col("event_type"), explode(expr("sequence(0, maxh)")).as("hidx"))
+        val g = grid.join(cnt, Seq("event_type", "hidx"), "left")
+          .select(col("event_type"), col("hidx"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val tot = g.groupBy("event_type").agg(
+          count(lit(1)).as("nh"), expr("CAST(SUM(y) AS BIGINT)").as("total"))
+        val wCum = Window.partitionBy("event_type").orderBy("hidx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMax = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("hidx"))
+        g.join(broadcast(tot), "event_type")
+          .withColumn("cusum", sum(expr("y * nh - total")).over(wCum))
+          .withColumn("rn", row_number().over(wMax))
+          .where("rn = 1")
+          .select(col("event_type"), col("nh").as("n_hours"), col("total"),
+            col("hidx").as("cp_hidx"),
+            expr("CAST(abs(CAST(cusum AS DECIMAL(38,0))) * 1000000 " +
+              "div (CAST(total AS DECIMAL(38,0)) * nh) AS BIGINT)").as("cusum_peak_ppm"))
+          .orderBy("event_type")
+      },
+      Some("WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "b AS (SELECT min(us) AS anchor FROM ev), " +
+        "cnt AS (SELECT event_type, (us - b.anchor) // 3600000000 AS hidx, count(*) AS y " +
+        "FROM ev, b GROUP BY 1, 2), " +
+        "hm AS (SELECT event_type, max(hidx) AS maxh FROM cnt GROUP BY 1), " +
+        "grid AS (SELECT event_type, unnest(generate_series(0, maxh)) AS hidx FROM hm), " +
+        "g AS (SELECT grid.event_type, grid.hidx, CAST(coalesce(cnt.y, 0) AS BIGINT) AS y " +
+        "FROM grid LEFT JOIN cnt ON grid.event_type = cnt.event_type AND grid.hidx = cnt.hidx), " +
+        "tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh, " +
+        "CAST(SUM(y) AS BIGINT) AS total FROM g GROUP BY 1), " +
+        "c AS (SELECT g.event_type, g.hidx, tot.nh, tot.total, " +
+        "SUM(g.y * tot.nh - tot.total) OVER (PARTITION BY g.event_type ORDER BY g.hidx " +
+        "ROWS UNBOUNDED PRECEDING) AS cusum FROM g JOIN tot USING (event_type)), " +
+        "dd AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY abs(cusum) DESC, hidx) AS rn FROM c) " +
+        "SELECT event_type, nh AS n_hours, total, hidx AS cp_hidx, " +
+        "CAST(abs(CAST(cusum AS HUGEINT)) * 1000000 // (CAST(total AS HUGEINT) * nh) AS BIGINT) " +
+        "AS cusum_peak_ppm FROM dd WHERE rn = 1 ORDER BY event_type")),
+  )
+}

@@ -80,10 +80,16 @@ object Streams {
     * streaming state beyond the windowed count. Works identically on a
     * batch frame and a readStream; the batch op `strm_anomaly_alerts`
     * and StreamingParitySpec pin the two equal, so the live monitor and
-    * the offline analysis share one definition of "anomaly".
+    * the offline analysis share one definition of "anomaly". On a
+    * STREAMING input a watermark (`watermarkDelay` behind max event
+    * time) bounds the window state and makes the query legal in append
+    * mode — without it the windowed groupBy accumulates state forever
+    * and append-mode sinks reject the plan; on a batch frame the
+    * watermark is skipped (it would be a no-op).
     */
-  def anomalyAlerts(events: DataFrame, thresholds: DataFrame): DataFrame =
-    events
+  def anomalyAlerts(events: DataFrame, thresholds: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events)
       .withColumn("v", expr("CAST(floor(value * 1000000) AS BIGINT)"))
       .join(broadcast(thresholds), "event_type")
       .where("abs(v - med) > 5 * mad")
@@ -303,12 +309,16 @@ object Streams {
   }
 
   /** Streaming CDC upsert sink via foreachBatch: each micro-batch merges
-    * into a parquet "table" keyed by `key` — latest record per key wins
-    * (batch rows override stored rows; within a batch the greatest
-    * `versionCol` wins). foreachBatch may redeliver a batch on recovery;
-    * the merge is idempotent so the sink stays exactly-once in effect.
-    * The rewrite-the-table form is the parquet-only stand-in for a real
-    * MERGE INTO target (Delta/Iceberg) on a cluster.
+    * into the key-bucketed [[graft.api.UpsertStore]] — latest record per
+    * key wins (batch rows override stored rows; within a batch the
+    * greatest `versionCol` wins) under a (run_key, batch_id) ledger
+    * entry, so an at-least-once foreachBatch redelivery is a full
+    * no-op. Per-batch work is O(batch + touched-bucket data), never
+    * O(table), and every bucket promotion is the staged-write +
+    * atomic-rename swap (Hadoop FS throughout — HDFS/S3 stateDirs
+    * work); the store is the parquet-native stand-in for a MERGE INTO
+    * target (Delta/Iceberg) on a cluster. Read the table back with
+    * `UpsertStore.read`.
     */
   def upsertSink(
       stream: DataFrame,
@@ -316,27 +326,15 @@ object Streams {
       versionCol: String,
       tableDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = stream.sparkSession
+    val runKey = runKeyOf(checkpointDir)
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(col(versionCol).desc)
-        val latestInBatch = batch
-          .withColumn("__rn", row_number().over(w)).where("__rn = 1").drop("__rn")
-        val dir = new java.io.File(tableDir)
-        val merged =
-          if (!dir.exists()) latestInBatch
-          else spark.read.parquet(tableDir)
-            .join(latestInBatch.select(key), Seq(key), "left_anti")
-            .unionByName(latestInBatch)
-        val tmp = tableDir + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        // swap: overwrite target from staging (read back first — the
-        // staging read is lazy and the target rewrite would race it)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(tableDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.api.UpsertStore.update(
+          batch.toDF(), tableDir, key, versionCol,
+          batchId = Some(s"$runKey-$batchId"))
         ()
       }
       .start()
@@ -558,6 +556,36 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.api.MinHashIndex.update(
           batch.toDF(), storeDir, Some(s"$runKey-$batchId"))
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming ANN-index ingestion — the streaming twin of the batch
+    * `AnnIndex.update` path: each micro-batch of vectors (vec_id,
+    * embedding) is assigned against the index's FIXED centroids and
+    * lands under its own (batch_key = run_key-batch_id) assignment
+    * partitions with dynamic overwrite, under the same applied-batch
+    * ledger as minhashSink — so an at-least-once foreachBatch replay
+    * is a full no-op and a crash mid-write is healed by the replay
+    * overwriting exactly its own partitions. The index must already
+    * exist (`AnnIndex.build` is the bootstrap/periodic-retrain path: a
+    * similarity service trains offline, then ingests continuously).
+    * Searches via `AnnIndex.searchIndex` see every ingested batch with
+    * the usual probe-cell partition pruning.
+    */
+  def annSink(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.api.AnnIndex.update(
+          batch.toDF(), indexDir, Some(s"$runKey-$batchId"))
         ()
       }
       .start()

@@ -114,6 +114,49 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Round-9 near-dup scale-invariance audit: the rare-shingle cap is
+    // corpus-relative (df <= max(256, 1% of docs)), so amplifying the
+    // corpus 20x (every multiplicity-weighted df grows 20x) must NOT
+    // lose capped-path recall against the exact UNCAPPED truth — the
+    // absolute-256 cap regressed exactly here (organic max df is 25,
+    // 20x pushes it to 500 > 256 and pairs silently vanished).
+    {
+      val sf = "/root/testdata/sf0.1"
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val sid = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .where("size(toks) >= 3")
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), " +
+            "' ', element_at(toks, i + 2))))")).as("s"))
+        .persist()
+      val counts = sid.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val truth = sid.as("x").join(sid.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(counts.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .where("CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.2")
+        .select("d1", "d2").distinct().localCheckpoint()
+      sid.unpersist()
+      def capped(dir: String) = graft.Registry.byKey("llm_ngram_jaccard")
+        .query(spark, dir)
+        .selectExpr("least(d1 % 1000000, d2 % 1000000) AS d1",
+          "greatest(d1 % 1000000, d2 % 1000000) AS d2")
+        .distinct()
+      val nTruth = truth.count()
+      def recall(dir: String): Double =
+        if (nTruth == 0) 1.0
+        else capped(dir).join(truth, Seq("d1", "d2")).count().toDouble / nTruth
+      val r1 = recall(sf)
+      val r20 = recall(big)
+      println(f"PROBE neardup_recall[1x]: $r1%.4f  [20x]: $r20%.4f  (truth $nTruth pairs)")
+      require(r20 + 1e-9 >= r1,
+        f"20x near-dup recall dropped vs 1x: $r20%.4f < $r1%.4f — the rare cap is not scale-invariant")
+    }
+
     // Pathological levenshtein corpus: ONE (lang, n_chars) block holding
     // 100k DISTINCT texts (so the exact-dedup quotient cannot collapse
     // anything) — unbounded blocking would need 5e9 O(len^2) distance

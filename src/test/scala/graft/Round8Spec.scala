@@ -222,6 +222,7 @@ class Round8Spec extends AnyFunSuite {
     (0 until 32).map(i => (i.toLong, s"doc $i pad", "en", "s", 9L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jobsBefore = api.AnnIndex.trainJobs
     val mse = Registry.byKey("llm_pq_train").query(spark, dir)
       .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
     assert(mse.values.forall(_ == 0L),
@@ -230,6 +231,10 @@ class Round8Spec extends AnyFunSuite {
       .collect().map(_.getLong(3))
     assert(rec.nonEmpty && rec.forall(_ == 1000000L),
       s"ADC ranking must equal exact-L2 ranking on pattern data: ${rec.toSeq}")
+    // the slice-keyed memo: the PQ pair shares ONE set of 4 subspace
+    // codebooks per session, not 4 Lloyd runs per op
+    assert(api.AnnIndex.trainJobs - jobsBefore == 4,
+      s"expected 4 shared subspace trainings, ran ${api.AnnIndex.trainJobs - jobsBefore}")
   }
 
   test("blocklist filter flags unigram and bigram hits, never the absent phrase") {

@@ -177,12 +177,17 @@ class Round8bSpec extends AnyFunSuite {
     }
     val ev = Tables.events(spark, sf)
       .selectExpr("event_type", "user_id", "CAST(floor(value * 1000000) AS BIGINT) div 1000 AS v3")
-      .collect().map(r => (r.getString(0), h32(r.getLong(1).toString) % 2, r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), h32(r.getLong(1).toString) % 2, r.getLong(2)))
     val got = Registry.byKey("rel_ab_welch_ttest").query(spark, sf).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
-      val grp = ev.filter(_._1 == r.getString(0))
-      val a0 = grp.filter(_._2 == 0).map(_._3); val a1 = grp.filter(_._2 == 1).map(_._3)
+      // the unit of analysis is the USER: events roll up to one
+      // observation per (type, user) before the t machinery
+      val byUser = ev.filter(_._1 == r.getString(0))
+        .groupBy(t => (t._2, t._3)).toSeq
+        .map { case ((_, arm), rows) => (arm, rows.map(_._4).sum) }
+      val a0 = byUser.filter(_._1 == 0).map(_._2)
+      val a1 = byUser.filter(_._1 == 1).map(_._2)
       val (n0, n1) = (a0.length.toLong, a1.length.toLong)
       val (s0, s1) = (a0.sum, a1.sum)
       val (q0, q1) = (a0.map(v => BigInt(v) * v).sum, a1.map(v => BigInt(v) * v).sum)

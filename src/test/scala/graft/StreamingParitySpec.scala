@@ -485,9 +485,98 @@ class StreamingParitySpec extends AnyFunSuite {
     mem.addData(Seq((2L, 5L, "b5"), (3L, 1L, "c1")))
     run() // across-restart: key 2 overridden, key 3 inserted
 
-    val got = spark.read.parquet(s"$base/table")
+    val got = api.UpsertStore.read(spark, s"$base/table")
+      .select("k", "version", "payload")
       .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, "a2"), (2L, 5L, "b5"), (3L, 1L, "c1")))
+  }
+
+  test("UpsertStore: delta-sized merge, replay no-op, bucket crash-window fallback") {
+    import spark.implicits._
+    val dir = s"target/tmp/upsert_store_${System.nanoTime()}"
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "version", "payload")
+    def table() = api.UpsertStore.read(spark, dir)
+      .select("k", "version", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("b"))
+        .map(b => b.getName -> b.listFiles().map(_.getName).toSet).toMap
+
+    assert(api.UpsertStore.update(
+      df((1 to 20).map(i => (i.toLong, 1L, s"v$i")): _*), dir, "k", "version",
+      batchId = Some("a")))
+    val before = bucketFiles()
+    // one-key batch: only that key's bucket may be rewritten
+    assert(api.UpsertStore.update(df((1L, 9L, "vX")), dir, "k", "version",
+      batchId = Some("b")))
+    val after = bucketFiles()
+    val changed = before.keySet.union(after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"one touched key must rewrite exactly one bucket, got $changed")
+    assert(table().head == (1L, 9L, "vX"))
+    assert(table().size == 20)
+
+    // at-least-once redelivery: the applied ledger makes it a no-op
+    assert(!api.UpsertStore.update(df((1L, 9L, "vX")), dir, "k", "version",
+      batchId = Some("b")))
+    assert(bucketFiles() == after, "replayed batch must not rewrite anything")
+
+    // ledger lost before recording (crash between last swap and
+    // recordApplied): the re-merge under a fresh id converges to the
+    // same table
+    assert(api.UpsertStore.update(df((1L, 9L, "vX")), dir, "k", "version",
+      batchId = Some("b2")))
+    assert(table().head == (1L, 9L, "vX"))
+    assert(table().size == 20)
+
+    // worst per-bucket crash window: current generation retired to
+    // -old, promotion never happened — read() falls back per bucket
+    val victim = changed.head
+    val f = new java.io.File(s"$dir/$victim")
+    assert(f.renameTo(new java.io.File(s"$dir/$victim-old")))
+    assert(table().size == 20, "read must fall back to the retired bucket generation")
+    assert(table().head == (1L, 9L, "vX"))
+  }
+
+  test("annSink: streamed index == batch-updated index; replay is a no-op") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where("vec_id % 2 = 0")
+    val odd = emb.where("vec_id % 2 = 1")
+      .as[(Long, Array[Float])].collect().toSeq
+    val root = s"target/tmp/annsink_${System.nanoTime()}"
+    val streamedDir = s"$root/streamed"; val batchDir = s"$root/batch"
+    api.AnnIndex.build(base, streamedDir, k = 10, iters = 2)
+    api.AnnIndex.build(base, batchDir, k = 10, iters = 2)
+
+    // batch path: one update call folds the odd half in
+    assert(api.AnnIndex.update(odd.toDF("vec_id", "embedding"), batchDir, Some("bx")))
+    // streamed path: the same rows as two micro-batch runs
+    val slices = Seq(odd.filter(_._1 % 4 == 1), odd.filter(_._1 % 4 == 3))
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val mem = MemoryStream[(Long, Array[Float])]
+      mem.addData(slice)
+      Streams.annSink(mem.toDF().toDF("vec_id", "embedding"),
+        streamedDir, s"$root/ckpt$i").awaitTermination()
+    }
+    def assigned(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/assignments").select("vec_id", "c_id")
+        .as[(Long, Long)].collect().toSet
+    assert(assigned(streamedDir) == assigned(batchDir))
+
+    // search over the streamed index equals search over the batch one
+    val probes = base.where("vec_id = 0")
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    def top(d: String) = api.AnnIndex.searchIndex(spark, d, probes, k = 5, nProbe = 2)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(top(streamedDir) == top(batchDir))
+
+    // commit-loss replay of an applied batch id: full no-op
+    val n = spark.read.parquet(s"$batchDir/assignments").count()
+    assert(!api.AnnIndex.update(odd.toDF("vec_id", "embedding"), batchDir, Some("bx")))
+    assert(spark.read.parquet(s"$batchDir/assignments").count() == n)
   }
 
   test("incremental consumption processes only new blocks per run") {
