@@ -234,5 +234,76 @@ object Round9 {
         "SELECT event_type, nh AS n_hours, total, hidx AS cp_hidx, " +
         "CAST(abs(CAST(cusum AS HUGEINT)) * 1000000 // (CAST(total AS HUGEINT) * nh) AS BIGINT) " +
         "AS cusum_peak_ppm FROM dd WHERE rn = 1 ORDER BY event_type")),
+
+    // The persistent UpsertStore driven END-TO-END under the oracle:
+    // orders split into three CDC batches (o_orderkey % 3, applied in
+    // order) merge into a fresh bucketed store keyed o_custkey with
+    // o_orderkey as the version; the final table must equal the
+    // declarative MERGE semantics — per key, the greatest version
+    // within the LAST batch that carried the key (batch rows override
+    // stored rows; within a batch the greatest version wins). This
+    // puts the store's bucket routing, staged swaps and ledger on the
+    // same correctness gate as every relational operator, not just
+    // under unit specs.
+    Op("core_upsert_store",
+      (s, d) => {
+        val dir = s"target/tmp/upsert_op_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val got = graft.api.UpsertStore.read(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
+
+    // Click-to-purchase conversion-lag distribution: per user, the
+    // first click and the first purchase at-or-after it; lag buckets
+    // to whole hours with user counts and a cumulative ppm curve (the
+    // "X% convert within N hours" readout). One user_id aggregate
+    // produces one row per converting user; the histogram and its
+    // cumulative window touch only lag-bucket rows.
+    Op("rel_conversion_lag",
+      (s, d) => {
+        val ev = eventsFp(s, d)
+        val u = ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "click", col("us"))).as("c_us"))
+        val conv = ev.where("event_type = 'purchase'")
+          .join(u, "user_id")
+          .where("c_us IS NOT NULL AND us >= c_us")
+          .groupBy("user_id").agg(min("us").as("p_us"), min("c_us").as("c0"))
+          .select(expr("(p_us - c0) div 3600000000").as("lag_hours"))
+        val h = conv.groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+        val tot = h.agg(expr("CAST(SUM(n_users) AS BIGINT)").as("t"))
+        val wCum = Window.orderBy("lag_hours")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.crossJoin(broadcast(tot))
+          .withColumn("cum", sum("n_users").over(wCum))
+          .select(col("lag_hours"), col("n_users"),
+            expr("CAST(cum * 1000000 div t AS BIGINT)").as("cum_ppm"))
+          .orderBy("lag_hours")
+      },
+      Some("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "u AS (SELECT user_id, min(CASE WHEN event_type = 'click' THEN us END) AS c_us " +
+        "FROM ev GROUP BY 1), " +
+        "conv AS (SELECT (min(ev.us) - min(u.c_us)) // 3600000000 AS lag_hours " +
+        "FROM ev JOIN u USING (user_id) " +
+        "WHERE ev.event_type = 'purchase' AND u.c_us IS NOT NULL AND ev.us >= u.c_us " +
+        "GROUP BY ev.user_id), " +
+        "h AS (SELECT lag_hours, CAST(count(*) AS BIGINT) AS n_users FROM conv GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS t FROM h) " +
+        "SELECT h.lag_hours, h.n_users, " +
+        "CAST(SUM(h.n_users) OVER (ORDER BY h.lag_hours ROWS UNBOUNDED PRECEDING) " +
+        "* 1000000 // tot.t AS BIGINT) AS cum_ppm FROM h, tot ORDER BY h.lag_hours")),
   )
 }

@@ -62,6 +62,62 @@ class Round9Spec extends AnyFunSuite {
     assert(viaStore == op.toSet)
   }
 
+  test("ewma: a constant-valued user smooths to exactly its value; weights sum to 255") {
+    val dir = s"target/tmp/ewma_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: constant 2.5 → ewma_fp must be exactly 2_500_000 (the
+    // dyadic weights sum to 255, so wsum = v*255 and div 255 is exact);
+    // user 2: only 7 events → filtered (needs a full 8-lag window)
+    val rows =
+      (1 to 10).map(i => (1L, i.toLong, new java.sql.Timestamp(t0 + i * 1000L), "view", 2.5)) ++
+      (1 to 7).map(i => (2L, 100L + i, new java.sql.Timestamp(t0 + i * 1000L), "view", 9.0))
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("rel_window_ewma").query(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(got.head.getLong(2) == 2500000L)
+  }
+
+  test("markov transitions: row probabilities sum to 1e6 up to floor loss") {
+    val rows = Registry.byKey("rel_markov_transitions").query(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val pSum = ts.map(_._3).sum
+      // each floor division loses < 1 ppm; k to-types lose < k total
+      assert(pSum <= 1000000L && pSum > 1000000L - ts.length, s"$from: $pSum")
+    }
+  }
+
+  test("conversion lag: cumulative curve is monotone and ends at exactly 1e6 ppm") {
+    val rows = Registry.byKey("rel_conversion_lag").query(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, "cum_ppm must be monotone")
+    assert(rows.last._3 == 1000000L, "the full histogram must account for every converter")
+  }
+
+  test("cusum: a constructed rate level-shift is located at the shift hour") {
+    val dir = s"target/tmp/cusum_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hour = 3600L * 1000
+    // 1 event/hour for hours 0-19, then 5/hour for hours 20-39: the
+    // peak |CUSUM| of a single step change sits AT the step
+    val rows = (0 until 20).map(h => (h.toLong, new java.sql.Timestamp(t0 + h * hour), 1)) ++
+      (20 until 40).flatMap(h => (0 until 5).map(k =>
+        ((h * 10 + k).toLong, new java.sql.Timestamp(t0 + h * hour + k), 1)))
+    rows.map { case (id, ts, _) => (1L, id, ts, "click", 1.0) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("rel_changepoint_cusum").query(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 40L && r.getLong(2) == 120L)
+    // CUSUM is computed on the inclusive prefix, so the last pre-shift
+    // hour (19) attains the peak
+    assert(r.getLong(3) == 19L, s"changepoint hour was ${r.getLong(3)}")
+  }
+
   test("RunLog reads its history through Hadoop FS (file:-qualified URI)") {
     val dir = s"file:${new java.io.File(s"target/tmp/runlog_${System.nanoTime()}").getAbsolutePath}"
     assert(api.RunLog.last(spark, dir, "stage_a").isEmpty)
