@@ -161,6 +161,9 @@ object Round9 {
           .where("next_type IS NOT NULL")
           .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
+          // |types|^2 rows; pinned so the row-total rollup reuses them
+          // instead of re-scanning and re-shuffling the event stream
+          .localCheckpoint()
         val tot = tr.groupBy("from_type").agg(sum("n").as("n_from"))
         tr.join(broadcast(tot), "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
@@ -284,6 +287,9 @@ object Round9 {
           .groupBy("user_id").agg(min("us").as("p_us"), min("c_us").as("c0"))
           .select(expr("(p_us - c0) div 3600000000").as("lag_hours"))
         val h = conv.groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+          // lag-bucket rows; pinned so the total and the cumulative
+          // window don't each re-aggregate the event stream
+          .localCheckpoint()
         val tot = h.agg(expr("CAST(SUM(n_users) AS BIGINT)").as("t"))
         val wCum = Window.orderBy("lag_hours")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -369,6 +369,37 @@ object Streams {
       }
       .start()
 
+  /** Streaming DQ monitoring — each micro-batch's expectation panel
+    * (caller-supplied `panel`: batch -> (expectation, metric_ppm,
+    * threshold_ppm, ok) rows, typically the same conditional-aggregate
+    * panel the batch `core_dq_expectations` computes) appends to the
+    * persistent [[graft.api.DqHistory]] under run_seq = batch id and a
+    * (run_key, batch_id) ledger entry, so an at-least-once foreachBatch
+    * replay is a full no-op and `DqHistory.trend` sees a live
+    * latest-vs-previous regression readout — the Deequ
+    * metrics-repository loop closed in streaming. The panel is a
+    * handful of rows per batch however large the batch; the store
+    * grows by one panel per micro-batch.
+    */
+  def dqSink(
+      stream: DataFrame,
+      historyDir: String,
+      checkpointDir: String)(
+      panel: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.api.DqHistory.append(
+          panel(batch.toDF()), historyDir, runSeq = batchId,
+          batchId = Some(s"$runKey-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming ingestion dedup — the [[graft.api.DedupIndex]]
     * check/update loop as a foreachBatch sink, the true ingestion shape
     * of the one-shot `llm_dedup_incremental` operator: each

@@ -118,6 +118,36 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getLong(3) == 19L, s"changepoint hour was ${r.getLong(3)}")
   }
 
+  test("ewma and markov each run on ONE user_id hash exchange (plan pin)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def hashEx(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => Seq(e)
+        case q: QueryStageExec => hashEx(q.plan)
+      }
+      here.flatten
+    }
+    def nEx(key: String): Int = {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.count()
+      val plan = org.apache.spark.sql.GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      hashEx(plan).size
+    }
+    // ewma: the lag chain, the per-user count and the last-row filter
+    // all sit on the single user_id exchange
+    assert(nEx("rel_window_ewma") == 1, "rel_window_ewma must shuffle once")
+    // markov: the lead window is the only data-sized exchange; the
+    // |types|^2 aggregate and the broadcast total add at most one tiny
+    // post-window exchange
+    assert(nEx("rel_markov_transitions") <= 2, "rel_markov_transitions over-shuffles")
+  }
+
   test("RunLog reads its history through Hadoop FS (file:-qualified URI)") {
     val dir = s"file:${new java.io.File(s"target/tmp/runlog_${System.nanoTime()}").getAbsolutePath}"
     assert(api.RunLog.last(spark, dir, "stage_a").isEmpty)

@@ -538,6 +538,33 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(table().head == (1L, 9L, "vX"))
   }
 
+  test("dqSink: per-micro-batch panels land in DqHistory; trend flags the regression") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val root = s"target/tmp/dqsink_${System.nanoTime()}"
+    def panel(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)).as("n"), expr("count_if(value > 0)").as("pos"))
+      .select(expr("stack(1, 'positive_value', " +
+        "CAST(pos * 1000000 div greatest(1, n) AS BIGINT), " +
+        "CAST(1000000 AS BIGINT)) AS (expectation, metric_ppm, threshold_ppm)"))
+      .withColumn("ok", col("metric_ppm") >= col("threshold_ppm"))
+    val mem = MemoryStream[(Long, Double)]
+    def run(): Unit = Streams.dqSink(
+      mem.toDF().toDF("event_id", "value"), s"$root/hist", s"$root/ck")(panel)
+      .awaitTermination()
+    mem.addData((1 to 8).map(i => (i.toLong, 1.0)))
+    run() // batch 0: fully positive
+    mem.addData((1 to 8).map(i => (i.toLong, if (i % 2 == 0) -1.0 else 1.0)))
+    run() // batch 1: half positive — a real regression
+    assert(api.DqHistory.read(spark, s"$root/hist").count() == 2)
+    val t = api.DqHistory.trend(spark, s"$root/hist").collect()
+    assert(t.length == 1)
+    val r = t.head
+    assert(r.getString(0) == "positive_value")
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 500000L)
+    assert(r.getBoolean(7), "ok -> fail across micro-batches must flag")
+  }
+
   test("annSink: streamed index == batch-updated index; replay is a no-op") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
