@@ -270,6 +270,60 @@ object Round9 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // GDPR/right-to-be-forgotten erasure as a TARGETED-PARTITION
+    // rewrite: events land user-bucketed (pmod(user_id, 16) — the
+    // layout a deletion-heavy store chooses so an erasure request maps
+    // to partitions, not a table scan), the erasure set (user_id % 50
+    // = 0) resolves to its touched buckets, and ONLY those partitions
+    // are rewritten via dynamic partition overwrite. The report reads
+    // rows_after back from the store itself — the audit trail proves
+    // the rewrite, not the plan. At 100 TB this is the difference
+    // between rewriting ~3 partitions and rewriting the corpus.
+    Op("core_erasure_partition_rewrite",
+      (s, d) => {
+        val dir = s"target/tmp/erase_${java.util.UUID.randomUUID().toString.take(8)}"
+        val ev = T.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+        ev.write.partitionBy("bucket").mode("overwrite").parquet(dir)
+        val touched = ev.where("user_id % 50 = 0")
+          .select("bucket").distinct().collect().map(_.getInt(0)).sorted
+        ev.where(col("bucket").isin(touched.toIndexedSeq: _*))
+          .where("NOT (user_id % 50 = 0)")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(dir)
+        // dynamic overwrite CANNOT erase a partition it writes no rows
+        // for (no key, no overwrite) — a bucket whose every row was
+        // erased would silently survive; those must be deleted
+        // explicitly. The real-table analogue of Delta's deletion
+        // vectors / REPLACE WHERE.
+        val survivors = ev.where(col("bucket").isin(touched.toIndexedSeq: _*))
+          .where("NOT (user_id % 50 = 0)")
+          .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        touched.filterNot(survivors).foreach(b =>
+          graft.api.StoreIO.delete(s, s"$dir/bucket=$b"))
+        val before = ev.where(col("bucket").isin(touched.toIndexedSeq: _*))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("rows_before"),
+            expr("count_if(user_id % 50 = 0)").as("rows_erased"))
+        val after = s.read.parquet(dir)
+          .where(col("bucket").isin(touched.toIndexedSeq: _*))
+          .groupBy(col("bucket").cast("int").as("bucket"))
+          .agg(count(lit(1)).as("rows_after"))
+        val got = before.join(after, Seq("bucket"), "left")
+          .select(col("bucket"), col("rows_before"), col("rows_erased"),
+            coalesce(col("rows_after"), lit(0L)).as("rows_after"))
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("bucket")
+      },
+      Some("WITH ev AS (SELECT user_id, CAST(user_id % 16 AS INTEGER) AS bucket FROM events), " +
+        "t AS (SELECT DISTINCT bucket FROM ev WHERE user_id % 50 = 0) " +
+        "SELECT ev.bucket, count(*) AS rows_before, " +
+        "CAST(count_if(ev.user_id % 50 = 0) AS BIGINT) AS rows_erased, " +
+        "CAST(count(*) - count_if(ev.user_id % 50 = 0) AS BIGINT) AS rows_after " +
+        "FROM ev JOIN t USING (bucket) GROUP BY ev.bucket ORDER BY ev.bucket")),
+
     // Click-to-purchase conversion-lag distribution: per user, the
     // first click and the first purchase at-or-after it; lag buckets
     // to whole hours with user counts and a cumulative ppm curve (the
