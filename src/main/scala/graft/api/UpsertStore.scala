@@ -92,6 +92,13 @@ object UpsertStore {
                          // scan, the anti-join and the staged write
     val touched = latest.select("__b").distinct().collect()
       .map(_.getInt(0)).sorted // bounded by nBuckets, never by data
+    if (bootstrap && touched.isEmpty) {
+      // an empty first batch must still leave a readable (schema-carrying)
+      // store: one empty bucket generation
+      StoreIO.swapIn(latest.drop("__b"), spark, bucketDir(dir, 0))
+      batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+      return true
+    }
     val existingPaths = touched
       .map(b => StoreIO.genPath(spark, bucketDir(dir, b)))
       .filter(StoreIO.exists(spark, _))

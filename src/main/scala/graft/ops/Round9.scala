@@ -306,10 +306,13 @@ object Round9 {
           .groupBy("bucket").agg(
             count(lit(1)).as("rows_before"),
             expr("count_if(user_id % 50 = 0)").as("rows_erased"))
-        val after = s.read.parquet(dir)
-          .where(col("bucket").isin(touched.toIndexedSeq: _*))
-          .groupBy(col("bucket").cast("int").as("bucket"))
-          .agg(count(lit(1)).as("rows_after"))
+        val after =
+          if (touched.isEmpty) // empty corpus: nothing written, nothing to read back
+            before.select(col("bucket")).withColumn("rows_after", lit(0L))
+          else s.read.parquet(dir)
+            .where(col("bucket").isin(touched.toIndexedSeq: _*))
+            .groupBy(col("bucket").cast("int").as("bucket"))
+            .agg(count(lit(1)).as("rows_after"))
         val got = before.join(after, Seq("bucket"), "left")
           .select(col("bucket"), col("rows_before"), col("rows_erased"),
             coalesce(col("rows_after"), lit(0L)).as("rows_after"))

@@ -529,6 +529,16 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(table().head == (1L, 9L, "vX"))
     assert(table().size == 20)
 
+    // death between the staged write and the first bucket swap: the
+    // orphaned staged dir must be invisible to readers and harmless to
+    // later updates
+    val orphan = new java.io.File(s"$dir/staged-deadbeef/__b=0")
+    assert(orphan.mkdirs())
+    assert(table().size == 20, "an orphaned staged dir must not leak into reads")
+    assert(api.UpsertStore.update(df((2L, 11L, "vY")), dir, "k", "version",
+      batchId = Some("c")))
+    assert(table().find(_._1 == 2L).get == (2L, 11L, "vY"))
+
     // worst per-bucket crash window: current generation retired to
     // -old, promotion never happened — read() falls back per bucket
     val victim = changed.head
