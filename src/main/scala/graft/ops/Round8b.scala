@@ -263,7 +263,9 @@ object Round8b {
             "CAST(l_shipdate AS DATE) < DATE '2003-01-01')").as("ship_rng"),
           expr("count_if(l_extendedprice > 0)").as("price_pos"),
           expr("count_if(l_discount <= 0.05)").as("disc_low"),
-          countDistinct(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("ol_keys"))
+          // injective integer pair key (TPC-H pins l_linenumber in 1..7):
+            // no per-row string concat/alloc on the 100-TB scan
+            countDistinct(expr("l_orderkey * 10 + l_linenumber")).as("ol_keys"))
         .select(expr("stack(7, " +
           "'completeness_quantity', CAST(qty_nn * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
           "'range_discount', CAST(disc_rng * 1000000 div greatest(1, n) AS BIGINT), CAST(1000000 AS BIGINT), " +
@@ -283,7 +285,7 @@ object Round8b {
         "CAST(l_shipdate AS DATE) < DATE '2003-01-01') AS ship_rng, " +
         "count_if(l_extendedprice > 0) AS price_pos, " +
         "count_if(l_discount <= 0.05) AS disc_low, " +
-        "count(DISTINCT concat(l_orderkey, ':', l_linenumber)) AS ol_keys FROM lineitem), " +
+        "count(DISTINCT l_orderkey * 10 + l_linenumber) AS ol_keys FROM lineitem), " +
         "p AS (" + Seq(
           ("completeness_quantity", "qty_nn", 1000000),
           ("range_discount", "disc_rng", 1000000),

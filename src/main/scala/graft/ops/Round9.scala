@@ -76,7 +76,9 @@ object Round9 {
             expr("count_if(l_returnflag IN ('A','N','R'))").as("rf_set"),
             expr("count_if(l_extendedprice > 0)").as("price_pos"),
             expr("count_if(l_discount <= 0.05)").as("disc_low"),
-            countDistinct(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("ol_keys"))
+            // injective integer pair key (TPC-H pins l_linenumber in 1..7):
+            // no per-row string concat/alloc on the 100-TB scan
+            countDistinct(expr("l_orderkey * 10 + l_linenumber")).as("ol_keys"))
           .select(col("h"), expr(panelStack))
           .localCheckpoint() // 12 rows; feeds both sides of the run join
         val r1 = p.where("h = 1")
@@ -99,7 +101,7 @@ object Round9 {
         "count_if(l_returnflag IN ('A','N','R')) AS rf_set, " +
         "count_if(l_extendedprice > 0) AS price_pos, " +
         "count_if(l_discount <= 0.05) AS disc_low, " +
-        "count(DISTINCT concat(l_orderkey, ':', l_linenumber)) AS ol_keys " +
+        "count(DISTINCT l_orderkey * 10 + l_linenumber) AS ol_keys " +
         "FROM lineitem, bb GROUP BY 1), " +
         "p AS (" + oPanelRows.map { case (nm, c, thr) =>
           s"SELECT h, '$nm' AS expectation, " +
