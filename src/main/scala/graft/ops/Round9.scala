@@ -272,6 +272,38 @@ object Round9 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // Parquet column BLOOM FILTERS on the sink: the point-lookup
+    // story for a 100-TB key-addressed table — a reader probing
+    // o_orderkey skips every row group whose bloom filter rejects the
+    // key, without any sort/cluster requirement (complementing
+    // snk_sorted_write's min/max pruning, which needs clustering, and
+    // core_zorder_cluster's multi-column layout). The op writes with
+    // filters enabled + sized (expected NDV), reads three
+    // deterministic point keys back, and the oracle checks the rows;
+    // Round9Spec checks the footer actually CARRIES the bloom filter
+    // (an ignored write option would silently degrade to full scans).
+    Op("snk_parquet_bloom",
+      (s, d) => {
+        val dir = s"target/tmp/bloom_${java.util.UUID.randomUUID().toString.take(8)}"
+        val orders = T.t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        orders.write
+          .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+          .mode("overwrite").parquet(dir)
+        val keys = orders.where("o_orderkey % 7 = 0")
+          .orderBy("o_orderkey").limit(3)
+          .collect().map(_.getLong(0))
+        val got = s.read.parquet(dir)
+          .where(col("o_orderkey").isin(keys.toIndexedSeq: _*))
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0 " +
+        "ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey")),
+
     // GDPR/right-to-be-forgotten erasure as a TARGETED-PARTITION
     // rewrite: events land user-bucketed (pmod(user_id, 16) — the
     // layout a deletion-heavy store chooses so an erasure request maps

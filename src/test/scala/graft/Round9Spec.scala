@@ -148,6 +148,36 @@ class Round9Spec extends AnyFunSuite {
     assert(nEx("rel_markov_transitions") <= 2, "rel_markov_transitions over-shuffles")
   }
 
+  test("parquet bloom write option actually lands a bloom filter in the footer") {
+    import scala.jdk.CollectionConverters._
+    val dir = s"target/tmp/bloomchk_${System.nanoTime()}"
+    Tables.t(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey")
+      .coalesce(1)
+      .write
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+      .mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val okCol = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      val other = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_custkey").get
+      val bfr = reader.getBloomFilterDataReader(rg)
+      // a silently-ignored option here would mean every "point lookup"
+      // is a full row-group scan at 100 TB
+      assert(bfr.readBloomFilter(okCol) != null, "o_orderkey must carry a bloom filter")
+      assert(bfr.readBloomFilter(other) == null, "un-requested columns must not pay for one")
+    } finally reader.close()
+  }
+
   test("RunLog reads its history through Hadoop FS (file:-qualified URI)") {
     val dir = s"file:${new java.io.File(s"target/tmp/runlog_${System.nanoTime()}").getAbsolutePath}"
     assert(api.RunLog.last(spark, dir, "stage_a").isEmpty)
