@@ -272,6 +272,50 @@ object Round9 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // Character-entropy gibberish gate (the CCNet/RefinedWeb-style
+    // doc-level filter): per document, Shannon entropy of the
+    // character distribution via H = log2(n) - (1/n) * sum k_i*log2(k_i),
+    // each k*log2(k) term QUANTIZED to 1e-9 before the per-doc sum
+    // (the file's one-double-tree discipline), then a per-language
+    // rollup with a low-entropy flag (H < 2 bits — repeated-character
+    // spam, binary junk). The char explode is linear and map-side
+    // aggregable (groupBy (doc, char) combines before the shuffle);
+    // nothing downstream of the per-doc row is data-sized.
+    Op("llm_char_entropy_filter",
+      (s, d) => {
+        val chars = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              "transform(sequence(1, char_length(text)), i -> substring(text, i, 1))"))
+              .as("ch"))
+          .groupBy("doc_id", "lang", "ch").agg(count(lit(1)).as("k"))
+        val doc = chars.groupBy("doc_id", "lang").agg(
+          expr("CAST(SUM(k) AS BIGINT)").as("n"),
+          expr("CAST(SUM(CAST(floor(k * log2(k) * 1000000000) AS BIGINT)) AS BIGINT)").as("slog"))
+          .where("n > 0")
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(floor((log2(CAST(n AS DOUBLE)) - " +
+              "CAST(slog AS DOUBLE) / 1000000000 / n) * 1000) AS BIGINT)").as("h_fp"))
+        doc.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            expr("count_if(h_fp < 2000)").as("n_low_entropy"),
+            expr("CAST(SUM(h_fp) div count(1) AS BIGINT)").as("mean_h_fp"))
+          .orderBy("lang")
+      },
+      Some("WITH ch AS (SELECT doc_id, lang, unnest(list_transform(" +
+        "range(1, length(text) + 1), i -> text[i])) AS ch FROM documents), " +
+        "k AS (SELECT doc_id, lang, ch, count(*) AS k FROM ch GROUP BY 1, 2, 3), " +
+        "doc AS (SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(floor(k * log2(k) * 1000000000) AS BIGINT)) AS BIGINT) AS slog " +
+        "FROM k GROUP BY 1, 2), " +
+        "h AS (SELECT doc_id, lang, CAST(floor((log2(CAST(n AS DOUBLE)) - " +
+        "CAST(slog AS DOUBLE) / 1000000000 / n) * 1000) AS BIGINT) AS h_fp " +
+        "FROM doc WHERE n > 0) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(count_if(h_fp < 2000) AS BIGINT) AS n_low_entropy, " +
+        "CAST(CAST(SUM(h_fp) AS BIGINT) // count(*) AS BIGINT) AS mean_h_fp " +
+        "FROM h GROUP BY lang ORDER BY lang")),
+
     // Parquet column BLOOM FILTERS on the sink: the point-lookup
     // story for a 100-TB key-addressed table — a reader probing
     // o_orderkey skips every row group whose bloom filter rejects the

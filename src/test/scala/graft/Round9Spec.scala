@@ -148,6 +148,20 @@ class Round9Spec extends AnyFunSuite {
     assert(nEx("rel_markov_transitions") <= 2, "rel_markov_transitions over-shuffles")
   }
 
+  test("char entropy: repeated-character spam flags, uniform text does not") {
+    val dir = s"target/tmp/entropy_${System.nanoTime()}"
+    Seq(
+      (1L, "a" * 200, "en", "s", 200L), // H = 0: gibberish
+      (2L, "ababababab" * 20, "en", "s", 200L), // H = 1 bit: still spam
+      (3L, "the quick brown fox jumps over the lazy dog repeatedly", "en", "s", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byKey("llm_char_entropy_filter").query(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3L, "all docs counted")
+    assert(r.head.getLong(2) == 2L, "exactly the two low-entropy docs flag (< 2 bits)")
+  }
+
   test("parquet bloom write option actually lands a bloom filter in the footer") {
     import scala.jdk.CollectionConverters._
     val dir = s"target/tmp/bloomchk_${System.nanoTime()}"
