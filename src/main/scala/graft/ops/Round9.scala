@@ -272,6 +272,43 @@ object Round9 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // Golden-record consolidation (the MDM survivorship pattern):
+    // duplicate records per entity merge COLUMN-WISE under per-column
+    // rules rather than row-wise latest-wins (core_dedupe_keep_latest
+    // is the row form) — latest-wins for the categorical state,
+    // greatest for the numeric, earliest for lineage, counts for
+    // confidence. The latest-state window and the aggregate sit on the
+    // same user_id exchange; output is one golden row per entity.
+    Op("core_golden_record",
+      (s, d) => {
+        val ev = eventsFp(s, d)
+        val w = Window.partitionBy("user_id").orderBy(desc("us"), desc("event_id"))
+        val last = ev.withColumn("rn", row_number().over(w)).where("rn = 1")
+          .select(col("user_id"), col("event_type").as("last_type"))
+        val agg = ev.groupBy("user_id").agg(
+          min("us").as("first_seen_us"),
+          max("us").as("last_seen_us"),
+          max("v").as("best_value_fp"),
+          countDistinct("event_type").as("n_distinct_types"),
+          count(lit(1)).as("n_records"))
+        agg.join(last, "user_id")
+          .select("user_id", "last_type", "first_seen_us", "last_seen_us",
+            "best_value_fp", "n_distinct_types", "n_records")
+          .orderBy("user_id")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, " +
+        "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+        "lt AS (SELECT user_id, event_type AS last_type FROM (" +
+        "SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY us DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1), " +
+        "ag AS (SELECT user_id, min(us) AS first_seen_us, max(us) AS last_seen_us, " +
+        "max(v) AS best_value_fp, " +
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types, " +
+        "count(*) AS n_records FROM ev GROUP BY 1) " +
+        "SELECT ag.user_id, lt.last_type, ag.first_seen_us, ag.last_seen_us, " +
+        "ag.best_value_fp, ag.n_distinct_types, ag.n_records " +
+        "FROM ag JOIN lt USING (user_id) ORDER BY ag.user_id")),
+
     // Character-entropy gibberish gate (the CCNet/RefinedWeb-style
     // doc-level filter): per document, Shannon entropy of the
     // character distribution via H = log2(n) - (1/n) * sum k_i*log2(k_i),
