@@ -63,28 +63,56 @@ object AnnIndex {
       })
     }
 
-  /** [[trainFor]] for a contiguous SUBSPACE slice (1-based `start`,
-    * `len` dims) of the stored embeddings: the memo key carries the
-    * slice descriptor, so the PQ family (`llm_pq_train`,
-    * `llm_pq_adc_recall`) trains M subspace codebooks ONCE per
-    * session instead of once per op — the codebooks are a pure
-    * function of (dir, slice, k, iters), and re-running Lloyd for the
-    * second consumer is the same redundant work whole-vector
-    * [[trainFor]] already eliminates.
+  /** ALL `mCount` contiguous subspaces (each `subDim` dims) trained in
+    * ONE Lloyd stream: the subspace id rides the rows, assignment
+    * argmins partition by (m, vec_id) and centroid rebuilds group by
+    * (m, c_id, pos) — one shuffle per iteration instead of one per
+    * (subspace, iteration), and mCount-times fewer jobs. Per-m results
+    * are bit-identical to training each slice separately (the seeds,
+    * the argmin tiebreak and the fixed-point rebuild are all
+    * m-independent), so the PQ oracle parity is untouched. Memoized
+    * per session like [[trainFor]]: the PQ family (`llm_pq_train`,
+    * `llm_pq_adc_recall`) shares one set of codebooks per session.
+    * Returns (m, c_id, n, c_vec).
     */
-  def trainSliceFor(
+  def trainSubspaces(
       s: org.apache.spark.sql.SparkSession,
       dir: String,
-      start: Int,
-      len: Int,
+      mCount: Int,
+      subDim: Int,
       k: Int,
       iters: Int): DataFrame =
     trainCache.synchronized {
-      trainCache.getOrElseUpdate((s, dir, k, iters, s"slice:$start:$len"), {
+      trainCache.getOrElseUpdate((s, dir, k, iters, s"subspaces:$mCount:$subDim"), {
         trainJobs += 1
         val sub = graft.Tables.spread(s.read.parquet(s"$dir/embeddings.parquet"))
-          .select(col("vec_id"), expr(s"slice(embedding, $start, $len)").as("embedding"))
-        train(sub, k, iters)
+          .select(col("vec_id"), explode(expr(
+            s"transform(sequence(0, ${mCount - 1}), m -> " +
+              s"struct(m AS m, slice(embedding, m * $subDim + 1, $subDim) AS emb))")).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.emb").as("embedding"))
+        var cent = sub.where(s"vec_id < $k")
+          .select(col("m"), col("vec_id").as("c_id"), lit(1L).as("n"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_vec"))
+        for (_ <- 1 to iters) {
+          val assign = sub.join(broadcast(cent.select("m", "c_id", "c_vec")), Seq("m"))
+            .withColumn("d2", expr(d2("embedding")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("m", "vec_id").orderBy(col("d2"), col("c_id"))))
+            .where("rn = 1")
+            .select("m", "c_id", "embedding")
+          cent = assign
+            .select(col("m"), col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy("m", "c_id", "pos")
+            .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)")).as("s"),
+              count(lit(1)).as("cnt"))
+            .groupBy("m", "c_id")
+            .agg(max("cnt").as("n"),
+              expr("array_sort(collect_list(struct(pos, s)))").as("ss"))
+            .select(col("m"), col("c_id"), col("n"),
+              expr("transform(ss, e -> CAST(e.s AS DOUBLE) / (10000.0 * n))").as("c_vec"))
+            .localCheckpoint()
+        }
+        cent
       })
     }
 

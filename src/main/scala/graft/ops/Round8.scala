@@ -598,12 +598,13 @@ object Round8 {
     Op("llm_pq_train",
       (s, d) => {
         val emb = T.spread(T.t(s, d, "embeddings"))
+        // ONE session-memoized Lloyd stream trains all 4 subspaces;
+        // the ADC-recall op consumes the SAME codebooks
+        val all = graft.api.AnnIndex.trainSubspaces(s, d, 4, 16, k = 8, iters = 2)
         val parts = (0 until 4).map { m =>
           val sub = emb.select(col("vec_id"),
             expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
-          // session-memoized per slice: the ADC-recall op consumes the
-          // SAME 4 codebooks instead of re-running 8 Lloyd jobs
-          val cent = graft.api.AnnIndex.trainSliceFor(s, d, 16 * m + 1, 16, k = 8, iters = 2)
+          val cent = all.where(s"m = $m").select("c_id", "n", "c_vec")
           graft.api.AnnIndex.assign(sub, cent)
             .join(broadcast(cent.select("c_id", "c_vec")), "c_id")
             .select(lit(m).as("m"),
@@ -635,10 +636,11 @@ object Round8 {
       (s, d) => {
         val emb = T.spread(T.t(s, d, "embeddings"))
         val probes = retrievalProbes(emb)
+        val all = graft.api.AnnIndex.trainSubspaces(s, d, 4, 16, k = 8, iters = 2)
         val subs = (0 until 4).map { m =>
           val sub = emb.select(col("vec_id"),
             expr(s"slice(embedding, ${16 * m + 1}, 16)").as("embedding"))
-          val cent = graft.api.AnnIndex.trainSliceFor(s, d, 16 * m + 1, 16, k = 8, iters = 2)
+          val cent = all.where(s"m = $m").select("c_id", "n", "c_vec")
           val codes = graft.api.AnnIndex.assign(sub, cent)
             .select(lit(m).as("m"), col("vec_id"), col("c_id"))
           val pdist = probes

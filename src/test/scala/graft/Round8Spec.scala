@@ -231,10 +231,10 @@ class Round8Spec extends AnyFunSuite {
       .collect().map(_.getLong(3))
     assert(rec.nonEmpty && rec.forall(_ == 1000000L),
       s"ADC ranking must equal exact-L2 ranking on pattern data: ${rec.toSeq}")
-    // the slice-keyed memo: the PQ pair shares ONE set of 4 subspace
-    // codebooks per session, not 4 Lloyd runs per op
-    assert(api.AnnIndex.trainJobs - jobsBefore == 4,
-      s"expected 4 shared subspace trainings, ran ${api.AnnIndex.trainJobs - jobsBefore}")
+    // the memoized combined subspace training: ONE Lloyd stream trains
+    // all 4 codebooks, and the PQ pair shares it within the session
+    assert(api.AnnIndex.trainJobs - jobsBefore == 1,
+      s"expected ONE shared subspace training, ran ${api.AnnIndex.trainJobs - jobsBefore}")
   }
 
   test("blocklist filter flags unigram and bigram hits, never the absent phrase") {
