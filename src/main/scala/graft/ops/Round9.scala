@@ -272,6 +272,50 @@ object Round9 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // Partition-layout advisor (the clustering-advisor niche every
+    // warehouse ships): score each candidate partition column of
+    // orders on (a) SKEW — max partition share vs the uniform share,
+    // in ppm (1e6 = perfectly uniform; a hot key inflates it) and
+    // (b) PARTITION-COUNT FITNESS — |log2(ndv) - log2(1024)| distance
+    // from a ~1k-partition sweet spot, in 1e-3 bits (too few
+    // partitions starve parallelism, too many drown the metastore in
+    // small files). score = skew_ppm + 100 * band_dist_fp, ranked
+    // ascending — a deterministic integer formula both engines replay.
+    // One groupBy per candidate, each map-side combining; nothing
+    // data-sized leaves the aggregates.
+    Op("core_layout_advisor",
+      (s, d) => {
+        val candidates = Seq("o_orderdate", "o_custkey", "o_orderpriority", "o_orderstatus")
+        val scored = candidates.map { c =>
+          T.t(s, d, "orders")
+            .groupBy(col(c).cast("string").as("k")).agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("ndv"),
+              expr("CAST(SUM(cnt) AS BIGINT)").as("n"),
+              max("cnt").as("max_cnt"))
+            .select(lit(c).as("candidate"), col("ndv"), col("max_cnt"),
+              expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * ndv * 1000000 div n AS BIGINT)")
+                .as("skew_ppm"),
+              expr("CAST(floor(abs(log2(CAST(ndv AS DOUBLE)) - 10.0) * 1000) AS BIGINT)")
+                .as("band_dist_fp"))
+        }.reduce(_ unionByName _)
+        scored
+          .withColumn("score_fp", expr("skew_ppm + 100 * band_dist_fp"))
+          .orderBy("score_fp", "candidate")
+      },
+      Some("WITH " + Seq("o_orderdate", "o_custkey", "o_orderpriority", "o_orderstatus")
+        .zipWithIndex.map { case (c, i) =>
+          s"g$i AS (SELECT CAST($c AS VARCHAR) AS k, count(*) AS cnt FROM orders GROUP BY 1), " +
+            s"a$i AS (SELECT '$c' AS candidate, CAST(count(*) AS BIGINT) AS ndv, " +
+            s"CAST(max(cnt) AS BIGINT) AS max_cnt, " +
+            s"CAST(CAST(max(cnt) AS HUGEINT) * count(*) * 1000000 // SUM(cnt) AS BIGINT) AS skew_ppm, " +
+            s"CAST(floor(abs(log2(CAST(count(*) AS DOUBLE)) - 10.0) * 1000) AS BIGINT) AS band_dist_fp " +
+            s"FROM g$i)"
+        }.mkString(", ") + " " +
+        "SELECT candidate, ndv, max_cnt, skew_ppm, band_dist_fp, " +
+        "skew_ppm + 100 * band_dist_fp AS score_fp FROM (" +
+        (0 until 4).map(i => s"SELECT * FROM a$i").mkString(" UNION ALL ") +
+        ") ORDER BY score_fp, candidate")),
+
     // Golden-record consolidation (the MDM survivorship pattern):
     // duplicate records per entity merge COLUMN-WISE under per-column
     // rules rather than row-wise latest-wins (core_dedupe_keep_latest
