@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9b pins: hand-computed fixtures for the commerce analytics,
+  * irregular-series, and corpus/embedding-audit operators.
+  */
+class Round9bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("market basket: pair support and lift match the hand computation") {
+    val dir = s"target/tmp/basket_${System.nanoTime()}"
+    // orders 1:{10,20,30} 2:{10,20} 3:{10}; duplicate line for (1,10)
+    // exercises the per-(order,part) distinct
+    Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Registry.byKey("rel_market_basket").query(spark, dir).collect()
+    // only (10,20) reaches supp_ab >= 2; lift = 2*3/(3*2) = 1.0
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == (10L, 20L, 2L, 3L, 2L, 1000000L))
+  }
+
+  test("rfm: 5 single-order customers land in 5 distinct quintiles") {
+    val dir = s"target/tmp/rfm_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    (1 to 5).map(i => (i.toLong, i.toLong,
+        new java.sql.Timestamp(t0 + i * 86400000L), i * 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Registry.byKey("rel_rfm_segmentation").query(spark, dir).collect()
+    assert(got.length == 5 && got.forall(_.getLong(3) == 1L))
+    // customer 5: most recent (r=1), freq ties broken by custkey (f=5),
+    // highest monetary (m=1), 500.00 -> 50000 cents
+    assert(got.exists(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(4)) ==
+      (1, 5, 1, 50000L)))
+  }
+
+  test("time-weighted avg: piecewise-constant hold, pooled across users") {
+    val dir = s"target/tmp/twa_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq(
+      // user 1: v=10 held 10 s, terminal event carries no duration
+      (1L, 1L, new java.sql.Timestamp(t0), "gauge", 10.0),
+      (1L, 2L, new java.sql.Timestamp(t0 + 10000L), "gauge", 99.0),
+      // user 2: v=20 for 5 s then v=40 for 5 s
+      (2L, 3L, new java.sql.Timestamp(t0), "gauge", 20.0),
+      (2L, 4L, new java.sql.Timestamp(t0 + 5000L), "gauge", 40.0),
+      (2L, 5L, new java.sql.Timestamp(t0 + 10000L), "gauge", 77.0),
+      // a single-event stream contributes nothing
+      (3L, 6L, new java.sql.Timestamp(t0), "solo", 1.0))
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("rel_time_weighted_avg").query(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("gauge"))
+    val g = got.head
+    // pooled: (10*10 + 20*5 + 40*5) / 20 s = 20.0 -> 20_000_000 micro
+    assert((g.getLong(1), g.getLong(2), g.getLong(3)) == (2L, 3L, 20000000L))
+  }
+
+  test("seasonality: uniform hourly traffic indexes to exactly 1e6") {
+    val dir = s"target/tmp/season_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 24).map(h => (1L, h.toLong,
+        new java.sql.Timestamp(t0 + h * 3600000L), "view", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byKey("rel_seasonality_profile").query(spark, dir).collect()
+    assert(got.length == 24)
+    assert(got.forall(r => r.getLong(2) == 1L && r.getLong(3) == 1000000L &&
+      r.getLong(4) == 3000000L))
+    assert(got.map(_.getInt(1)).toSeq == (0 until 24))
+  }
+
+  test("token fertility: regex token and char counts are exact") {
+    val dir = s"target/tmp/fert_${System.nanoTime()}"
+    Seq((1L, "aa bb", "en", "web", 5L), (2L, "x1y", "de", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byKey("llm_token_fertility").query(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // "aa bb": 2 tokens / 5 chars -> 2*1e8/5 = 40_000_000 ppm
+    val en = got("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4), en.getLong(5)) ==
+      (1L, 2L, 5L, 40000000L, 2L))
+    // "x1y": tokens x,1,y -> 3 tokens / 3 chars -> 1e8 ppm
+    val de = got("de")
+    assert((de.getLong(4), de.getLong(5)) == (100000000L, 3L))
+  }
+
+  test("mrl recall: zero upper half makes truncated ranking exact (recall 1e6)") {
+    val dir = s"target/tmp/mrl_${System.nanoTime()}"
+    // 20 vectors whose last 32 dims are all zero: sim_half == sim_full,
+    // so the truncated top-10 must reproduce the full-dim top-10
+    val rows = (0 until 20).map { i =>
+      val v = Array.tabulate(64)(j =>
+        if (j < 32) ((i * 31 + j * 17) % 97 + 1).toFloat else 0.0f)
+      (i.toLong, v, i % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.byKey("llm_mrl_recall").query(spark, dir).collect()
+    assert(got.length == 5)
+    assert(got.forall(r => r.getLong(1) == 10L && r.getLong(2) == 1000000L))
+  }
+}
