@@ -84,4 +84,39 @@ object StoreIO {
   def recordApplied(spark: SparkSession, dir: String, batchId: String): Unit =
     swapIn(read(spark, dir, "applied").unionByName(ledgerDf(spark, Seq(batchId))),
       spark, s"$dir/applied")
+
+  private val stagedRe = "^(.*-)?staged-[0-9a-f]{8}$".r
+
+  /** Garbage-collect crash debris under a store root: orphaned
+    * `[-]staged-<h8>` writes (a writer died before its swap/promote)
+    * and stale `<name>-old` retirees whose current generation exists
+    * (a swap died between its final delete and nothing — both copies
+    * complete). NEVER touches an `-old` whose current is missing:
+    * that IS the crash-window fallback [[read]] depends on. Recurses
+    * into plain subdirectories (bucketed/partitioned stores) but not
+    * into kept `-old` retirees. Returns (staged, old) deletion counts;
+    * work is O(directory listing), never O(data).
+    */
+  def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
+    val f = fs(spark, dir)
+    def walk(p: org.apache.hadoop.fs.Path): (Int, Int) = {
+      val entries = f.listStatus(p).filter(_.isDirectory)
+      val names = entries.map(_.getPath.getName).toSet
+      var staged = 0
+      var old = 0
+      entries.foreach { e =>
+        val n = e.getPath.getName
+        if (stagedRe.matches(n)) { f.delete(e.getPath, true); staged += 1 }
+        else if (n.endsWith("-old") && names.contains(n.stripSuffix("-old"))) {
+          f.delete(e.getPath, true); old += 1
+        } else if (!n.endsWith("-old")) {
+          val (s2, o2) = walk(e.getPath)
+          staged += s2; old += o2
+        }
+      }
+      (staged, old)
+    }
+    if (!f.exists(new org.apache.hadoop.fs.Path(dir))) (0, 0)
+    else walk(new org.apache.hadoop.fs.Path(dir))
+  }
 }

@@ -259,5 +259,73 @@ object Round9b {
         "row_number() OVER (PARTITION BY probe_id ORDER BY sim_half DESC, vec_id) AS rh FROM scored) " +
         "SELECT probe_id, CAST(count_if(rf <= 10 AND rh <= 10) AS BIGINT) AS n_overlap, " +
         "CAST(count_if(rf <= 10 AND rh <= 10) AS BIGINT) * 1000000 // 10 AS recall_ppm " +
-        "FROM rk WHERE rf <= 10 OR rh <= 10 GROUP BY 1 ORDER BY 1")))
+        "FROM rk WHERE rf <= 10 OR rh <= 10 GROUP BY 1 ORDER BY 1")),
+
+    // Parquet footer-stats integrity audit: per-column value and null
+    // counts read from the ROW-GROUP METADATA (parquet-hadoop footer
+    // API, no data pages touched), verified against the data by the
+    // oracle. Footer stats are what every stats-based file/row-group
+    // skip trusts — min/max pruning, null-aware rewrites, bloom
+    // routing — so "footer == data" is the audit that makes skipping
+    // safe to enable. The driver-side loop is bounded by metadata size
+    // (row-groups x columns), never rows.
+    Op("src_parquet_rowgroup_stats",
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        import org.apache.hadoop.fs.Path
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new Path(s"$d/lineitem.parquet")
+        val hfs = root.getFileSystem(conf)
+        val files =
+          if (hfs.getFileStatus(root).isDirectory)
+            hfs.listStatus(root).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          else Array(root)
+        val chunks = files.flatMap { fp =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+          try rd.getFooter.getBlocks.asScala.flatMap(b => b.getColumns.asScala.map(c =>
+            (c.getPath.toDotString, c.getValueCount,
+              Option(c.getStatistics).filter(!_.isEmpty).map(_.getNumNulls).getOrElse(0L))))
+          finally rd.close()
+        }
+        import s.implicits._
+        chunks.toSeq.groupBy(_._1).toSeq
+          .map { case (name, cs) => (name, cs.map(_._2).sum, cs.map(_._3).sum) }
+          .sortBy(_._1)
+          .toDF("col_name", "n_values", "n_nulls")
+      },
+      Some(Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+          "l_shipdate")
+        .map(c => s"SELECT '$c' AS col_name, count(*) AS n_values, " +
+          s"count(*) - count($c) AS n_nulls FROM lineitem")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"))),
+
+    // Store vacuum driven end-to-end under the oracle: build a StoreIO
+    // generation, plant the two real crash-debris shapes (an orphaned
+    // staged write whose writer died pre-swap, and a stale `-old`
+    // retiree alongside a live current), vacuum, and audit — debris
+    // counts plus the store row count read BACK from the store, so the
+    // oracle also proves vacuum never touched live data. The
+    // crash-window fallback (`-old` with NO current) is pinned
+    // untouchable by Round9bSpec.
+    Op("core_store_vacuum",
+      (s, d) => {
+        val dir = s"target/tmp/vacstore_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.api.StoreIO.delete(s, dir)
+        val data = T.t(s, d, "lineitem").where("l_orderkey % 10 = 0")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        graft.api.StoreIO.swapIn(data, s, s"$dir/t")
+        data.limit(5).write.mode("overwrite").parquet(s"$dir/t-staged-deadbeef")
+        data.limit(3).write.mode("overwrite").parquet(s"$dir/t-old")
+        val (nStaged, nOld) = graft.api.StoreIO.vacuum(s, dir)
+        val rows = graft.api.StoreIO.read(s, dir, "t").count()
+        import s.implicits._
+        Seq((nStaged.toLong, nOld.toLong, rows))
+          .toDF("n_staged_removed", "n_old_removed", "rows_store")
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS n_staged_removed, " +
+        "CAST(1 AS BIGINT) AS n_old_removed, " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey % 10 = 0) AS rows_store")))
 }

@@ -106,4 +106,41 @@ class Round9bSpec extends AnyFunSuite {
     assert(got.length == 5)
     assert(got.forall(r => r.getLong(1) == 10L && r.getLong(2) == 1000000L))
   }
+
+  test("vacuum: keeps the crash-window fallback, cleans nested debris") {
+    import spark.implicits._
+    val dir = s"target/tmp/vac_${System.nanoTime()}"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // store A crashed mid-swap: only the -old retiree survives — vacuum
+    // must NOT delete it (it is the only complete generation)
+    df.write.parquet(s"$dir/a-old")
+    // store B is healthy with a stale retiree and an orphaned staged dir
+    df.write.parquet(s"$dir/b")
+    df.write.parquet(s"$dir/b-old")
+    df.write.parquet(s"$dir/b-staged-0123abcd")
+    // a bucketed store nests its debris one level down
+    df.write.parquet(s"$dir/buckets/7/data")
+    df.write.parquet(s"$dir/buckets/7/staged-deadbeef")
+    val (nStaged, nOld) = api.StoreIO.vacuum(spark, dir)
+    assert((nStaged, nOld) == (2, 1))
+    // fallback read path still serves store A
+    assert(api.StoreIO.read(spark, dir, "a").count() == 2)
+    assert(api.StoreIO.read(spark, dir, "b").count() == 2)
+    assert(spark.read.parquet(s"$dir/buckets/7/data").count() == 2)
+    // second vacuum is a no-op
+    assert(api.StoreIO.vacuum(spark, dir) == ((0, 0)))
+  }
+
+  test("rowgroup stats: footer counts match data on a multi-file Spark write") {
+    import spark.implicits._
+    val dir = s"target/tmp/rgstats_${System.nanoTime()}"
+    (1 to 100).map(i => (i.toLong, if (i % 4 == 0) null else s"v$i"))
+      .toDF("l_orderkey", "l_returnflag")
+      .repartition(3)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = Registry.byKey("src_parquet_rowgroup_stats").query(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("l_orderkey") == ((100L, 0L)))
+    assert(got("l_returnflag") == ((100L, 25L)))
+  }
 }
