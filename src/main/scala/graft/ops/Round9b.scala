@@ -45,9 +45,13 @@ object Round9b {
     // total (support, lift, p1, p2) order.
     Op("rel_market_basket",
       (s, d) => {
+        // one scan + one distinct, materialized once: items feeds FIVE
+        // consumers (both self-join sides, both supports, n_orders) —
+        // without the checkpoint each re-scans lineitem and re-shuffles
+        // the distinct
         val items = T.t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+          .distinct().localCheckpoint()
         val tot = items.agg(count_distinct(col("ok")).as("n_orders"))
         val supp = items.groupBy("pk").agg(count(lit(1)).as("supp"))
         val a = items.select(col("ok"), col("pk").as("p1"))

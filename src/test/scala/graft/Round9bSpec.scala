@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.GraftSqlBridge
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-9b pins: hand-computed fixtures for the commerce analytics,
@@ -105,6 +106,46 @@ class Round9bSpec extends AnyFunSuite {
     val got = Registry.byKey("llm_mrl_recall").query(spark, dir).collect()
     assert(got.length == 5)
     assert(got.forall(r => r.getLong(1) == 10L && r.getLong(2) == 1000000L))
+  }
+
+  test("plan pins: twa shares one exchange, basket scans lineitem once") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def planOf(key: String): SparkPlan = {
+      val df = Registry.byKey(key).query(spark, TestSpark.sf)
+      df.collect()
+      GraftSqlBridge.executedPlan(df) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    def collectRec[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+      p.collect {
+        case q: QueryStageExec => collectRec(q.plan)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+
+    // twa: the lead() window and the (user, type) aggregate must share
+    // ONE exchange; only the |types|-sized re-agg and the final sort
+    // may shuffle again — 3 total, and none between Window and its agg
+    val twa = planOf("rel_time_weighted_avg")
+    val shuffles = collectRec(twa) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 3,
+      s"twa expected 3 shuffles (window, type agg, sort), got ${shuffles.size}:\n$twa")
+
+    // basket: items is checkpointed, so its FIVE consumers must not
+    // re-scan parquet (0 file scans in the final plan) and the two
+    // support joins must broadcast, never shuffle the pair stream
+    val basket = planOf("rel_market_basket")
+    val scans = collectRec(basket) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, s"basket re-scans parquet:\n$basket")
+    val bhj = collectRec(basket) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2, s"basket support joins must broadcast:\n$basket")
   }
 
   test("vacuum: keeps the crash-window fallback, cleans nested debris") {
