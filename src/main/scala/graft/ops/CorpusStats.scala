@@ -63,4 +63,30 @@ object CorpusStats {
 
   /** DuckDB expression computing the same cap as [[rareDfCap]]. */
   val oRareDfCap: String = "greatest(256, (SELECT count(*) FROM documents) // 100)"
+
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  /** Per-(session, dir, key) builds, observable by tests. */
+  private[graft] val dfComputes =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Session-scoped memo for deterministic, ALREADY-MATERIALIZED
+    * intermediate DataFrames (the builder must end in localCheckpoint,
+    * so the memo hands back settled rows, not a live lineage). Several
+    * registry ops share expensive pair-generation pipelines
+    * (jaccardPairs feeds llm_ngram_jaccard AND llm_minhash_recall;
+    * the verified MinHash pairs feed llm_minhash_verified AND the
+    * recall audit) — one build per session serves them all. Safety:
+    * the build is a pure function of the (session, dir) corpus, so a
+    * hit changes speed, never rows; a fresh session re-builds.
+    */
+  private[ops] def memoDf(s: SparkSession, dir: String, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dfCache.synchronized {
+      dfCache.getOrElseUpdate((s, dir, key), {
+        dfComputes.updateWith(key)(c => Some(c.getOrElse(0L) + 1L))
+        build
+      })
+    }
 }

@@ -166,6 +166,13 @@ object LlmOps {
     * that kills a 100-TB run. Scans stay O(n); memory stays O(reps).
     */
   private[ops] def jaccardPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    // one build per session serves llm_ngram_jaccard AND the recall
+    // audit's truth side (the result is checkpointed, so the memo
+    // returns settled rows)
+    CorpusStats.memoDf(s, d, "jaccardPairs")(jaccardPairsImpl(s, d))
+
+  private def jaccardPairsImpl(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     // gid pairs the 64-bit hash with the text length: collisions then
     // require equal lengths too — the negligible-at-any-scale fingerprint

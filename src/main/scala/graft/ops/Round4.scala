@@ -263,18 +263,24 @@ object Round4 {
     // band buckets; the verify join touches only candidate pairs.
     Op("llm_minhash_verified",
       (s, d) => {
-        val (base, cand) = minhashCandidates(s, d)
-        val out = cand
-          .join(base.select(col("doc_id").as("d1"), col("ths").as("t1")), "d1")
-          .join(base.select(col("doc_id").as("d2"), col("ths").as("t2")), "d2")
-          .withColumn("n_inter", expr("size(array_intersect(t1, t2))"))
-          .withColumn("jaccard",
-            expr("CAST(n_inter AS DOUBLE) / (size(t1) + size(t2) - n_inter)"))
-          .where("jaccard >= 0.5")
-          .select("d1", "d2", "jaccard")
-          .localCheckpoint()
-        base.unpersist()
-        out.orderBy("d1", "d2")
+        // the checkpointed verified-pair set feeds FIVE consumers per
+        // session (this op, llm_dedup_verdicts, the recall audit, and
+        // the round-5 composed dedup ops) — build once per session
+        val pairs = CorpusStats.memoDf(s, d, "minhashVerifiedPairs") {
+          val (base, cand) = minhashCandidates(s, d)
+          val out = cand
+            .join(base.select(col("doc_id").as("d1"), col("ths").as("t1")), "d1")
+            .join(base.select(col("doc_id").as("d2"), col("ths").as("t2")), "d2")
+            .withColumn("n_inter", expr("size(array_intersect(t1, t2))"))
+            .withColumn("jaccard",
+              expr("CAST(n_inter AS DOUBLE) / (size(t1) + size(t2) - n_inter)"))
+            .where("jaccard >= 0.5")
+            .select("d1", "d2", "jaccard")
+            .localCheckpoint()
+          base.unpersist()
+          out
+        }
+        pairs.orderBy("d1", "d2")
       },
       Some("WITH " + Round4.oMinhashVerifiedCtes +
         " SELECT d1, d2, jaccard FROM mvpairs ORDER BY d1, d2")),

@@ -148,6 +148,21 @@ class Round9bSpec extends AnyFunSuite {
     assert(bhj.size >= 2, s"basket support joins must broadcast:\n$basket")
   }
 
+  test("pair-generation memo: one jaccard/minhash build serves all consumers") {
+    def builds(key: String) = ops.CorpusStats.dfComputes.getOrElse(key, 0L)
+    // prime both memos (may or may not build, depending on suite order)
+    Registry.byKey("llm_ngram_jaccard").query(spark, TestSpark.sf).collect()
+    Registry.byKey("llm_minhash_verified").query(spark, TestSpark.sf).collect()
+    val (j0, m0) = (builds("jaccardPairs"), builds("minhashVerifiedPairs"))
+    // every consumer of either pair set must hit the session memo
+    Registry.byKey("llm_ngram_jaccard").query(spark, TestSpark.sf).collect()
+    Registry.byKey("llm_minhash_recall").query(spark, TestSpark.sf).collect()
+    Registry.byKey("llm_minhash_cluster").query(spark, TestSpark.sf).collect()
+    Registry.byKey("llm_dedup_verdicts").query(spark, TestSpark.sf).collect()
+    assert(builds("jaccardPairs") == j0, "jaccardPairs rebuilt despite memo")
+    assert(builds("minhashVerifiedPairs") == m0, "minhash pairs rebuilt despite memo")
+  }
+
   test("vacuum: keeps the crash-window fallback, cleans nested debris") {
     import spark.implicits._
     val dir = s"target/tmp/vac_${System.nanoTime()}"
