@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9c operators: double-exponential-smoothing forecast backtest
+  * and sentence-level duplication profiling.
+  *
+  * Same determinism discipline as the sibling files: exact integer /
+  * fixed-point arithmetic (the DES smoother uses the dyadic
+  * alpha = 1/2, 8-lag truncated EWMA of rel_window_ewma — weights sum
+  * to 255, one `div 255` at the end), DECIMAL(38)/HUGEINT for
+  * overflow-prone products, total ORDER BY.
+  */
+object Round9c {
+
+  val ops: Seq[Op] = Seq(
+
+    // Double-exponential-smoothing (Holt) forecast BACKTEST on the
+    // daily order-count series: level and trend are both 8-lag dyadic
+    // EWMAs (level over y, trend over the first difference), frozen at
+    // an anchor 7 observations before the series end; the op reports
+    // forecast vs actual for the 7 held-out steps with MASE against
+    // the training mean absolute difference. Everything after the
+    // daily aggregate runs on the |days|-sized series (~thousands of
+    // rows at ANY corpus scale — a global window over a daily series
+    // is not a scale risk; the fact-table scan is the only big job).
+    Op("rel_forecast_des",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val daily = T.t(s, d, "orders")
+          .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val base = daily
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_days", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("dy", col("y") - lag("y", 1).over(w))
+          .withColumn("lnum", (0 to 7)
+            .map(j => coalesce(lag(col("y"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+            .reduce(_ + _))
+          .withColumn("tnum", (0 to 7)
+            .map(j => coalesce(lag(col("dy"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+            .reduce(_ + _))
+        val anchor = base.where("rn = n_days - 7 AND rn >= 9")
+          .select(col("rn").as("arn"), col("lnum"), col("tnum"))
+        val tr = base.crossJoin(broadcast(anchor.select("arn")))
+          .where("rn >= 2 AND rn <= arn")
+          .agg(sum(abs(col("dy"))).as("scale_sum"), count(lit(1)).as("n_tr"))
+        base.select("rn", "y").crossJoin(broadcast(anchor))
+          .withColumn("h", expr("CAST(rn - arn AS BIGINT)"))
+          .where("h >= 1 AND h <= 7")
+          .withColumn("forecast", expr("(lnum + h * tnum) div 255"))
+          .withColumn("abs_err", expr("abs(forecast - y)"))
+          .crossJoin(broadcast(tr))
+          .withColumn("mase_ppm", expr(
+            "CAST(CAST(abs_err AS DECIMAL(38,0)) * n_tr * 1000000 " +
+              "div greatest(1, scale_sum) AS BIGINT)"))
+          .select(col("h"), col("forecast"), col("y").as("actual"),
+            col("abs_err"), col("mase_ppm"))
+          .orderBy("h")
+      },
+      Some("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "base AS (SELECT row_number() OVER w AS rn, count(*) OVER () AS n_days, y, " +
+        "y - lag(y, 1) OVER w AS dy, " +
+        (0 to 7).map(j => s"coalesce(lag(y, $j) OVER w, 0) * ${1L << (7 - j)}")
+          .mkString(" + ") + " AS lnum, " +
+        (0 to 7).map(j => s"coalesce(lag(y - lag_y, $j) OVER w, 0) * ${1L << (7 - j)}")
+          .mkString(" + ") + " AS tnum " +
+        "FROM (SELECT day, y, lag(y, 1) OVER (ORDER BY day) AS lag_y FROM daily) " +
+        "WINDOW w AS (ORDER BY day)), " +
+        "anchor AS (SELECT rn AS arn, lnum, tnum FROM base WHERE rn = n_days - 7 AND rn >= 9), " +
+        "tr AS (SELECT sum(abs(dy)) AS scale_sum, count(*) AS n_tr " +
+        "FROM base, anchor WHERE rn >= 2 AND rn <= arn) " +
+        "SELECT CAST(rn - arn AS BIGINT) AS h, " +
+        "(anchor.lnum + CAST(rn - arn AS BIGINT) * anchor.tnum) // 255 AS forecast, y AS actual, " +
+        "abs((anchor.lnum + CAST(rn - arn AS BIGINT) * anchor.tnum) // 255 - y) AS abs_err, " +
+        "CAST(CAST(abs((anchor.lnum + CAST(rn - arn AS BIGINT) * anchor.tnum) // 255 - y) AS HUGEINT) " +
+        "* n_tr * 1000000 // greatest(1, scale_sum) AS BIGINT) AS mase_ppm " +
+        "FROM base, anchor, tr WHERE rn - arn >= 1 AND rn - arn <= 7 ORDER BY h")),
+
+    // Sentence-level duplication profile per source — the C4/CCNet
+    // boilerplate signal (nav bars, cookie banners, legal footers
+    // repeat VERBATIM across documents at the sentence level long
+    // before whole documents collide). Sentences (split on '.',
+    // trimmed, >= 20 chars) group by their exact text for the global
+    // occurrence count; per-source rollup reports how much of each
+    // source is repeated material. At 100 TB the string grouping key
+    // becomes a 128-bit hash and the rollup is unchanged; one explode,
+    // two shuffles (sentence df, source rollup).
+    Op("llm_dedup_sentence",
+      (s, d) => {
+        val sent = T.spread(T.t(s, d, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), "\\.")).as("sraw"))
+          .withColumn("sent", trim(col("sraw")))
+          .where("length(sent) >= 20")
+        val occ = sent.groupBy("sent").agg(count(lit(1)).as("occ"))
+        sent.join(occ, "sent")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_sentences"),
+            expr("CAST(count_if(occ >= 2) AS BIGINT)").as("n_dup"))
+          .withColumn("dup_ppm", expr(
+            "CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000 " +
+              "div greatest(1, n_sentences) AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some("WITH sent AS (SELECT doc_id, source, trim(s) AS sent " +
+        "FROM (SELECT doc_id, source, unnest(string_split(text, '.')) AS s FROM documents) " +
+        "WHERE length(trim(s)) >= 20), " +
+        "occ AS (SELECT sent, count(*) AS occ FROM sent GROUP BY 1) " +
+        "SELECT source, count(*) AS n_sentences, " +
+        "CAST(count_if(occ >= 2) AS BIGINT) AS n_dup, " +
+        "CAST(CAST(count_if(occ >= 2) AS HUGEINT) * 1000000 " +
+        "// greatest(1, count(*)) AS BIGINT) AS dup_ppm " +
+        "FROM sent JOIN occ USING (sent) GROUP BY source ORDER BY source")))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9c pins: DES forecast exactness on a constant series and the
+  * sentence-duplication boilerplate profile.
+  */
+class Round9cSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("DES: constant daily series forecasts itself exactly (mase 0)") {
+    val dir = s"target/tmp/des_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 20 days x 3 orders/day: dy = 0 everywhere, so tnum = 0 and
+    // lnum = 3*255 — every holdout forecast must be exactly 3
+    val rows = for (day <- 0 until 20; k <- 0 until 3)
+      yield ((day * 3 + k).toLong, new java.sql.Timestamp(t0 + day * 86400000L))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Registry.byKey("rel_forecast_des").query(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 7L))
+    assert(got.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
+
+  test("DES: too-short series yields no backtest rows (anchor needs 9 obs)") {
+    val dir = s"target/tmp/des_short_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 10).map(i => (i.toLong, new java.sql.Timestamp(t0 + i * 86400000L)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(Registry.byKey("rel_forecast_des").query(spark, dir).count() == 0)
+  }
+
+  test("sentence dedup: repeated boilerplate counts, short fragments don't") {
+    val dir = s"target/tmp/sentdup_${System.nanoTime()}"
+    val bp = "subscribe to our newsletter today"
+    Seq(
+      (1L, s"$bp. the quick brown fox jumps over dogs. ok", "en", "a"),
+      (2L, s"$bp. an entirely original second sentence here", "en", "a"),
+      (3L, s"$bp. completely different content for source b", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", $"doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byKey("llm_dedup_sentence").query(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // source a: 4 sentences >= 20 chars, 2 of them the boilerplate
+    assert(got("a") == ((4L, 2L, 500000L)))
+    // source b: boilerplate + its own sentence; boilerplate dup'd globally
+    assert(got("b") == ((2L, 1L, 500000L)))
+  }
+}
