@@ -58,7 +58,12 @@ object Bench {
     "llm_source_overlap_kmv", "llm_kn_bigram_lm",
     // round 8: the sketch-sizing loop + event analytics
     "rel_join_size_autosized", "llm_bloom_autosized",
-    "rel_sessionize", "rel_funnel_conversion")
+    "rel_sessionize", "rel_funnel_conversion",
+    // round 9: persistent-store ops, commerce analytics, corpus audits
+    "core_dq_trend", "core_upsert_store", "core_store_vacuum",
+    "rel_market_basket", "rel_rfm_segmentation", "rel_time_weighted_avg",
+    "rel_forecast_des", "llm_token_fertility", "llm_mrl_recall",
+    "llm_dedup_sentence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
