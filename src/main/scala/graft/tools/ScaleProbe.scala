@@ -157,6 +157,37 @@ object ScaleProbe {
         f"20x near-dup recall dropped vs 1x: $r20%.4f < $r1%.4f — the rare cap is not scale-invariant")
     }
 
+    // Market-basket scale invariance: the amplified lineitem shifts
+    // order AND part keys per copy, so every copy's baskets are intact
+    // replicas — each 20x top pair must map (mod keyShift) onto a 1x
+    // pair with IDENTICAL within-copy supports (supp_ab, supp1, supp2
+    // are copy-local; only n_orders — and hence lift — gains the 20x
+    // factor). A mismatch means amplification warped the pair stats,
+    // i.e. the operator's support counting is not scale-stable.
+    {
+      val sf = "/root/testdata/sf0.1"
+      def items(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val it1 = items(sf).localCheckpoint()
+      val s1 = it1.groupBy("pk").agg(count(lit(1)).as("s"))
+      val pairs1 = it1.as("a").join(it1.as("b"), Seq("ok"))
+        .where(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("q1"), col("b.pk").as("q2"))
+        .agg(count(lit(1)).as("sab1")).where("sab1 >= 2")
+      val top20 = graft.Registry.byKey("rel_market_basket").query(spark, big)
+        .selectExpr(s"p1 % ${keyShift}L AS q1", s"p2 % ${keyShift}L AS q2",
+          "supp_ab", "supp1", "supp2")
+      val n = top20.count()
+      val bad = top20.join(pairs1, Seq("q1", "q2"), "left")
+        .join(s1.select(col("pk").as("q1"), col("s").as("e1")), Seq("q1"), "left")
+        .join(s1.select(col("pk").as("q2"), col("s").as("e2")), Seq("q2"), "left")
+        .where("sab1 IS NULL OR supp_ab <> sab1 OR supp1 <> e1 OR supp2 <> e2")
+        .count()
+      println(s"PROBE basket_scale_invariance: mismatches=$bad of $n top pairs")
+      require(bad == 0,
+        "20x market-basket top pairs do not map onto their 1x within-copy supports")
+    }
+
     // Pathological levenshtein corpus: ONE (lang, n_chars) block holding
     // 100k DISTINCT texts (so the exact-dedup quotient cannot collapse
     // anything) — unbounded blocking would need 5e9 O(len^2) distance
