@@ -115,5 +115,51 @@ object Round9c {
         "CAST(count_if(occ >= 2) AS BIGINT) AS n_dup, " +
         "CAST(CAST(count_if(occ >= 2) AS HUGEINT) * 1000000 " +
         "// greatest(1, count(*)) AS BIGINT) AS dup_ppm " +
-        "FROM sent JOIN occ USING (sent) GROUP BY source ORDER BY source")))
+        "FROM sent JOIN occ USING (sent) GROUP BY source ORDER BY source")),
+
+    // Label-conditioned embedding outliers — mislabeled-candidate
+    // detection for curated training sets: the 3 vectors farthest
+    // (squared L2, 1e-4 fixed point as in llm_embedding_center) from
+    // their OWN label's centroid. Per-label centroids come from ONE
+    // map-side-combinable (label, pos) aggregate; the |labels|
+    // centroid panel broadcasts into the vector scan; the rank window
+    // sits on one label exchange. Both engines run the identical
+    // sequential fold, so the fixed-point distances agree exactly.
+    Op("llm_label_outliers",
+      (s, d) => {
+        val emb = T.spread(T.t(s, d, "embeddings"))
+        val means = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)")).as("sx"),
+            count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(expr("array_sort(collect_list(struct(pos, sx, n)))").as("ss"))
+          .select(col("label"),
+            expr("transform(ss, e -> CAST(e.sx AS DOUBLE) / (10000.0 * e.n))").as("mean_vec"))
+        val w = Window.partitionBy("label").orderBy(desc("d2_fp"), col("vec_id"))
+        emb.join(broadcast(means), "label")
+          .withColumn("d2_fp", expr(
+            "CAST(floor(aggregate(zip_with(embedding, mean_vec, " +
+              "(x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)), " +
+              "CAST(0 AS DOUBLE), (a, v) -> a + v) * 10000 + 0.000001) AS BIGINT)"))
+          .withColumn("rnk", row_number().over(w))
+          .where("rnk <= 3")
+          .select("label", "rnk", "vec_id", "d2_fp")
+          .orderBy("label", "rnk")
+      },
+      Some("WITH s AS (SELECT label, t.range AS pos, " +
+        "CAST(SUM(CAST(floor(CAST(embedding[t.range] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sx, " +
+        "count(*) AS n FROM embeddings, range(1, 65) t GROUP BY 1, 2), " +
+        "m AS (SELECT label, list(CAST(sx AS DOUBLE) / (10000.0 * n) ORDER BY pos) AS mean_vec " +
+        "FROM s GROUP BY 1), " +
+        "dist AS (SELECT e.label, vec_id, CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(embedding) + 1), i -> " +
+        "(CAST(embedding[i] AS DOUBLE) - mean_vec[i]) * (CAST(embedding[i] AS DOUBLE) - mean_vec[i]))), " +
+        "(acc, v) -> acc + v) * 10000 + 0.000001) AS BIGINT) AS d2_fp " +
+        "FROM embeddings e JOIN m ON e.label = m.label), " +
+        "r AS (SELECT label, vec_id, d2_fp, " +
+        "CAST(row_number() OVER (PARTITION BY label ORDER BY d2_fp DESC, vec_id) AS INTEGER) AS rnk " +
+        "FROM dist) " +
+        "SELECT label, rnk, vec_id, d2_fp FROM r WHERE rnk <= 3 ORDER BY label, rnk")))
 }

@@ -50,4 +50,23 @@ class Round9cSpec extends AnyFunSuite {
     // source b: boilerplate + its own sentence; boilerplate dup'd globally
     assert(got("b") == ((2L, 1L, 500000L)))
   }
+
+  test("label outliers: the planted far vector ranks first in its own label") {
+    val dir = s"target/tmp/outl_${System.nanoTime()}"
+    // per label: 5 near-identical vectors plus one planted far vector
+    // (vec_id = label*100 + 99) that must surface as rank 1
+    val rows = for (lab <- 0 until 3; i <- 0 until 6) yield {
+      val far = i == 5
+      val v = Array.tabulate(64)(j =>
+        if (far) (if (j % 2 == 0) 5.0f else -5.0f)
+        else lab.toFloat + j * 0.01f + i * 0.001f)
+      ((lab * 100 + (if (far) 99 else i)).toLong, v, lab)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Registry.byKey("llm_label_outliers").query(spark, dir).collect()
+    assert(got.length == 9) // 3 labels x top-3
+    val rank1 = got.filter(_.getInt(1) == 1).map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rank1 == Map(0 -> 99L, 1 -> 199L, 2 -> 299L))
+  }
 }
