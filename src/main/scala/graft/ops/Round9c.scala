@@ -161,5 +161,90 @@ object Round9c {
         "r AS (SELECT label, vec_id, d2_fp, " +
         "CAST(row_number() OVER (PARTITION BY label ORDER BY d2_fp DESC, vec_id) AS INTEGER) AS rnk " +
         "FROM dist) " +
-        "SELECT label, rnk, vec_id, d2_fp FROM r WHERE rnk <= 3 ORDER BY label, rnk")))
+        "SELECT label, rnk, vec_id, d2_fp FROM r WHERE rnk <= 3 ORDER BY label, rnk")),
+
+    // User-growth curve: per active day, DAU, newly-seen users and the
+    // cumulative user count — the growth dashboard base table. Day ids
+    // are integer epoch-day math (no calendar/timezone dependency);
+    // everything flows from ONE distinct (user, day) projection — the
+    // DAU aggregate, the per-user first-day, and the new-user rollup;
+    // the cumulative sum is a window over the |days|-sized result.
+    Op("rel_user_growth",
+      (s, d) => {
+        val ud = T.events(s, d).select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day_id"))
+          .distinct().localCheckpoint()
+        val dau = ud.groupBy("day_id").agg(count(lit(1)).as("dau"))
+        val nu = ud.groupBy("user_id").agg(min("day_id").as("day_id"))
+          .groupBy("day_id").agg(count(lit(1)).as("new_users"))
+        dau.join(nu, Seq("day_id"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("cum_users", sum("new_users").over(
+            Window.orderBy("day_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("day_id", "dau", "new_users", "cum_users")
+          .orderBy("day_id")
+      },
+      Some("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events), " +
+        "dau AS (SELECT day_id, count(*) AS dau FROM ud GROUP BY 1), " +
+        "nu AS (SELECT day_id, count(*) AS new_users FROM " +
+        "(SELECT user_id, min(day_id) AS day_id FROM ud GROUP BY 1) GROUP BY 1) " +
+        "SELECT day_id, dau, coalesce(new_users, 0) AS new_users, " +
+        "CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY day_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM dau LEFT JOIN nu USING (day_id) ORDER BY day_id")),
+
+    // DAU/MAU stickiness: per active day, the 28-day trailing distinct
+    // actives (MAU) and the DAU/MAU ratio in ppm. EXACT rolling
+    // distinct via coverage expansion — each (user, day) marks the 28
+    // days it keeps the user "monthly active", so MAU(d) is a plain
+    // distinct count; the expansion is a bounded 28x of the distinct
+    // (user, day) pairs. (At 100 TB you'd swap the exact expansion for
+    // merged daily HLL sketches; this is the audit-grade exact form.)
+    // Windows before day 28 of the series are partial by definition.
+    Op("rel_dau_mau_stickiness",
+      (s, d) => {
+        val ud = T.events(s, d).select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day_id"))
+          .distinct().localCheckpoint()
+        val dau = ud.groupBy("day_id").agg(count(lit(1)).as("dau"))
+        val mau = ud.select(col("user_id"),
+            explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
+          .distinct()
+          .groupBy("day_id").agg(count(lit(1)).as("mau"))
+        dau.join(mau, Seq("day_id"))
+          .withColumn("sticky_ppm",
+            expr("CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 div mau AS BIGINT)"))
+          .orderBy("day_id")
+      },
+      Some("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events), " +
+        "dau AS (SELECT day_id, count(*) AS dau FROM ud GROUP BY 1), " +
+        "mau AS (SELECT day_id, count(*) AS mau FROM " +
+        "(SELECT DISTINCT user_id, unnest(range(day_id, day_id + 28)) AS day_id FROM ud) " +
+        "GROUP BY 1) " +
+        "SELECT day_id, dau, mau, " +
+        "CAST(CAST(dau AS HUGEINT) * 1000000 // mau AS BIGINT) AS sticky_ppm " +
+        "FROM dau JOIN mau USING (day_id) ORDER BY day_id")),
+
+    // Degree histogram of the near-dup pair graph: how many documents
+    // have k near-dup neighbours — the shape that picks the dedup
+    // strategy (a few giant boilerplate stars vs many isolated pairs)
+    // and predicts connected-component sizes before running them.
+    // Rides the session-memoized jaccardPairs build (zero extra pair
+    // generation after llm_ngram_jaccard or the recall audit has run);
+    // everything here is two tiny aggregates over the pair set.
+    Op("llm_dedup_graph_stats",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(s, d)
+        pairs.select(col("d1").as("doc_id"))
+          .unionAll(pairs.select(col("d2").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some("WITH " + LlmOps.oJaccardPairs + ", " +
+        "deg AS (SELECT doc_id, count(*) AS degree FROM " +
+        "(SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 AS doc_id FROM pairs) " +
+        "GROUP BY 1) " +
+        "SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY 1")))
 }

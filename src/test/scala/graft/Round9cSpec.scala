@@ -69,4 +69,37 @@ class Round9cSpec extends AnyFunSuite {
     val rank1 = got.filter(_.getInt(1) == 1).map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(rank1 == Map(0 -> 99L, 1 -> 199L, 2 -> 299L))
   }
+
+  test("user growth and stickiness: hand-computed two-day fixture") {
+    val dir = s"target/tmp/growth_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val day = 86400000L
+    // day 0: users 1, 3; day 1: users 1, 2 (two events for user 1 on
+    // day 0 collapse in the distinct)
+    Seq((1L, 1L, 0L), (1L, 2L, 0L), (3L, 3L, 0L), (1L, 4L, 1L), (2L, 5L, 1L))
+      .map { case (u, e, dd) => (u, e, new java.sql.Timestamp(t0 + dd * day), "view", 1.0) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val growth = Registry.byKey("rel_user_growth").query(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(growth.toSeq == Seq((2L, 2L, 2L), (2L, 1L, 3L)),
+      s"got ${growth.toSeq}") // (dau, new, cum) per day
+    val sticky = Registry.byKey("rel_dau_mau_stickiness").query(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // day 0: mau = {1,3}; day 1: trailing window covers all of {1,2,3}
+    assert(sticky.toSeq == Seq((2L, 2L, 1000000L), (2L, 3L, 666666L)),
+      s"got ${sticky.toSeq}")
+  }
+
+  test("dedup graph stats: degree mass equals twice the pair count, via memo") {
+    val before = ops.CorpusStats.dfComputes.getOrElse("jaccardPairs", 0L)
+    val nPairs = Registry.byKey("llm_ngram_jaccard").query(spark, TestSpark.sf).count()
+    val hist = Registry.byKey("llm_dedup_graph_stats").query(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mass = hist.map { case (deg, n) => deg * n }.sum
+    assert(mass == 2 * nPairs, s"degree mass $mass != 2 * $nPairs pairs")
+    // the histogram must ride the session memo, not rebuild the pairs
+    assert(ops.CorpusStats.dfComputes.getOrElse("jaccardPairs", 0L) ==
+      math.max(before, 1L))
+  }
 }
