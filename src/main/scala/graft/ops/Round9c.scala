@@ -246,5 +246,38 @@ object Round9c {
         "deg AS (SELECT doc_id, count(*) AS degree FROM " +
         "(SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 AS doc_id FROM pairs) " +
         "GROUP BY 1) " +
-        "SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY 1")))
+        "SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1 ORDER BY 1")),
+
+    // k-anonymity audit over a quasi-identifier set — the privacy
+    // companion to pii_scrub/column_mask/erasure: group rows by the
+    // QI columns (here (mktsegment, nationkey) on customer), measure
+    // equivalence-class sizes, and report the re-identification
+    // surface: rows in classes smaller than k=5, bucketed class-size
+    // mass, and the risk share in ppm. One map-side-combinable groupBy
+    // on the QI key; everything after touches |classes| rows. The QI
+    // histogram is the artifact you check BEFORE releasing a dataset
+    // cut — generalize/suppress until k1/k2_4 mass is acceptable.
+    Op("core_kanonymity_audit",
+      (s, d) => T.t(s, d, "customer")
+        .groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("k"))
+        .agg(
+          sum("k").as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          min("k").as("min_k"),
+          expr("CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT)").as("k1_rows"),
+          expr("CAST(coalesce(sum(CASE WHEN k BETWEEN 2 AND 4 THEN k END), 0) AS BIGINT)").as("k2_4_rows"),
+          expr("CAST(coalesce(sum(CASE WHEN k >= 5 THEN k END), 0) AS BIGINT)").as("k5p_rows"))
+        .withColumn("risk_ppm", expr(
+          "CAST(CAST(k1_rows + k2_4_rows AS DECIMAL(38,0)) * 1000000 " +
+            "div greatest(1, n_rows) AS BIGINT)")),
+      Some("WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS k " +
+        "FROM customer GROUP BY 1, 2) " +
+        "SELECT CAST(sum(k) AS BIGINT) AS n_rows, count(*) AS n_classes, " +
+        "CAST(min(k) AS BIGINT) AS min_k, " +
+        "CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) AS BIGINT) AS k1_rows, " +
+        "CAST(coalesce(sum(CASE WHEN k BETWEEN 2 AND 4 THEN k END), 0) AS BIGINT) AS k2_4_rows, " +
+        "CAST(coalesce(sum(CASE WHEN k >= 5 THEN k END), 0) AS BIGINT) AS k5p_rows, " +
+        "CAST(CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) + " +
+        "coalesce(sum(CASE WHEN k BETWEEN 2 AND 4 THEN k END), 0) AS HUGEINT) * 1000000 " +
+        "// greatest(1, CAST(sum(k) AS BIGINT)) AS BIGINT) AS risk_ppm FROM cls")))
 }

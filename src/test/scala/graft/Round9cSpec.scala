@@ -105,4 +105,17 @@ class Round9cSpec extends AnyFunSuite {
     // the histogram must ride the session memo, not rebuild the pairs
     assert(ops.CorpusStats.dfComputes.getOrElse("jaccardPairs", 0L) == before)
   }
+
+  test("k-anonymity: planted singleton and small classes land in the right buckets") {
+    val dir = s"target/tmp/kanon_${System.nanoTime()}"
+    // class (A,1): 5 rows; (A,2): 2 rows; (B,1): 1 row (singleton)
+    val rows = Seq.fill(5)(("A", 1)) ++ Seq.fill(2)(("A", 2)) ++ Seq(("B", 1))
+    rows.zipWithIndex.map { case ((seg, nat), i) => (i.toLong, seg, nat) }
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = Registry.byKey("core_kanonymity_audit").query(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (8L, 3L, 1L))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == (1L, 2L, 5L))
+    assert(r.getLong(6) == 375000L) // 3 of 8 rows below k=5
+  }
 }
