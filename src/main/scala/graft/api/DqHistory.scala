@@ -28,7 +28,7 @@ object DqHistory {
       panel: DataFrame,
       dir: String,
       runSeq: Long,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None): Boolean = StoreIO.withLease(panel.sparkSession, dir) {
     val spark = panel.sparkSession
     val stamped = panel.withColumn("run_seq", lit(runSeq))
     if (!exists(spark, dir)) {

@@ -85,6 +85,43 @@ object StoreIO {
     swapIn(read(spark, dir, "applied").unionByName(ledgerDf(spark, Seq(batchId))),
       spark, s"$dir/applied")
 
+  final class LeaseHeldException(msg: String) extends RuntimeException(msg)
+
+  /** Exclusive WRITER lease for a store's read-modify-write update
+    * paths (UpsertStore.update, DqHistory.append): without it, two
+    * concurrent writers both read generation N and both publish an
+    * N+1 — last rename wins and one batch's rows silently vanish (the
+    * applied-ledger only defends against REPLAYS of the same batch,
+    * not concurrent distinct batches). Acquisition is an atomic
+    * create-no-overwrite of `<dir>/.lease` on the store's Hadoop FS; a
+    * concurrent holder raises [[LeaseHeldException]] (callers retry at
+    * their cadence — micro-batch sinks just take the next trigger); a
+    * lease older than `staleMs` is a crashed writer and is broken
+    * once. Readers never consult the lease; it serializes updates
+    * only. Released in finally — body failure does not strand it.
+    */
+  def withLease[A](spark: SparkSession, dir: String, staleMs: Long = 600000L)(
+      body: => A): A = {
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(root)) f.mkdirs(root)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.lease")
+    def tryAcquire(): Boolean =
+      try { f.create(lease, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime > staleMs
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!stale) throw new LeaseHeldException(s"writer lease held on $dir")
+      f.delete(lease, false)
+      if (!tryAcquire())
+        throw new LeaseHeldException(s"writer lease contended on $dir")
+    }
+    try body finally f.delete(lease, false)
+  }
+
   private val stagedRe = "^(.*-)?staged-[0-9a-f]{8}$".r
 
   /** Garbage-collect crash debris under a store root: orphaned

@@ -66,6 +66,10 @@ object UpsertStore {
 
   /** Merge one batch. Returns false when `batchId` is already in the
     * applied ledger (a foreachBatch redelivery) — nothing is touched.
+    * The whole read-modify-write runs under the store writer lease
+    * (StoreIO.withLease): a concurrent distinct-batch writer raises
+    * LeaseHeldException instead of silently last-write-winning a
+    * bucket generation.
     */
   def update(
       batch: DataFrame,
@@ -73,7 +77,18 @@ object UpsertStore {
       key: String,
       versionCol: String,
       nBuckets: Int = defaultBuckets,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None): Boolean =
+    StoreIO.withLease(batch.sparkSession, dir) {
+      updateLocked(batch, dir, key, versionCol, nBuckets, batchId)
+    }
+
+  private def updateLocked(
+      batch: DataFrame,
+      dir: String,
+      key: String,
+      versionCol: String,
+      nBuckets: Int,
+      batchId: Option[String]): Boolean = {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
     if (bootstrap) {

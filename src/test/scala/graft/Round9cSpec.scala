@@ -118,4 +118,32 @@ class Round9cSpec extends AnyFunSuite {
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) == (1L, 2L, 5L))
     assert(r.getLong(6) == 375000L) // 3 of 8 rows below k=5
   }
+
+  test("writer lease: concurrent writer rejected, stale lease broken, always released") {
+    import org.apache.hadoop.fs.Path
+    val dir = s"target/tmp/lease_${System.nanoTime()}"
+    def batch(v: Long) = Seq((1L, v, s"x$v")).toDF("k", "ver", "payload")
+    assert(api.UpsertStore.update(batch(1), dir, "k", "ver", nBuckets = 2))
+    val f = api.StoreIO.fs(spark, dir)
+    // a live concurrent writer holds the lease -> distinct batch rejected
+    f.create(new Path(s"$dir/.lease"), false).close()
+    intercept[api.StoreIO.LeaseHeldException] {
+      api.UpsertStore.update(batch(2), dir, "k", "ver", nBuckets = 2)
+    }
+    // a CRASHED writer's lease (older than staleMs) is broken and the
+    // update proceeds
+    f.setTimes(new Path(s"$dir/.lease"), System.currentTimeMillis() - 3600000L, -1)
+    assert(api.UpsertStore.update(batch(3), dir, "k", "ver", nBuckets = 2))
+    assert(!f.exists(new Path(s"$dir/.lease")), "lease must be released after success")
+    assert(api.UpsertStore.read(spark, dir).where("ver = 3").count() == 1)
+    // DqHistory.append takes the same lease
+    val dq = s"target/tmp/leasedq_${System.nanoTime()}"
+    val panel = Seq(("m", 1000000L, 1000000L, true))
+      .toDF("expectation", "metric_ppm", "threshold_ppm", "ok")
+    assert(api.DqHistory.append(panel, dq, runSeq = 1))
+    api.StoreIO.fs(spark, dq).create(new Path(s"$dq/.lease"), false).close()
+    intercept[api.StoreIO.LeaseHeldException] {
+      api.DqHistory.append(panel, dq, runSeq = 2)
+    }
+  }
 }
