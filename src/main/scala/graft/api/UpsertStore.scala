@@ -77,8 +77,9 @@ object UpsertStore {
       key: String,
       versionCol: String,
       nBuckets: Int = defaultBuckets,
-      batchId: Option[String] = None): Boolean =
-    StoreIO.withLease(batch.sparkSession, dir) {
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Boolean =
+    StoreIO.withLease(batch.sparkSession, dir, leaseStaleMs) {
       updateLocked(batch, dir, key, versionCol, nBuckets, batchId)
     }
 

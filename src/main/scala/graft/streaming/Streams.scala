@@ -332,9 +332,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // short lease TTL: the streaming sink is the sole writer, so a
+        // lease found here is almost certainly a crashed predecessor
+        // of THIS query — break it after 60 s instead of stalling
+        // micro-batch retries for the cross-job default of 10 min
         graft.api.UpsertStore.update(
           batch.toDF(), tableDir, key, versionCol,
-          batchId = Some(s"$runKey-$batchId"))
+          batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
         ()
       }
       .start()
