@@ -279,5 +279,32 @@ object Round9c {
         "CAST(coalesce(sum(CASE WHEN k >= 5 THEN k END), 0) AS BIGINT) AS k5p_rows, " +
         "CAST(CAST(coalesce(sum(CASE WHEN k = 1 THEN k END), 0) + " +
         "coalesce(sum(CASE WHEN k BETWEEN 2 AND 4 THEN k END), 0) AS HUGEINT) * 1000000 " +
-        "// greatest(1, CAST(sum(k) AS BIGINT)) AS BIGINT) AS risk_ppm FROM cls")))
+        "// greatest(1, CAST(sum(k) AS BIGINT)) AS BIGINT) AS risk_ppm FROM cls")),
+
+    // Cross-source near-dup matrix: the exact-jaccard pair set rolled
+    // up by (source, source) — which corpora copy from each other
+    // (mirror sites, syndication, scraped re-posts) vs which only
+    // self-duplicate. The signal that drives per-source dedup ORDER:
+    // dedup the copying source against the copied-from one, not both
+    // against everything. Rides the session-memoized jaccardPairs;
+    // after the memo this is two broadcast-able dimension joins and a
+    // |sources|^2-bounded aggregate.
+    Op("llm_cross_source_dups",
+      (s, d) => {
+        val pairs = LlmOps.jaccardPairs(s, d)
+        val src = T.t(s, d, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+          .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("WITH " + LlmOps.oJaccardPairs + " " +
+        "SELECT least(a.source, b.source) AS src_a, " +
+        "greatest(a.source, b.source) AS src_b, count(*) AS n_pairs " +
+        "FROM pairs JOIN documents a ON pairs.d1 = a.doc_id " +
+        "JOIN documents b ON pairs.d2 = b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")))
 }

@@ -102,7 +102,11 @@ class Round9cSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val mass = hist.map { case (deg, n) => deg * n }.sum
     assert(mass == 2 * nPairs, s"degree mass $mass != 2 * $nPairs pairs")
-    // the histogram must ride the session memo, not rebuild the pairs
+    // the cross-source matrix partitions the same pair set
+    val srcMass = Registry.byKey("llm_cross_source_dups").query(spark, TestSpark.sf)
+      .collect().map(_.getLong(2)).sum
+    assert(srcMass == nPairs, s"source-matrix mass $srcMass != $nPairs pairs")
+    // both rollups must ride the session memo, not rebuild the pairs
     assert(ops.CorpusStats.dfComputes.getOrElse("jaccardPairs", 0L) == before)
   }
 
