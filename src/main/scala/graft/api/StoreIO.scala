@@ -99,6 +99,13 @@ object StoreIO {
     * lease older than `staleMs` is a crashed writer and is broken
     * once. Readers never consult the lease; it serializes updates
     * only. Released in finally — body failure does not strand it.
+    *
+    * Atomicity caveat: create-no-overwrite is atomic on local FS and
+    * HDFS. Plain S3 (s3a) has no atomic create — two writers racing
+    * within the object-store consistency window can both "win"; on S3
+    * deployments back the lease with a conditional-put layer (S3
+    * If-None-Match) or an external lock service, and treat this lease
+    * as best-effort double-write protection.
     */
   def withLease[A](spark: SparkSession, dir: String, staleMs: Long = 600000L)(
       body: => A): A = {
