@@ -306,5 +306,79 @@ object Round9c {
         "greatest(a.source, b.source) AS src_b, count(*) AS n_pairs " +
         "FROM pairs JOIN documents a ON pairs.d1 = a.doc_id " +
         "JOIN documents b ON pairs.d2 = b.doc_id " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")))
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Benford first-digit audit on order totals — the classic
+    // fabricated-data / broken-generator screen: naturally-occurring
+    // multi-magnitude amounts follow P(d) = log10(1 + 1/d); uniform or
+    // hand-typed data does not. First digit comes from the BIGINT
+    // floor's decimal rendering (identical across engines — no
+    // float log10 in the comparison path); expected shares are the
+    // public Benford constants in ppm. One map-side-combinable
+    // 9-group aggregate; deviation_ppm is the per-digit |obs - exp|.
+    // (TPC-H totalprice is range-bounded, so it deviates — the AUDIT
+    // format is the operator; the verdict depends on the data.)
+    Op("rel_benford_audit",
+      (s, d) => {
+        val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val expCase = exp.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+          .mkString("CASE digit ", " ", " END")
+        T.t(s, d, "orders")
+          .where("o_totalprice >= 1")
+          .withColumn("digit", expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("total", sum("n").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("observed_ppm", expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+          .withColumn("benford_ppm", expr(expCase))
+          .withColumn("deviation_ppm", expr("abs(observed_ppm - benford_ppm)"))
+          .select("digit", "n", "observed_ppm", "benford_ppm", "deviation_ppm")
+          .orderBy("digit")
+      },
+      Some("WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit, " +
+        "count(*) AS n FROM orders WHERE o_totalprice >= 1 GROUP BY 1), " +
+        "t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g), " +
+        "e(digit, benford_ppm) AS (VALUES (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939), " +
+        "(4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)) " +
+        "SELECT t.digit, n, CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) AS observed_ppm, " +
+        "benford_ppm, abs(CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) - benford_ppm) AS deviation_ppm " +
+        "FROM t JOIN e ON t.digit = e.digit ORDER BY t.digit")),
+
+    // Write-Audit-Publish driven end-to-end under the oracle — the
+    // pattern that keeps bad batches OUT of a serving table: write the
+    // batch to a STAGED location, audit the staged files by reading
+    // them back (not the in-memory frame — the audit must cover what
+    // was actually persisted), and only then atomically promote the
+    // staged directory as the table's next generation. A failed audit
+    // deletes the staging and leaves the table exactly as it was
+    // (Round9cSpec pins the abort path). The audit here is a 3-check
+    // panel (non-empty, quantity completeness, positive price) over
+    // one scan of the staged parquet.
+    Op("core_wap_publish",
+      (s, d) => {
+        import s.implicits._
+        val dir = s"target/tmp/wap_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        graft.api.StoreIO.delete(s, dir)
+        val batch = T.t(s, d, "lineitem").where("l_orderkey % 7 = 0")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        val checks = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+          "non_empty" -> (df => df.limit(1).count() > 0),
+          "quantity_complete" ->
+            (df => df.where("l_quantity IS NULL").limit(1).count() == 0),
+          "price_positive" ->
+            (df => df.where("l_extendedprice <= 0").limit(1).count() == 0))
+        val report = graft.api.Wap.publish(s, batch, dir, "t", checks)
+        val rows =
+          if (report.published) graft.api.StoreIO.read(s, dir, "t").count() else 0L
+        Seq((report.published, report.checksPassed.toLong,
+            report.checksFailed.toLong, rows))
+          .toDF("published", "checks_passed", "checks_failed", "rows_live")
+      },
+      Some("SELECT true AS published, CAST(3 AS BIGINT) AS checks_passed, " +
+        "CAST(0 AS BIGINT) AS checks_failed, " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey % 7 = 0) AS rows_live")))
 }

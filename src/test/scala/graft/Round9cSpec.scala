@@ -150,4 +150,48 @@ class Round9cSpec extends AnyFunSuite {
       api.DqHistory.append(panel, dq, runSeq = 2)
     }
   }
+
+  test("benford: audit arithmetic matches the hand-replicated integer math") {
+    val dir = s"target/tmp/benford_${System.nanoTime()}"
+    // counts = the Benford constants quantized to 1/1000: the test
+    // replays the op's exact integer pipeline (counts -> ppm shares ->
+    // |obs - const|) and pins row-for-row equality
+    val const = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val counts = const.map(_ / 1000)
+    val total = counts.sum
+    val want = counts.zipWithIndex.map { case (n, i) =>
+      val obs = n * 1000000L / total
+      (i + 1, n, obs, const(i), math.abs(obs - const(i)))
+    }
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n.toInt)((i + 1) * 100.0 + 1.5)
+    }
+    rows.zipWithIndex.map { case (p, k) => (k.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Registry.byKey("rel_benford_audit").query(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want)
+  }
+
+  test("WAP: a failing audit aborts, cleans staging, and leaves the table intact") {
+    val dir = s"target/tmp/wapspec_${System.nanoTime()}"
+    val good = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "price")
+    val checks = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+      "non_empty" -> (df => df.limit(1).count() > 0),
+      "price_positive" -> (df => df.where("price <= 0").limit(1).count() == 0))
+    val r1 = api.Wap.publish(spark, good, dir, "t", checks)
+    assert(r1.published && r1.checksPassed == 2)
+    assert(api.StoreIO.read(spark, dir, "t").count() == 2)
+    // bad batch: audit must refuse, staging must vanish, table unchanged
+    val bad = Seq((3L, -1.0)).toDF("k", "price")
+    val r2 = api.Wap.publish(spark, bad, dir, "t", checks)
+    assert(!r2.published && r2.failures == Seq("price_positive"))
+    assert(api.StoreIO.read(spark, dir, "t").count() == 2, "live table must be untouched")
+    val f = api.StoreIO.fs(spark, dir)
+    val debris = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.contains("staged"))
+    assert(debris.isEmpty, s"staging not cleaned: ${debris.toSeq}")
+  }
 }
