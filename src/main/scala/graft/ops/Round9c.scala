@@ -380,5 +380,56 @@ object Round9c {
       },
       Some("SELECT true AS published, CAST(3 AS BIGINT) AS checks_passed, " +
         "CAST(0 AS BIGINT) AS checks_failed, " +
-        "(SELECT count(*) FROM lineitem WHERE l_orderkey % 7 = 0) AS rows_live")))
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey % 7 = 0) AS rows_live")),
+
+    // Revenue concentration (Pareto / Lorenz points): the share of
+    // total revenue held by the top 1% / 10% / 50% of customers —
+    // the "do 20% of customers drive 80% of revenue" read, and the
+    // skew number that sizes customer-keyed partitioning. Customer
+    // revenue is 1e-2 fixed point; ranks carry a custkey tiebreak;
+    // the cut row per percentile is rn == ceil(n * p) picked with
+    // integer ceil math, so both engines choose the identical
+    // customer. Global windows run on the customer-sized AGGREGATE
+    // (same 100-TB posture as rel_rfm_segmentation's ntiles).
+    Op("rel_pareto_concentration",
+      (s, d) => {
+        val w = Window.orderBy(desc("r"), col("o_custkey"))
+        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val t = T.t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("r"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("cum", sum("r").over(wCum))
+          .withColumn("tot", sum("r").over(wAll))
+        t.where("rn = (n + 99) div 100 OR rn = (n + 9) div 10 OR rn = (n + 1) div 2")
+          .withColumn("pct", expr(
+            "CASE WHEN rn = (n + 99) div 100 THEN 1 " +
+              "WHEN rn = (n + 9) div 10 THEN 10 ELSE 50 END"))
+          .groupBy("pct").agg( // small n can collapse cut rows; keep ONE per pct
+            min("rn").as("k_customers_i"),
+            expr("CAST(min(cum) AS BIGINT)").as("cum_cents"))
+          .crossJoin(broadcast(t.agg(expr("CAST(max(tot) AS BIGINT)").as("tot"))))
+          .select(col("pct"),
+            expr("CAST(k_customers_i AS BIGINT)").as("k_customers"),
+            expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 " +
+              "div greatest(1, tot) AS BIGINT)").as("share_ppm"))
+          .orderBy("pct")
+      },
+      Some("WITH rev AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT r, o_custkey, row_number() OVER w AS rn, count(*) OVER () AS n, " +
+        "CAST(sum(r) OVER (ORDER BY r DESC, o_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(r) OVER () AS BIGINT) AS tot FROM rev " +
+        "WINDOW w AS (ORDER BY r DESC, o_custkey)) " +
+        "SELECT pct, CAST(min(rn) AS BIGINT) AS k_customers, " +
+        "CAST(CAST(min(cum) AS HUGEINT) * 1000000 // greatest(1, min(tot)) AS BIGINT) AS share_ppm " +
+        "FROM (SELECT *, CASE WHEN rn = (n + 99) // 100 THEN 1 " +
+        "WHEN rn = (n + 9) // 10 THEN 10 ELSE 50 END AS pct FROM t " +
+        "WHERE rn = (n + 99) // 100 OR rn = (n + 9) // 10 OR rn = (n + 1) // 2) " +
+        "GROUP BY pct ORDER BY pct")))
 }

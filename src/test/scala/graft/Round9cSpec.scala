@@ -194,4 +194,21 @@ class Round9cSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.contains("staged"))
     assert(debris.isEmpty, s"staging not cleaned: ${debris.toSeq}")
   }
+
+  test("pareto: hand-computed concentration on a 10-customer fixture") {
+    val dir = s"target/tmp/pareto_${System.nanoTime()}"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // customer i spends 100*i; total = 5500; top-1 (ceil(10/100)=1) is
+    // customer 10 with 1000/5500; top-10% also rank 1; top-50% = ranks
+    // 1..5 (customers 10..6) = 4000/5500
+    (1 to 10).map(i => (i.toLong, i.toLong, t0, i * 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Registry.byKey("rel_pareto_concentration").query(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1000L * 1000000L / 5500L),
+      (50, 5L, 4000L * 1000000L / 5500L)),
+      s"got ${got.toSeq}") // pct 10 collapses onto the pct-1 cut row at n=10
+  }
 }
