@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global order statistics WITHOUT a single-partition sort.
+  *
+  * `Window.orderBy(...)` with an empty partitionSpec funnels every row
+  * through ONE task — tolerable on a small aggregate at sf0.1, fatal on a
+  * fact-cardinality frame at 100 TB. This helper computes the same EXACT
+  * global rank (and optional running sum) with a bounded-parallel plan:
+  *
+  *  1. approx-quantile boundaries over an ascending numeric sort key split
+  *     the domain into ~`buckets` order-aligned ranges. Ties stay
+  *     co-located (bucket = #boundaries strictly below the key), so the
+  *     bucket sequence is a partition of the total order;
+  *  2. one tiny per-bucket aggregate (≤ `buckets` rows — bounded by
+  *     configuration, never by data) is collected and prefix-summed on the
+  *     driver;
+  *  3. rank = bucket-local `row_number` + the bucket's broadcast prefix
+  *     count (and running sum = bucket-local running sum + prefix sum), so
+  *     every WindowExec in the plan is PARTITIONED by bucket and the
+  *     widest single task sorts ~1/buckets of the rows.
+  *
+  * The result is exact for any total order (callers put a unique tiebreak
+  * in `order`); the quantile approximation only places bucket boundaries,
+  * never values — skewed boundary placement costs balance, not
+  * correctness.
+  */
+object DistOrder {
+
+  final case class Ranked(df: DataFrame, n: Long, total: Long)
+
+  /** Rank `in` by `order` (which must be a total order — include a unique
+    * tiebreak) and optionally carry the running sum of `value` in result
+    * order. `ascKey` is any numeric column ASCENDING-monotone in `order`'s
+    * leading key (negate for a descending order); it is only used to place
+    * bucket boundaries. Returns the frame with `rnCol` (1-based global
+    * rank, long) and, when `value` is set, `cumCol` (inclusive running
+    * sum, long), plus the exact global row count and value total.
+    */
+  def rankCum(
+      in: DataFrame,
+      ascKey: Column,
+      order: Seq[Column],
+      value: Option[Column] = None,
+      buckets: Int = 64,
+      rnCol: String = "rn",
+      cumCol: String = "cum"): Ranked = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val keyed = in.withColumn("__do_k", ascKey.cast("double"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = keyed.stat.approxQuantile("__do_k", probs, 0.01)
+      .distinct.sorted.toSeq
+    // bucket = #boundaries strictly below the key: rows equal to a
+    // boundary all land in the SAME bucket, preserving the total order
+    // across the bucket sequence
+    val withB = keyed.withColumn("__do_b",
+      size(filter(typedlit(bounds), b => b < col("__do_k"))))
+    val valC = value.getOrElse(lit(0L)).cast("long")
+    val stats = withB.groupBy("__do_b")
+      .agg(count(lit(1)).as("c"), sum(valC).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+    var cOff = 0L
+    var sOff = 0L
+    val prefixes = stats.map { case (b, c, s) =>
+      val row = (b, cOff, sOff); cOff += c; sOff += s; row
+    }.toSeq
+    val pre = prefixes.toDF("__do_b", "__do_coff", "__do_soff")
+    val w = Window.partitionBy("__do_b").orderBy(order: _*)
+    val ranked = withB.join(broadcast(pre), "__do_b")
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__do_coff"))
+    val out = value match {
+      case Some(_) => ranked.withColumn(cumCol,
+        sum(valC).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("__do_soff"))
+      case None => ranked
+    }
+    Ranked(out.drop("__do_k", "__do_b", "__do_coff", "__do_soff"), cOff, sOff)
+  }
+
+  /** SQL-standard `ntile(tiles)` over a precomputed exact rank: the first
+    * `n % tiles` tiles carry `n / tiles + 1` rows, the rest `n / tiles` —
+    * the same assignment Spark's and DuckDB's ntile produce, as a codegen
+    * CASE over `rnCol` instead of a global window.
+    */
+  def ntileOf(rnCol: String, n: Long, tiles: Int): Column = {
+    val q = n / tiles
+    val rem = n % tiles
+    if (q == 0L) expr(s"CAST($rnCol AS INT)")
+    else expr(
+      s"CAST(CASE WHEN $rnCol <= ${rem * (q + 1)} " +
+        s"THEN ($rnCol - 1) div ${q + 1} + 1 " +
+        s"ELSE $rem + ($rnCol - ${rem * (q + 1)} - 1) div $q + 1 END AS INT)")
+  }
+}

@@ -82,14 +82,14 @@ object Round9b {
         "ORDER BY supp_ab DESC, lift_ppm DESC, p1, p2 LIMIT 100")),
 
     // RFM segmentation: quintile scores on recency / frequency /
-    // monetary per customer, reported as segment sizes. The scoring
-    // windows are GLOBAL ntiles — exact quintiles need a total order,
-    // so they run on the per-customer AGGREGATE (already 5-6 orders of
-    // magnitude smaller than the fact table; at 100 TB you'd swap the
-    // exact ntile for approx_percentile boundaries and keep the rest
-    // of the plan unchanged). Monetary is 1e-2 fixed point; every
-    // score order carries a custkey tiebreak so both engines bucket
-    // identically.
+    // monetary per customer, reported as segment sizes. The three
+    // quintile assignments are EXACT ntile(5) semantics but NOT global
+    // windows: each dimension's rank comes from DistOrder.rankCum
+    // (quantile-bucketed parallel rank — every WindowExec in the plan
+    // is partitioned by bucket, widest task ~1/64 of the customers)
+    // and the score is a codegen CASE over the rank. Monetary is 1e-2
+    // fixed point; every score order carries a custkey tiebreak so
+    // both engines bucket identically.
     Op("rel_rfm_segmentation",
       (s, d) => {
         val o = T.t(s, d, "orders")
@@ -98,13 +98,21 @@ object Round9b {
           expr("CAST(datediff(min(maxd), max(CAST(o_orderdate AS DATE))) AS INT)").as("recency_days"),
           count(lit(1)).as("frequency"),
           expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("monetary_cents"))
-        val wr = Window.orderBy(col("recency_days").asc, col("o_custkey"))
-        val wf = Window.orderBy(col("frequency").desc, col("o_custkey"))
-        val wm = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
-        rfm
-          .withColumn("r_score", ntile(5).over(wr))
-          .withColumn("f_score", ntile(5).over(wf))
-          .withColumn("m_score", ntile(5).over(wm))
+          .localCheckpoint() // one orders scan feeds all three rankings
+        val rk = graft.api.DistOrder.rankCum(rfm,
+          col("recency_days"), Seq(col("recency_days").asc, col("o_custkey")),
+          rnCol = "rn_r")
+        val fk = graft.api.DistOrder.rankCum(rk.df,
+          -col("frequency"), Seq(col("frequency").desc, col("o_custkey")),
+          rnCol = "rn_f")
+        val mk = graft.api.DistOrder.rankCum(fk.df,
+          -col("monetary_cents"), Seq(col("monetary_cents").desc, col("o_custkey")),
+          rnCol = "rn_m")
+        val n = rk.n
+        mk.df
+          .withColumn("r_score", graft.api.DistOrder.ntileOf("rn_r", n, 5))
+          .withColumn("f_score", graft.api.DistOrder.ntileOf("rn_f", n, 5))
+          .withColumn("m_score", graft.api.DistOrder.ntileOf("rn_m", n, 5))
           .groupBy("r_score", "f_score", "m_score").agg(
             count(lit(1)).as("n_customers"),
             expr("CAST(sum(CAST(monetary_cents AS DECIMAL(38,0))) div count(*) AS BIGINT)")

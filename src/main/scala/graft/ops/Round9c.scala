@@ -389,33 +389,31 @@ object Round9c {
     // revenue is 1e-2 fixed point; ranks carry a custkey tiebreak;
     // the cut row per percentile is rn == ceil(n * p) picked with
     // integer ceil math, so both engines choose the identical
-    // customer. Global windows run on the customer-sized AGGREGATE
-    // (same 100-TB posture as rel_rfm_segmentation's ntiles).
+    // customer. Rank AND running revenue come from DistOrder.rankCum
+    // (quantile-bucketed parallel rank + prefix sums) — no global
+    // window anywhere; n and the revenue total are the helper's exact
+    // driver-side scalars, burned in as literals.
     Op("rel_pareto_concentration",
       (s, d) => {
-        val w = Window.orderBy(desc("r"), col("o_custkey"))
-        val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        val t = T.t(s, d, "orders")
+        val rev = T.t(s, d, "orders")
           .groupBy("o_custkey")
           .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("r"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wAll))
-          .withColumn("cum", sum("r").over(wCum))
-          .withColumn("tot", sum("r").over(wAll))
-        t.where("rn = (n + 99) div 100 OR rn = (n + 9) div 10 OR rn = (n + 1) div 2")
+        val rk = graft.api.DistOrder.rankCum(rev,
+          -col("r"), Seq(desc("r"), col("o_custkey")), value = Some(col("r")))
+        val n = rk.n
+        val c1 = (n + 99) / 100
+        val c10 = (n + 9) / 10
+        val c50 = (n + 1) / 2
+        rk.df.where(col("rn") === c1 || col("rn") === c10 || col("rn") === c50)
           .withColumn("pct", expr(
-            "CASE WHEN rn = (n + 99) div 100 THEN 1 " +
-              "WHEN rn = (n + 9) div 10 THEN 10 ELSE 50 END"))
+            s"CASE WHEN rn = $c1 THEN 1 WHEN rn = $c10 THEN 10 ELSE 50 END"))
           .groupBy("pct").agg( // small n can collapse cut rows; keep ONE per pct
             min("rn").as("k_customers_i"),
             expr("CAST(min(cum) AS BIGINT)").as("cum_cents"))
-          .crossJoin(broadcast(t.agg(expr("CAST(max(tot) AS BIGINT)").as("tot"))))
           .select(col("pct"),
             expr("CAST(k_customers_i AS BIGINT)").as("k_customers"),
             expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 " +
-              "div greatest(1, tot) AS BIGINT)").as("share_ppm"))
+              s"div greatest(1, ${rk.total}) AS BIGINT)").as("share_ppm"))
           .orderBy("pct")
       },
       Some("WITH rev AS (SELECT o_custkey, " +
