@@ -28,7 +28,9 @@ object DqHistory {
       panel: DataFrame,
       dir: String,
       runSeq: Long,
-      batchId: Option[String] = None): Boolean = StoreIO.withLease(panel.sparkSession, dir) {
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Boolean =
+    StoreIO.withLease(panel.sparkSession, dir, leaseStaleMs) {
     val spark = panel.sparkSession
     val stamped = panel.withColumn("run_seq", lit(runSeq))
     if (!exists(spark, dir)) {
@@ -38,7 +40,14 @@ object DqHistory {
       return true
     }
     if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
-    StoreIO.swapIn(read(spark, dir).unionByName(stamped), spark, s"$dir/runs")
+    // idempotent per run: a replay that crashed between the runs swap
+    // and recordApplied has already appended this run_seq — drop any
+    // existing rows for it before re-appending, so crash-replay
+    // converges to ONE panel per run (like UpsertStore's merge) instead
+    // of a duplicate that would make trend() compare a run to itself
+    StoreIO.swapIn(
+      read(spark, dir).where(col("run_seq") =!= runSeq).unionByName(stamped),
+      spark, s"$dir/runs")
     batchId.foreach(StoreIO.recordApplied(spark, dir, _))
     true
   }

@@ -100,12 +100,28 @@ object StoreIO {
     * once. Readers never consult the lease; it serializes updates
     * only. Released in finally — body failure does not strand it.
     *
-    * Atomicity caveat: create-no-overwrite is atomic on local FS and
-    * HDFS. Plain S3 (s3a) has no atomic create — two writers racing
-    * within the object-store consistency window can both "win"; on S3
-    * deployments back the lease with a conditional-put layer (S3
-    * If-None-Match) or an external lock service, and treat this lease
-    * as best-effort double-write protection.
+    * A caller seeing [[LeaseHeldException]] retries at its own
+    * cadence (see the retry loop in the streaming sinks — an uncaught
+    * exception in foreachBatch TERMINATES the query, so sinks must
+    * retry in-batch rather than "take the next trigger").
+    *
+    * Stale-lease break is ATOMIC via rename: a waiter that finds the
+    * lease older than `staleMs` renames it to a uniquely-suffixed
+    * tombstone; on a correct FS exactly ONE of several racing waiters
+    * wins that rename (the losers' source path is gone) and only the
+    * winner proceeds to re-acquire — two waiters can no longer both
+    * break and both enter the critical section, and a waiter can no
+    * longer delete a FRESH lease that a faster waiter just created
+    * (the round-9 delete-based break could). A body that runs longer
+    * than `staleMs` can still be broken mid-write — size `staleMs`
+    * above the worst-case update (it bounds crash-recovery latency,
+    * nothing else).
+    *
+    * Atomicity caveat: create-no-overwrite and rename are atomic on
+    * local FS and HDFS. Plain S3 (s3a) has neither — on S3 back the
+    * lease with a conditional-put layer (S3 If-None-Match) or an
+    * external lock service, and treat this lease as best-effort
+    * double-write protection.
     */
   def withLease[A](spark: SparkSession, dir: String, staleMs: Long = 600000L)(
       body: => A): A = {
@@ -122,7 +138,15 @@ object StoreIO {
           f.getFileStatus(lease).getModificationTime > staleMs
         catch { case _: java.io.FileNotFoundException => true }
       if (!stale) throw new LeaseHeldException(s"writer lease held on $dir")
-      f.delete(lease, false)
+      // atomic break: only the waiter whose rename succeeds may proceed
+      val tomb = new org.apache.hadoop.fs.Path(
+        s"$dir/.lease-broken-${java.util.UUID.randomUUID().toString.take(8)}")
+      val won =
+        try f.rename(lease, tomb)
+        catch { case _: java.io.IOException => false }
+      if (!won)
+        throw new LeaseHeldException(s"writer lease contended on $dir")
+      f.delete(tomb, false)
       if (!tryAcquire())
         throw new LeaseHeldException(s"writer lease contended on $dir")
     }
@@ -132,35 +156,54 @@ object StoreIO {
   private val stagedRe = "^(.*-)?staged-[0-9a-f]{8}$".r
 
   /** Garbage-collect crash debris under a store root: orphaned
-    * `[-]staged-<h8>` writes (a writer died before its swap/promote)
-    * and stale `<name>-old` retirees whose current generation exists
+    * `[-]staged-<h8>` writes (a writer died before its swap/promote),
+    * stale `<name>-old` retirees whose current generation exists
     * (a swap died between its final delete and nothing — both copies
-    * complete). NEVER touches an `-old` whose current is missing:
-    * that IS the crash-window fallback [[read]] depends on. Recurses
-    * into plain subdirectories (bucketed/partitioned stores) but not
-    * into kept `-old` retirees. Returns (staged, old) deletion counts;
-    * work is O(directory listing), never O(data).
+    * complete), and orphaned `.lease-broken-*` tombstones. NEVER
+    * touches an `-old` whose current is missing: that IS the
+    * crash-window fallback [[read]] depends on. Recurses into plain
+    * subdirectories (bucketed/partitioned stores) but not into kept
+    * `-old` retirees. Returns (staged, old) deletion counts; work is
+    * O(directory listing), never O(data).
+    *
+    * Safe against LIVE writers on two fronts: the whole sweep runs
+    * under the store writer lease (a concurrent update/publish either
+    * holds it — vacuum raises [[LeaseHeldException]] — or will find it
+    * held), and staged dirs younger than `minAgeMs` are skipped, so a
+    * staged write racing the lease handoff (or a store whose writers
+    * do not take the lease) is never deleted mid-flight. `minAgeMs`
+    * defaults to 0 — callers vacuuming a store with live writers
+    * should pass an age comfortably above their longest staged write.
     */
-  def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
-    val f = fs(spark, dir)
-    def walk(p: org.apache.hadoop.fs.Path): (Int, Int) = {
-      val entries = f.listStatus(p).filter(_.isDirectory)
-      val names = entries.map(_.getPath.getName).toSet
-      var staged = 0
-      var old = 0
-      entries.foreach { e =>
-        val n = e.getPath.getName
-        if (stagedRe.matches(n)) { f.delete(e.getPath, true); staged += 1 }
-        else if (n.endsWith("-old") && names.contains(n.stripSuffix("-old"))) {
-          f.delete(e.getPath, true); old += 1
-        } else if (!n.endsWith("-old")) {
-          val (s2, o2) = walk(e.getPath)
-          staged += s2; old += o2
+  def vacuum(spark: SparkSession, dir: String, minAgeMs: Long = 0L): (Int, Int) =
+    withLease(spark, dir) {
+      val f = fs(spark, dir)
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      def walk(p: org.apache.hadoop.fs.Path): (Int, Int) = {
+        f.listStatus(p)
+          .filter(e => !e.isDirectory &&
+            e.getPath.getName.startsWith(".lease-broken-"))
+          .foreach(e => f.delete(e.getPath, false))
+        val entries = f.listStatus(p).filter(_.isDirectory)
+        val names = entries.map(_.getPath.getName).toSet
+        var staged = 0
+        var old = 0
+        entries.foreach { e =>
+          val n = e.getPath.getName
+          if (stagedRe.matches(n)) {
+            if (e.getModificationTime <= cutoff) {
+              f.delete(e.getPath, true); staged += 1
+            }
+          } else if (n.endsWith("-old") && names.contains(n.stripSuffix("-old"))) {
+            f.delete(e.getPath, true); old += 1
+          } else if (!n.endsWith("-old")) {
+            val (s2, o2) = walk(e.getPath)
+            staged += s2; old += o2
+          }
         }
+        (staged, old)
       }
-      (staged, old)
+      if (!f.exists(new org.apache.hadoop.fs.Path(dir))) (0, 0)
+      else walk(new org.apache.hadoop.fs.Path(dir))
     }
-    if (!f.exists(new org.apache.hadoop.fs.Path(dir))) (0, 0)
-    else walk(new org.apache.hadoop.fs.Path(dir))
-  }
 }

@@ -34,8 +34,13 @@ object Wap {
       val staged = s"$dir/$table-staged-${java.util.UUID.randomUUID().toString.take(8)}"
       batch.write.mode("overwrite").parquet(staged)
       val back = spark.read.parquet(staged)
+      // NonFatal only: an OutOfMemoryError or thread interrupt must
+      // propagate (and leave the staging for a retry to audit), not be
+      // silently converted into "audit failed" + staging deleted — a
+      // healthy batch must never be dropped by an infrastructure hiccup
       val results = checks.map { case (name, check) =>
-        name -> (try check(back) catch { case _: Throwable => false })
+        name -> (try check(back)
+          catch { case scala.util.control.NonFatal(_) => false })
       }
       val failures = results.collect { case (name, false) => name }
       if (failures.isEmpty) {

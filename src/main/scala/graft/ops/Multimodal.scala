@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * of a Pandas-UDF/mapInPandas stage: one JVM decode context per
   * partition, rows handled in bounded chunks).
   *
-  * The actual media decode is STUBBED (no codec libraries in this
-  * environment): `decodeStub` derives deterministic fake pixels from the
-  * payload bytes. Everything around it — the binary column, metadata
-  * struct, partition batching, feature schema — is real and tested.
+  * The image path is REAL: payloads are genuine PNG files (encoded with
+  * `javax.imageio` from a deterministic per-asset pixel formula) and the
+  * decode/resize ops run `ImageIO.read` over the binary column — a real
+  * codec round-trip, not a stub. PNG is lossless, so the decoded pixels
+  * equal the generation formula exactly and DuckDB can oracle-check the
+  * channel statistics without ever touching a PNG byte.
   */
 object Multimodal {
 
@@ -24,14 +26,16 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  case class AssetFeatures(
+  /** A real image asset: the payload is a PNG file. */
+  case class ImageAsset(asset_id: Long, png: Array[Byte])
+
+  case class ImageStats(
       asset_id: Long,
-      kind: String,
-      n_bytes: Int,
       width: Int,
       height: Int,
-      checksum: Long,
-      features: Array[Float])
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
 
   /** Synthesize an assets table from `documents` (deterministic: payload =
     * UTF-8 of the text, dimensions derived from doc fields). Stands in for
@@ -49,84 +53,143 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** STUB decode: a real implementation would hand `payload` to an image/
-    * audio codec here. The fake is deterministic in the bytes so tests and
-    * reruns agree. Returns `dim` fake "pixels" in [0, 1).
+  /** The deterministic pixel formula: channel value at (x, y) of asset
+    * `id`. Shared by the PNG generator and (textually) the DuckDB
+    * oracle — the codec round-trip is checked against this ground
+    * truth.
     */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 40) & 0xffff).toFloat / 65536.0f
-      j += 1
-    }
-    out
+  @inline private def chan(id: Long, x: Int, y: Int, a: Long, b: Long, c: Long): Int =
+    ((id * a + x * b + y * c) % 256L).toInt
+
+  /** A real PNG per document: `8 + id % 9` x `8 + id % 7` RGB pixels from
+    * the deterministic formula, encoded with `javax.imageio`. One encoder
+    * context per partition (`ImageIO.setUseCache(false)` keeps executors
+    * off local scratch disk); at 100 TB this is the
+    * `spark.read.format("binaryFile")` scan these bytes stand in for.
+    */
+  def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    T.t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (chan(id, x, y, 31, 7, 13) << 16) |
+                  (chan(id, x, y, 17, 11, 3) << 8) |
+                  chan(id, x, y, 29, 5, 19))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageAsset(id, bos.toByteArray)
+        }
+      }
   }
 
-  /** Partition-wise batched decode + feature extraction. Batches bound
-    * decoder memory exactly like a Pandas-UDF batch size would.
+  /** REAL image decode over the binary column: `ImageIO.read` per asset,
+    * partition-wise with one decoder context per partition, extracting
+    * dimensions + per-channel pixel sums. Decoded values — not the
+    * payload bytes — are what downstream sees, exactly like a production
+    * feature-extraction stage.
     */
-  def decodeFeatures(in: Dataset[Asset], dim: Int = 8, batchSize: Int = 256): Dataset[AssetFeatures] = {
+  def decodeImages(in: Dataset[ImageAsset]): Dataset[ImageStats] = {
     import in.sparkSession.implicits._
     in.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // one decode context per batch in a real decoder; stubbed here
-        batch.iterator.map { a =>
-          val px = decodeStub(a.payload, dim)
-          AssetFeatures(
-            a.asset_id, a.kind, a.payload.length, a.width, a.height,
-            a.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007),
-            px)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
         }
+        ImageStats(a.asset_id, img.getWidth, img.getHeight, sr, sg, sb)
       }
     }
   }
 
-  /** "Resize": deterministic downsample of the fake pixel vector. */
-  def resize(feats: Dataset[AssetFeatures], outDim: Int): DataFrame =
-    feats.toDF().withColumn("features",
-      expr(s"transform(sequence(1, $outDim), i -> element_at(features, " +
-        s"CAST(ceil(i * size(features) / $outDim.0) AS INT)))"))
-
-  /** The ops-registry entry: decode features, project scalars, order.
-    * The stub decode is pure integer arithmetic over the payload bytes
-    * (poly hash mod 2^64 → one LCG step), and the corpus is pure ASCII
-    * (text chars == payload bytes, rule 21), so DuckDB CAN replay it:
-    * the oracle folds the char codes in HUGEINT with explicit mod-2^64
-    * wrap. Exact f0 parity: k/65536 is dyadic, float == double.
-    * Previously rows-only (CORRECTNESS_r02 no_oracle).
+  /** REAL nearest-neighbour resize to `side` x `side` over the decoded
+    * image (source pixel (x*w/side, y*h/side)), returning the resized
+    * per-channel sums. The codec decode + resample both run here; only
+    * the deterministic statistics leave the stage, so the oracle can
+    * replay them from the generation formula.
     */
+  def resizeImages(in: Dataset[ImageAsset], side: Int): Dataset[ImageStats] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val rgb = img.getRGB(x * w / side, y * h / side)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(a.asset_id, side, side, sr, sg, sb)
+      }
+    }
+  }
+
+  /** DuckDB replay of the pixel formula over an (asset, x, y) grid CTE:
+    * terminal CTE is `g(doc_id, w, h, x, y, r, g, b)`.
+    */
+  private def oPixels(xExpr: String, yExpr: String, grid: String): String =
+    "WITH px AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents), " +
+      s"$grid, " +
+      s"g AS (SELECT doc_id, w, h, x, y, " +
+      s"(doc_id * 31 + ($xExpr) * 7 + ($yExpr) * 13) % 256 AS r, " +
+      s"(doc_id * 17 + ($xExpr) * 11 + ($yExpr) * 3) % 256 AS g, " +
+      s"(doc_id * 29 + ($xExpr) * 5 + ($yExpr) * 19) % 256 AS b FROM grid)"
+
   val ops: Seq[Op] = Seq(
+    // REAL codec round-trip: generate PNGs (javax.imageio encode), decode
+    // them back (ImageIO.read) and report dimensions + channel sums. The
+    // oracle never sees a PNG byte — PNG is lossless, so the decoded
+    // pixels must equal the deterministic generation formula, which
+    // DuckDB replays over an unnested (x, y) grid. Any codec, color-space
+    // or byte-order slip in the Spark path breaks the hash compare.
     Op("llm_multimodal_decode",
-      (s, d) => {
-        decodeFeatures(assets(s, d)).toDF()
-          .select(
-            col("asset_id"), col("kind"), col("n_bytes"), col("width"),
-            col("height"), col("checksum"),
-            expr("CAST(element_at(features, 1) AS DOUBLE)").as("f0"))
-          .orderBy("asset_id")
-      },
-      Some("WITH b AS (SELECT doc_id, n_chars, strlen(text) AS n_bytes, " +
-        "list_transform(range(1, strlen(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bytes " +
-        "FROM documents), " +
-        "h AS (SELECT doc_id, n_chars, n_bytes, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum, " +
-        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(bytes, x -> CAST(x AS HUGEINT))), " +
-        "(acc, c) -> (acc * 31 + c) % 18446744073709551616) AS h0 " +
-        "FROM b) " +
-        "SELECT doc_id AS asset_id, " +
-        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "CAST(n_bytes AS INTEGER) AS n_bytes, " +
-        "CAST(32 + n_chars % 97 AS INTEGER) AS width, " +
-        "CAST(32 + n_chars % 71 AS INTEGER) AS height, " +
-        "checksum, " +
-        "CAST(CAST(((h0 * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 " +
-        "// 1099511627776) % 65536 AS BIGINT) AS DOUBLE) / 65536.0 AS f0 " +
-        "FROM h ORDER BY asset_id")),
+      (s, d) => decodeImages(imageAssets(s, d)).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("asset_id"),
+      Some(oPixels("x", "y",
+        "xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM px), " +
+          "grid AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)") +
+        " SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS width, " +
+        "CAST(h AS INTEGER) AS height, " +
+        "CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g, " +
+        "CAST(sum(b) AS BIGINT) AS sum_b " +
+        "FROM g GROUP BY 1, 2, 3 ORDER BY asset_id")),
 
     // binary-payload metadata extraction — the oracle-checkable half of
     // the multimodal path: Spark works on a real BinaryType column
@@ -146,6 +209,23 @@ object Multimodal {
         "ascii(text) AS first_byte " +
         "FROM documents ORDER BY asset_id")),
 
+    // REAL image resize: decode the PNG, nearest-neighbour resample to
+    // 4x4 (source pixel (x*w/4, y*h/4)), report resized channel sums.
+    // The oracle replays the formula at exactly the sampled positions.
+    Op("llm_multimodal_resize",
+      (s, d) => resizeImages(imageAssets(s, d), 4).toDF()
+        .select(col("asset_id"),
+          col("sum_r").as("rs_r"), col("sum_g").as("rs_g"),
+          col("sum_b").as("rs_b"))
+        .orderBy("asset_id"),
+      Some(oPixels("(x * w) // 4", "(y * h) // 4",
+        "xs AS (SELECT doc_id, w, h, unnest(range(0, 4)) AS x FROM px), " +
+          "grid AS (SELECT doc_id, w, h, x, unnest(range(0, 4)) AS y FROM xs)") +
+        " SELECT doc_id AS asset_id, " +
+        "CAST(sum(r) AS BIGINT) AS rs_r, CAST(sum(g) AS BIGINT) AS rs_g, " +
+        "CAST(sum(b) AS BIGINT) AS rs_b " +
+        "FROM g GROUP BY 1 ORDER BY asset_id")),
+
     // frame sampling over the binary payload: every 4th 64-byte frame
     // (byte offsets 0, 256, 512, …) with a per-frame digest — the video
     // frame-extraction access pattern as pure Spark plumbing
@@ -154,46 +234,6 @@ object Multimodal {
     // payload IS the doc text's UTF-8 bytes and the corpus is pure ASCII
     // (strlen == length for every row), so DuckDB's char slices equal
     // the byte slices.
-    // "resize" over the decoded pixel vector: 8 fake pixels downsampled
-    // to 4 by index selection (ceil(i * 8 / 4) -> positions 2,4,6,8) —
-    // the Spark-side plumbing of an image-resize stage (schema, batch
-    // decode, vector transform) with the codec stubbed. The oracle
-    // replays the whole pixel LCG in HUGEINT (eight chained mod-2^64
-    // steps) and picks the same positions.
-    Op("llm_multimodal_resize",
-      (s, d) => resize(decodeFeatures(assets(s, d)), 4)
-        .select(col("asset_id"), col("kind"),
-          expr("CAST(element_at(features, 1) AS DOUBLE)").as("r1"),
-          expr("CAST(element_at(features, 2) AS DOUBLE)").as("r2"),
-          expr("CAST(element_at(features, 3) AS DOUBLE)").as("r3"),
-          expr("CAST(element_at(features, 4) AS DOUBLE)").as("r4"))
-        .orderBy("asset_id"),
-      Some {
-        val M = "18446744073709551616"
-        val step = (prev: String, cur: String) =>
-          s"(($prev * 6364136223846793005 + 1442695040888963407) % $M) AS $cur"
-        val pix = (v: String) =>
-          s"CAST(CAST(($v // 1099511627776) % 65536 AS BIGINT) AS DOUBLE) / 65536.0"
-        "WITH b AS (SELECT doc_id, " +
-          "list_transform(range(1, strlen(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bytes " +
-          "FROM documents), " +
-          "h AS (SELECT doc_id, " +
-          "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), list_transform(bytes, x -> CAST(x AS HUGEINT))), " +
-          s"(acc, c) -> (acc * 31 + c) % $M) AS h0 FROM b), " +
-          s"k1 AS (SELECT doc_id, ${step("h0", "v1")} FROM h), " +
-          s"k2 AS (SELECT doc_id, v1, ${step("v1", "v2")} FROM k1), " +
-          s"k3 AS (SELECT doc_id, v2, ${step("v2", "v3")} FROM k2), " +
-          s"k4 AS (SELECT doc_id, v2, v3, ${step("v3", "v4")} FROM k3), " +
-          s"k5 AS (SELECT doc_id, v2, v4, ${step("v4", "v5")} FROM k4), " +
-          s"k6 AS (SELECT doc_id, v2, v4, v5, ${step("v5", "v6")} FROM k5), " +
-          s"k7 AS (SELECT doc_id, v2, v4, v6, ${step("v6", "v7")} FROM k6), " +
-          s"k8 AS (SELECT doc_id, v2, v4, v6, ${step("v7", "v8")} FROM k7) " +
-          "SELECT doc_id AS asset_id, " +
-          "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-          s"${pix("v2")} AS r1, ${pix("v4")} AS r2, ${pix("v6")} AS r3, ${pix("v8")} AS r4 " +
-          "FROM k8 ORDER BY asset_id"
-      }),
-
     Op("llm_frame_sample",
       (s, d) => assets(s, d).toDF()
         .select(col("asset_id"),

@@ -320,6 +320,33 @@ object Streams {
     * target (Delta/Iceberg) on a cluster. Read the table back with
     * `UpsertStore.read`.
     */
+  /** Retry `body` while the store writer lease is held elsewhere,
+    * bounded by `maxWaitMs`. A LeaseHeldException must neither escape
+    * foreachBatch (an uncaught exception TERMINATES the query, and
+    * under Trigger.AvailableNow there is no next trigger to retry on —
+    * a restart within a crashed predecessor's lease TTL would fail
+    * repeatedly) nor be swallowed (returning normally marks the batch
+    * committed and silently loses its rows). So the retry lives here,
+    * inside the batch: sleep-and-retry until the lease frees or goes
+    * stale enough to break, and past the deadline propagate — a loud
+    * query failure, replayed on restart.
+    */
+  private def retryLease[A](maxWaitMs: Long)(body: => A): A = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    @annotation.tailrec
+    def loop(): A = {
+      val r =
+        try Some(body)
+        catch {
+          case _: graft.api.StoreIO.LeaseHeldException
+              if System.currentTimeMillis() < deadline =>
+            Thread.sleep(1000L); None
+        }
+      r match { case Some(a) => a; case None => loop() }
+    }
+    loop()
+  }
+
   def upsertSink(
       stream: DataFrame,
       key: String,
@@ -335,10 +362,13 @@ object Streams {
         // short lease TTL: the streaming sink is the sole writer, so a
         // lease found here is almost certainly a crashed predecessor
         // of THIS query — break it after 60 s instead of stalling
-        // micro-batch retries for the cross-job default of 10 min
-        graft.api.UpsertStore.update(
-          batch.toDF(), tableDir, key, versionCol,
-          batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+        // micro-batch retries for the cross-job default of 10 min;
+        // retryLease keeps the batch alive across that window
+        retryLease(90000L) {
+          graft.api.UpsertStore.update(
+            batch.toDF(), tableDir, key, versionCol,
+            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+        }
         ()
       }
       .start()
@@ -396,9 +426,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.api.DqHistory.append(
-          panel(batch.toDF()), historyDir, runSeq = batchId,
-          batchId = Some(s"$runKey-$batchId"))
+        // same single-writer lease posture as upsertSink: short TTL,
+        // in-batch retry across a crashed predecessor's lease window
+        retryLease(90000L) {
+          graft.api.DqHistory.append(
+            panel(batch.toDF()), historyDir, runSeq = batchId,
+            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+        }
         ()
       }
       .start()

@@ -193,17 +193,32 @@ class OpsSpec extends AnyFunSuite {
       (2L, 5L, 1L), (2L, 6L, 1L), (2L, 7L, 2L)))
   }
 
-  test("multimodal decode: deterministic, batch-shaped, resizable") {
+  test("multimodal decode: real PNG payloads, lossless codec round-trip") {
     import graft.ops.Multimodal
-    val a = Multimodal.decodeFeatures(Multimodal.assets(spark, sf), dim = 8, batchSize = 16)
-    val b = Multimodal.decodeFeatures(Multimodal.assets(spark, sf), dim = 8, batchSize = 3)
-    val fa = a.orderBy("asset_id").collect()
-    val fb = b.orderBy("asset_id").collect()
-    assert(fa.length == 500 && fa.zip(fb).forall { case (x, y) =>
-      x.asset_id == y.asset_id && x.features.sameElements(y.features) })
-    assert(fa.forall(f => f.features.length == 8 && f.features.forall(p => p >= 0f && p < 1f)))
-    val resized = Multimodal.resize(a, 4)
-    assert(resized.select(expr("size(features)")).distinct().as[Int].collect().toSeq == Seq(4))
+    val assets = Multimodal.imageAssets(spark, sf)
+    // the binary column holds genuine PNG files (magic header)
+    val heads = assets.limit(5).collect()
+    assert(heads.forall(a => a.png.length > 8 &&
+      (a.png(0) & 0xff) == 0x89 && a.png(1) == 'P' && a.png(2) == 'N' && a.png(3) == 'G'))
+    val stats = Multimodal.decodeImages(assets).orderBy("asset_id").collect()
+    assert(stats.length == 500)
+    // decoded dimensions match the generator's formula, and channel sums
+    // are bounded by 255 * pixels (a color-space or byte-order slip in
+    // the codec path would blow these)
+    assert(stats.forall { st =>
+      st.width == (8 + st.asset_id % 9).toInt &&
+        st.height == (8 + st.asset_id % 7).toInt &&
+        st.sum_r <= 255L * st.width * st.height && st.sum_r >= 0
+    })
+    // one exact pixel-sum spot check against the formula, off-codec
+    val s0 = stats.find(_.asset_id == heads.head.asset_id).get
+    val id = s0.asset_id
+    val exp = (for { y <- 0 until s0.height; x <- 0 until s0.width }
+      yield (id * 31 + x * 7 + y * 13) % 256).sum
+    assert(s0.sum_r == exp)
+    val resized = Multimodal.resizeImages(assets, 4).collect()
+    assert(resized.forall(r => r.width == 4 && r.height == 4 &&
+      r.sum_r <= 255L * 16 && r.sum_g <= 255L * 16 && r.sum_b <= 255L * 16))
   }
 
   test("llm_dedup_cluster merges transitively-linked docs into one component") {
