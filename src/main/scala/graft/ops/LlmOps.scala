@@ -53,8 +53,67 @@ object LlmOps {
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
 
-  private def oSim(a: String, b: String): String =
+  private[ops] def oSim(a: String, b: String): String =
     s"${oDot(a, b)} / sqrt(${oDot(a, a)} * ${oDot(b, b)})"
+
+  private[ops] val neardupThr = 0.35
+
+  /** Ball-pruned candidate pairs for embedding near-dup: vectors are
+    * assigned to 32 coarse cells (nearest seed vector on the unit
+    * sphere, the IVF coarse-quantizer shape); a cell PAIR is admissible
+    * only if the seed distance minus both cell radii can still reach
+    * the cosine threshold (unit sphere: sim >= t <=> ||ux-uy|| <=
+    * sqrt(2-2t), and the triangle inequality gives ||ux-uy|| >=
+    * d(sa,sb) - ra - rb). The candidate join is equi on (label,
+    * admissible-partner cell) — EXACT (no recall loss, unlike LSH
+    * candidates), with the quadratic bounded per admissible cell pair
+    * instead of per label: at 100 TB the per-task work is
+    * |cell_a| x |cell_b| for nearby cells only, and tighter clustering
+    * prunes more. Cell stats are one bounded collect (<= 32 rows + 32
+    * seed vectors); admissibility is a <= 1024-row broadcast. Returns
+    * (v1, v2, e1, e2) with v1 < v2.
+    */
+  private[ops] def neardupCellCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val nSeeds = 32
+    val emb = T.spread(T.t(s, d, "embeddings"))
+    val unit = emb.withColumn("u",
+      expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}))"))
+    val seeds = unit.where(s"vec_id < $nSeeds")
+      .select(col("vec_id").cast("int").as("c_id"), col("u").as("c_vec"))
+    val d2u = "aggregate(zip_with(u, c_vec, (x, c) -> (x - c) * (x - c)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val assigned = unit.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(d2u))
+      .withColumn("rnc", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
+      .where("rnc = 1")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("c_id").as("cell"), col("d2"))
+      .localCheckpoint()
+    val radii = assigned.groupBy("cell").agg(max("d2").as("r2")).collect()
+      .map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
+    val seedVecs = seeds.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // fp slack on the admit side only: a falsely admitted pair costs a
+    // sim evaluation, a falsely pruned one would cost correctness
+    val bound = math.sqrt(2.0 - 2.0 * neardupThr) + 1e-9
+    val adm = for {
+      (a, va) <- seedVecs.toSeq if radii.contains(a)
+      (b, vb) <- seedVecs.toSeq if radii.contains(b)
+      dist = math.sqrt(va.zip(vb).map { case (p, q) => (p - q) * (p - q) }.sum)
+      if dist - radii(a) - radii(b) <= bound
+    } yield (a, b)
+    import s.implicits._
+    val admDf = adm.toDF("cell", "cell2")
+    val x = assigned.join(broadcast(admDf), "cell")
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("label"), col("cell2"))
+    val y = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("label"), col("cell").as("cell2"))
+    x.join(y, Seq("label", "cell2")).where("v1 < v2")
+      .select("v1", "v2", "e1", "e2")
+  }
 
   /** Nearest-of-10-seed-centroids assignment (shared by llm_kmeans_step
     * and llm_semdedup): bounded seed set broadcast against the vector
@@ -644,50 +703,11 @@ object LlmOps {
     // (<= 32 rows + 32 seed vectors); admissibility is a <=1024-row
     // broadcast.
     Op("llm_embedding_neardup",
-      (s, d) => {
-        val thr = 0.35
-        val nSeeds = 32
-        val emb = T.spread(T.t(s, d, "embeddings"))
-        val unit = emb.withColumn("u",
-          expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}))"))
-        val seeds = unit.where(s"vec_id < $nSeeds")
-          .select(col("vec_id").cast("int").as("c_id"), col("u").as("c_vec"))
-        val d2u = "aggregate(zip_with(u, c_vec, (x, c) -> (x - c) * (x - c)), " +
-          "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        val assigned = unit.crossJoin(broadcast(seeds))
-          .withColumn("d2", expr(d2u))
-          .withColumn("rnc", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("d2"), col("c_id"))))
-          .where("rnc = 1")
-          .select(col("vec_id"), col("label"), col("embedding"),
-            col("c_id").as("cell"), col("d2"))
-          .localCheckpoint()
-        val radii = assigned.groupBy("cell").agg(max("d2").as("r2")).collect()
-          .map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
-        val seedVecs = seeds.collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-        // fp slack on the admit side only: a falsely admitted pair costs a
-        // sim evaluation, a falsely pruned one would cost correctness
-        val bound = math.sqrt(2.0 - 2.0 * thr) + 1e-9
-        val adm = for {
-          (a, va) <- seedVecs.toSeq if radii.contains(a)
-          (b, vb) <- seedVecs.toSeq if radii.contains(b)
-          dist = math.sqrt(va.zip(vb).map { case (p, q) => (p - q) * (p - q) }.sum)
-          if dist - radii(a) - radii(b) <= bound
-        } yield (a, b)
-        import s.implicits._
-        val admDf = adm.toDF("cell", "cell2")
-        val x = assigned.join(broadcast(admDf), "cell")
-          .select(col("vec_id").as("v1"), col("embedding").as("e1"),
-            col("label"), col("cell2"))
-        val y = assigned.select(col("vec_id").as("v2"), col("embedding").as("e2"),
-          col("label"), col("cell").as("cell2"))
-        x.join(y, Seq("label", "cell2")).where("v1 < v2")
-          .withColumn("sim", simCol(s, "e1", "e2"))
-          .where(s"sim >= $thr")
-          .select("v1", "v2", "sim")
-          .orderBy("v1", "v2")
-      },
+      (s, d) => neardupCellCandidates(s, d)
+        .withColumn("sim", simCol(s, "e1", "e2"))
+        .where(s"sim >= $neardupThr")
+        .select("v1", "v2", "sim")
+        .orderBy("v1", "v2"),
       Some("SELECT v1, v2, sim FROM (SELECT x.vec_id AS v1, y.vec_id AS v2, " +
         s"${oSim("x.embedding", "y.embedding")} AS sim " +
         "FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id) " +

@@ -1,0 +1,402 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round 10: the MERGE SQL surface over the upsert store, sketch-merged
+  * DAU/MAU, run-log lineage introspection, the webhook module ops, and
+  * the near-dup pruning audit.
+  */
+object Round10 {
+
+  val ops: Seq[Op] = Seq(
+
+    // The UpsertStore driven through SQL TEXT: the same three-batch CDC
+    // scenario as core_upsert_store, but each batch applies via a
+    // `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` statement (MergeSql — the Delta/Iceberg-shaped
+    // entry point, with LATEST BY naming the in-batch version
+    // arbiter). Same declarative oracle as the programmatic op, so the
+    // SQL path and the API path sit on the same correctness gate; a
+    // spec additionally pins them equal row-for-row.
+    Op("core_merge_sql",
+      (s, d) => {
+        val dir = s"target/tmp/merge_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          t.where(col("b") === b).drop("b")
+            .createOrReplaceTempView(s"graft_merge_src_$b")
+          graft.api.MergeSql.run(s,
+            s"MERGE INTO '$dir' AS t USING graft_merge_src_$b AS s " +
+              "ON t.o_custkey = s.o_custkey LATEST BY o_orderkey " +
+              "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
+
+    // DAU/MAU via MERGED DAILY HLL SKETCHES — the 100-TB form of
+    // rel_dau_mau_stickiness' exact expansion: one fixed-size HLL per
+    // active day (the mergeable daily artifact a pipeline would persist
+    // in the SketchStore), trailing-28-day MAU by sketch union — the
+    // merge grid is |days| x 28 SKETCH rows, data-size-independent,
+    // where the exact expansion is 28x the (user, day) pairs. The op
+    // ships the exact values plus a measured error-bound boolean
+    // (|est - exact| <= 5% — HLL lgConfigK=12 is ~1.6% typical), the
+    // same oracle pattern as rel_agg_approx_distinct.
+    Op("rel_dau_mau_hll",
+      (s, d) => {
+        val ud = T.events(s, d).select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day_id"))
+          .distinct().localCheckpoint()
+        val daily = ud.groupBy("day_id").agg(
+          expr("hll_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("dau"))
+        val est = daily
+          .select(col("sk"), explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
+          .groupBy("day_id")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau_est"))
+        val exact = ud
+          .select(col("user_id"), explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
+          .distinct()
+          .groupBy("day_id").agg(count(lit(1)).as("mau"))
+        daily.select("day_id", "dau")
+          .join(exact, Seq("day_id")).join(est, Seq("day_id"))
+          .select(col("day_id"), col("dau"), col("mau"),
+            (abs(col("mau_est") - col("mau")) <= col("mau") * lit(0.05)).as("hll_ok"))
+          .orderBy("day_id")
+      },
+      Some("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events), " +
+        "dau AS (SELECT day_id, count(*) AS dau FROM ud GROUP BY 1), " +
+        "mau AS (SELECT day_id, count(*) AS mau FROM " +
+        "(SELECT DISTINCT user_id, unnest(range(day_id, day_id + 28)) AS day_id FROM ud) " +
+        "GROUP BY 1) " +
+        "SELECT day_id, dau, mau, true AS hll_ok " +
+        "FROM dau JOIN mau USING (day_id) ORDER BY day_id")),
+
+    // Run-log lineage introspection — the DataBlockLog query surface a
+    // pipeline operator reads every morning: drive a TWO-stage
+    // incremental pipeline three epochs each, then report per stage the
+    // run count, last run, high-watermark, total and last-run rows
+    // consumed, straight off the persistent RunLog. The log is one row
+    // per (stage, run) however large the data; the report is a tiny
+    // aggregate over it.
+    Op("core_runlog_report",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_runlog_").toString
+        val orders = T.t(s, d, "orders")
+        val lines = T.t(s, d, "lineitem")
+        def epoch(cut: Option[Long]): Unit = {
+          val env = new graft.api.Environment(s)
+          val of = cut.map(c => orders.where(col("o_orderkey") < c)).getOrElse(orders)
+          val lf = cut.map(c => lines.where(col("l_orderkey") < c)).getOrElse(lines)
+          env.addSource("raw_orders", of)
+          env.addSource("raw_lines", lf)
+          env.addNode1("clean", "raw_orders")(
+            _.select("o_orderkey", "o_custkey", "o_totalprice"))
+          env.addNode1("enrich", "raw_lines")(
+            _.select("l_orderkey", "l_quantity", "l_extendedprice"))
+          env.runIncremental("clean", "o_orderkey", s"$tmp/state", s"$tmp/out_c"): Unit
+          env.runIncremental("enrich", "l_orderkey", s"$tmp/state", s"$tmp/out_e"): Unit
+        }
+        epoch(Some(1000L)); epoch(Some(3000L)); epoch(None)
+        graft.api.RunLog.read(s, s"$tmp/state")
+          .groupBy("stage").agg(
+            count(lit(1)).as("n_runs"),
+            max("run_seq").as("last_run"),
+            max("watermark").as("last_watermark"),
+            sum("rows_consumed").as("total_rows"),
+            expr("max_by(rows_consumed, run_seq)").as("last_rows"))
+          .orderBy("stage")
+      },
+      Some("SELECT 'clean' AS stage, CAST(3 AS BIGINT) AS n_runs, CAST(3 AS BIGINT) AS last_run, " +
+        "(SELECT max(o_orderkey) FROM orders) AS last_watermark, " +
+        "(SELECT count(*) FROM orders) AS total_rows, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey >= 3000) AS last_rows " +
+        "UNION ALL SELECT 'enrich', 3, 3, (SELECT max(l_orderkey) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem), " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey >= 3000) " +
+        "ORDER BY stage")),
+
+    // Webhook module, op 1: envelope verify + parse. Real BinaryType-free
+    // but real-crypto path: the signature is lowercase-hex SHA-256 over
+    // payload || secret, and the per-group min(signature) column forces
+    // BOTH engines to hash every payload — a digest drift anywhere
+    // breaks the compare. One codegen projection + one map-side-combined
+    // aggregate.
+    Op("mod_webhook_parse",
+      (s, d) => graft.api.WebhookModule.parse(graft.api.WebhookModule.deliveries(s, d))
+        .groupBy("event", "sig_ok").agg(
+          count(lit(1)).as("n_deliveries"),
+          sum("amount_cents").as("amount_cents_sum"),
+          min("signature").as("min_sig"))
+        .orderBy("event", "sig_ok"),
+      Some(oDeliveries +
+        " SELECT event, sig_ok, count(*) AS n_deliveries, " +
+        "CAST(sum(amount_cents) AS BIGINT) AS amount_cents_sum, " +
+        "min(signature) AS min_sig " +
+        "FROM del GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Webhook module, op 2: at-least-once replay dedup — providers
+    // retry, retries share event_key — keep the FIRST valid delivery
+    // per event (min delivery_id among signature-verified rows), then
+    // report per event type. One keyed exchange on event_key.
+    Op("mod_webhook_replay_dedup",
+      (s, d) => graft.api.WebhookModule.dedupeReplays(
+          graft.api.WebhookModule.parse(graft.api.WebhookModule.deliveries(s, d))
+            .where(col("sig_ok")))
+        .groupBy("event").agg(
+          count(lit(1)).as("n_events"),
+          sum("amount_cents").as("amount_cents_sum"))
+        .orderBy("event"),
+      Some(oDeliveries + ", first AS (SELECT * FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY event_key ORDER BY delivery_id) AS rn " +
+        "FROM del WHERE sig_ok) WHERE rn = 1) " +
+        "SELECT event, count(*) AS n_events, " +
+        "CAST(sum(amount_cents) AS BIGINT) AS amount_cents_sum " +
+        "FROM first GROUP BY 1 ORDER BY 1")),
+
+    // Pruning audit for the ball-pruned embedding near-dup: the match
+    // count (same pair semantics as llm_embedding_neardup's oracle),
+    // the label-blocked baseline pair count it replaced (straight off
+    // the label histogram — sum n*(n-1)/2, no pair generation), and a
+    // boolean pinning that cell-pruned candidate generation never
+    // examines MORE pairs than the baseline. Recall needs no audit
+    // column: the pruning is exact by the triangle inequality, and the
+    // neardup op's own oracle is the label-blocked ground truth.
+    Op("llm_neardup_prune_audit",
+      (s, d) => {
+        graft.functions.CosineSimilarity.register(s)
+        val cand = LlmOps.neardupCellCandidates(s, d).localCheckpoint()
+        val counts = cand.agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(expr(s"cosine_sim(e1, e2) >= ${LlmOps.neardupThr}"), 1L)
+            .otherwise(0L)).as("n_matches"))
+        val baseline = T.t(s, d, "embeddings")
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2")).as("n_label_pairs"))
+        counts.crossJoin(broadcast(baseline))
+          .select(col("n_label_pairs"), col("n_matches"),
+            (col("n_candidates") <= col("n_label_pairs")).as("pruned_bounded"))
+      },
+      Some("WITH lp AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_label_pairs " +
+        "FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)), " +
+        "m AS (SELECT count(*) AS n_matches FROM (" +
+        "SELECT x.vec_id FROM embeddings x JOIN embeddings y " +
+        "ON x.label = y.label AND x.vec_id < y.vec_id " +
+        s"WHERE ${LlmOps.oSim("x.embedding", "y.embedding")} >= ${LlmOps.neardupThr})) " +
+        "SELECT n_label_pairs, CAST(n_matches AS BIGINT) AS n_matches, " +
+        "true AS pruned_bounded FROM lp, m")),
+
+    // Position-based (U-shaped 40/20/40) attribution — completes the
+    // family beside last-touch and linear: first and last touch in the
+    // 7-day pre-purchase window take 400000 ppm each, the middles share
+    // 200000 ppm (integer division, remainder to the earliest middles,
+    // so every purchase credits exactly 1e6); 1-touch paths take all,
+    // 2-touch paths split 50/50. Same join discipline as
+    // rel_attribution_linear: one time-bounded (user, window) join,
+    // per-purchase windows partitioned by pid.
+    Op("rel_attribution_position",
+      (s, d) => {
+        val ev = eventsFp(s, d)
+        val p = ev.where("event_type = 'purchase'")
+          .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"))
+          .alias("p")
+        val t = ev.where("event_type <> 'purchase'")
+          .select(col("user_id"), col("event_id").as("tid"),
+            col("event_type").as("channel"), col("us").as("tus"))
+          .alias("t")
+        val j = p.join(t, expr("p.user_id = t.user_id") &&
+            col("tus") < col("pus") && col("pus") - col("tus") <= 604800000000L)
+          .select("pid", "channel", "tus", "tid")
+        val wK = Window.partitionBy("pid")
+        val wR = Window.partitionBy("pid").orderBy("tus", "tid")
+        j.withColumn("k", count(lit(1)).over(wK))
+          .withColumn("rnk", row_number().over(wR))
+          .withColumn("credit", expr(
+            "CAST(CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000 " +
+              "WHEN rnk = 1 OR rnk = k THEN 400000 " +
+              "ELSE 200000 div (k - 2) + " +
+              "CASE WHEN rnk - 1 <= 200000 % (k - 2) THEN 1 ELSE 0 END END AS BIGINT)"))
+          .groupBy("channel").agg(
+            expr("CAST(SUM(credit) AS BIGINT)").as("credit_total"),
+            count(lit(1)).as("n_touches"))
+          .orderBy("channel")
+      },
+      Some("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "p AS (SELECT user_id, event_id AS pid, us AS pus FROM ev WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, event_id AS tid, event_type AS channel, us AS tus FROM ev " +
+        "WHERE event_type <> 'purchase'), " +
+        "j AS (SELECT p.pid, t.channel, t.tus, t.tid FROM p JOIN t ON p.user_id = t.user_id " +
+        "AND t.tus < p.pus AND p.pus - t.tus <= 604800000000), " +
+        "r AS (SELECT pid, channel, count(*) OVER (PARTITION BY pid) AS k, " +
+        "row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rnk FROM j) " +
+        "SELECT channel, CAST(SUM(CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000 " +
+        "WHEN rnk = 1 OR rnk = k THEN 400000 " +
+        "ELSE 200000 // (k - 2) + CASE WHEN rnk - 1 <= 200000 % (k - 2) THEN 1 ELSE 0 END END) " +
+        "AS BIGINT) AS credit_total, count(*) AS n_touches " +
+        "FROM r GROUP BY 1 ORDER BY 1")),
+
+    // URL canonicalization dedup — the first stage of every web-corpus
+    // pipeline: raw crawl URLs vary in scheme/host case, tracking
+    // queries and trailing slashes; canonicalize (lowercase, strip
+    // query/fragment, strip trailing '/' — the policy is deliberately
+    // aggressive and stated, the generated variants only vary where it
+    // is lossless) and report the duplicate-group-size histogram. Two
+    // map-side-combined aggregates; the canonical key is a pure codegen
+    // regexp chain, no UDF.
+    Op("llm_dedup_url",
+      (s, d) => T.t(s, d, "documents")
+        .withColumn("url", expr(
+          "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END, " +
+            "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END, " +
+            "'/item/', CAST(doc_id div 4 AS STRING), " +
+            "CASE WHEN doc_id % 5 = 0 THEN '/?utm_campaign=x&ref=a' " +
+            "WHEN doc_id % 5 = 1 THEN '?utm_source=y' ELSE '' END)"))
+        .withColumn("canon", expr(
+          "regexp_replace(regexp_replace(lower(url), '[?#].*$', ''), '/+$', '')"))
+        .groupBy("canon").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size"),
+      Some("WITH u AS (SELECT concat(" +
+        "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END, " +
+        "'/item/', CAST(doc_id // 4 AS VARCHAR), " +
+        "CASE WHEN doc_id % 5 = 0 THEN '/?utm_campaign=x&ref=a' " +
+        "WHEN doc_id % 5 = 1 THEN '?utm_source=y' ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT regexp_replace(regexp_replace(lower(url), '[?#].*$', ''), '/+$', '') AS canon FROM u), " +
+        "g AS (SELECT canon, count(*) AS group_size FROM c GROUP BY 1) " +
+        "SELECT group_size, count(*) AS n_groups FROM g GROUP BY 1 ORDER BY 1")),
+
+    // Subject-access export (GDPR Art. 15 companion to the erasure
+    // rewrite / k-anonymity audit): for a set of data subjects, count
+    // every row that references them across the star schema — customer
+    // directly, orders by custkey, lineitem through its order. The
+    // subject set is tiny and broadcasts; lineitem resolves via a
+    // broadcast semi-join on the subjects' order keys, never a fact
+    // shuffle.
+    Op("core_subject_access_export",
+      (s, d) => {
+        val keys = Seq(1L, 2L, 3L, 4L, 5L)
+        val cust = T.t(s, d, "customer").where(col("c_custkey").isin(keys: _*))
+          .groupBy(col("c_custkey").as("subject_key"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("customer").as("table_name"), col("subject_key"), col("n_rows"))
+        val ord = T.t(s, d, "orders").where(col("o_custkey").isin(keys: _*))
+        val ordCnt = ord.groupBy(col("o_custkey").as("subject_key"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("orders").as("table_name"), col("subject_key"), col("n_rows"))
+        val li = T.t(s, d, "lineitem")
+          .join(broadcast(ord.select(col("o_orderkey"), col("o_custkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("subject_key"))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("lineitem").as("table_name"), col("subject_key"), col("n_rows"))
+        cust.unionByName(ordCnt).unionByName(li)
+          .orderBy("table_name", "subject_key")
+      },
+      Some("SELECT 'customer' AS table_name, c_custkey AS subject_key, count(*) AS n_rows " +
+        "FROM customer WHERE c_custkey IN (1, 2, 3, 4, 5) GROUP BY 2 " +
+        "UNION ALL SELECT 'orders', o_custkey, count(*) FROM orders " +
+        "WHERE o_custkey IN (1, 2, 3, 4, 5) GROUP BY 2 " +
+        "UNION ALL SELECT 'lineitem', o_custkey, count(*) FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey IN (1, 2, 3, 4, 5) GROUP BY 2 " +
+        "ORDER BY table_name, subject_key")),
+
+    // Customer revenue deciles — the second DistOrder consumer: exact
+    // ntile(10) over (revenue desc, custkey) without a global window
+    // (bucketed parallel rank + codegen decile CASE), reporting size
+    // and revenue mass per decile. The concentration read finance asks
+    // for weekly, shaped to survive 1e9 customers.
+    Op("rel_customer_deciles",
+      (s, d) => {
+        val rev = T.t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("r"))
+        val rk = graft.api.DistOrder.rankCum(rev,
+          -col("r"), Seq(desc("r"), col("o_custkey")))
+        rk.df.withColumn("decile", graft.api.DistOrder.ntileOf("rn", rk.n, 10))
+          .groupBy("decile").agg(
+            count(lit(1)).as("n_customers"),
+            expr("CAST(sum(r) AS BIGINT)").as("revenue_cents"))
+          .orderBy("decile")
+      },
+      Some("WITH rev AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT r, CAST(ntile(10) OVER (ORDER BY r DESC, o_custkey) AS INTEGER) AS decile FROM rev) " +
+        "SELECT decile, count(*) AS n_customers, CAST(sum(r) AS BIGINT) AS revenue_cents " +
+        "FROM t GROUP BY 1 ORDER BY 1")),
+
+    // Schema drift report — the morning-after check when an upstream
+    // team ships a new snapshot: diff two written generations' parquet
+    // schemas (metadata-only — no data is read) into added / removed /
+    // type_changed / unchanged rows. The diff itself is driver-side
+    // over the two StructTypes, which are configuration-sized whatever
+    // the table holds.
+    Op("core_schema_drift_report",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+        val o = T.t(s, d, "orders").limit(100)
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/a")
+        o.select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+            lit(1996).cast("int").as("o_year"))
+          .write.mode("overwrite").parquet(s"$tmp/b")
+        val a = s.read.parquet(s"$tmp/a").schema
+          .fields.map(f => f.name -> f.dataType.simpleString).toMap
+        val b = s.read.parquet(s"$tmp/b").schema
+          .fields.map(f => f.name -> f.dataType.simpleString).toMap
+        import s.implicits._
+        (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+          val (ta, tb) = (a.get(c), b.get(c))
+          val status =
+            if (ta.isEmpty) "added"
+            else if (tb.isEmpty) "removed"
+            else if (ta == tb) "unchanged" else "type_changed"
+          (c, status, ta.orNull, tb.orNull)
+        }.toDF("column", "status", "type_a", "type_b").orderBy("column")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('o_custkey', 'removed', 'bigint', NULL), " +
+        "('o_orderkey', 'unchanged', 'bigint', 'bigint'), " +
+        "('o_totalprice', 'type_changed', 'double', 'decimal(12,2)'), " +
+        "('o_year', 'added', NULL, 'int')) " +
+        "AS t(\"column\", status, type_a, type_b) ORDER BY \"column\"")),
+  )
+
+  /** Fixed-point event frame (same shape as Round8b's). */
+  private def eventsFp(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.events(s, d).select(col("event_type"), col("user_id"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+
+  /** DuckDB replay of WebhookModule.deliveries: terminal CTE
+    * `del(delivery_id, event_key, event, payload, amount_cents,
+    * signature, sig_ok)`.
+    */
+  private lazy val oDeliveries: String =
+    "WITH raw AS (SELECT o_orderkey AS delivery_id, o_orderkey // 2 AS event_key, " +
+      "CASE WHEN o_orderstatus = 'F' THEN 'payment.settled' " +
+      "WHEN o_orderstatus = 'O' THEN 'payment.created' " +
+      "ELSE 'payment.pending' END AS event, " +
+      "concat('{\"customer\":', CAST(o_custkey AS VARCHAR), ',\"amount_cents\":', " +
+      "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), '}') AS payload, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS amount_cents FROM orders), " +
+      "del AS (SELECT delivery_id, event_key, event, payload, amount_cents, " +
+      "CASE WHEN delivery_id % 7 = 0 THEN 'deadbeef' " +
+      "ELSE sha256(concat(payload, 'whsec_demo')) END AS signature, " +
+      "delivery_id % 7 <> 0 AS sig_ok FROM raw)"
+}

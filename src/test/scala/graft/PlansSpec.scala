@@ -611,4 +611,33 @@ class PlansSpec extends AnyFunSuite {
     val bad = windows(plan).filter(_.partitionSpec.isEmpty)
     assert(bad.isEmpty, s"rrf has a no-partition WindowExec:\n$plan")
   }
+
+  test("REGISTRY-WIDE: no empty-partitionSpec WindowExec over a fact-cardinality frame") {
+    // The round-9 verdict's remaining scale-killers were global
+    // (no-partition) windows over fact-sized frames. This sweeps EVERY
+    // registry op's physical plan: a WindowExec with an empty
+    // partitionSpec is allowed only via the whitelist below, where each
+    // entry names the reason the frame is BOUNDED — by configuration,
+    // calendar, or a fixed-size aggregate — never by table size. A new
+    // op that sneaks in a global window over data-sized rows fails here
+    // with its key, not in production.
+    val bounded: Map[String, String] = Map(
+      "rel_survival_km" -> "lifetable cumsum: <= max-duration-in-days + 1 rows (calendar-bounded)",
+      "rel_funnel_conversion" -> "step-over-step window on the 3-row funnel frame (|steps|-bounded)",
+      "rel_conversion_lag" -> "CDF window over the lag-hours histogram (hour buckets, calendar-bounded)",
+      "rel_forecast_des" -> "double-exponential recursion over the day series (calendar-bounded)",
+      "rel_user_growth" -> "cumulative-users window over the per-day aggregate (calendar-bounded)",
+      "rel_benford_audit" -> "deviation window over the 9-row first-digit frame (constant)")
+    val offenders = Registry.all.flatMap { op =>
+      val wins =
+        try op.query(spark, TestSpark.sf).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        catch { case e: Throwable => fail(s"${op.key} failed to plan: $e") }
+      if (wins.nonEmpty && !bounded.contains(op.key)) Some(op.key) else None
+    }
+    assert(offenders.isEmpty,
+      s"ops with an unwhitelisted global WindowExec: ${offenders.mkString(", ")}")
+  }
 }

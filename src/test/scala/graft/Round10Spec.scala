@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  // ---- DistOrder: the bucketed exact order statistics --------------------
+
+  test("DistOrder.rankCum equals a global-window rank + cumsum exactly") {
+    val rev = Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("r"))
+    val rk = api.DistOrder.rankCum(rev,
+      -col("r"), Seq(desc("r"), col("o_custkey")), value = Some(col("r")),
+      buckets = 7) // deliberately odd bucket count
+    val w = Window.orderBy(desc("r"), col("o_custkey"))
+    val truth = rev
+      .withColumn("rn_t", row_number().over(w).cast("long"))
+      .withColumn("cum_t", sum("r").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val joined = rk.df.join(truth.select("o_custkey", "rn_t", "cum_t"), "o_custkey")
+    assert(joined.where("rn <> rn_t OR cum <> cum_t").count() == 0)
+    assert(rk.n == rev.count())
+    assert(rk.total == rev.agg(sum("r")).head().getLong(0))
+    // the plan's windows are all bucket-partitioned
+    val globalWins = joined.queryExecution.sparkPlan.collect {
+      case win: org.apache.spark.sql.execution.window.WindowExec
+          if win.partitionSpec.isEmpty => win
+    }
+    // truth side contributes the one intentional global window; the
+    // rankCum side must contribute none — so exactly one in the join
+    assert(globalWins.size <= 1)
+  }
+
+  test("DistOrder.ntileOf matches ntile() for awkward n/tiles combinations") {
+    for (n <- Seq(1L, 4L, 5L, 7L, 12L, 100L, 101L)) {
+      val df = spark.range(n).toDF("id")
+      val got = df.withColumn("rn", col("id") + 1)
+        .withColumn("nt", api.DistOrder.ntileOf("rn", n, 5))
+      val want = df.withColumn("nt_t", ntile(5).over(Window.orderBy("id")))
+      val bad = got.join(want, "id").where("nt <> nt_t").count()
+      assert(bad == 0, s"ntileOf mismatch at n=$n")
+    }
+  }
+
+  // ---- MergeSql: the SQL-text MERGE surface -------------------------------
+
+  test("MergeSql.parse extracts dir/source/key/version; rejects bad shapes") {
+    val st = api.MergeSql.parse(
+      "MERGE INTO '/tmp/store' AS t USING src AS s ON t.k = s.k " +
+        "LATEST BY v WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(st == api.MergeSql.Stmt("/tmp/store", "src", "k", "v"))
+    // reversed ON qualifiers resolve; LATEST BY defaults to the key
+    val st2 = api.MergeSql.parse(
+      "merge into '/tmp/s2' using 'path/to.parquet' on s.id = t.id " +
+        "when matched then update set * when not matched then insert *")
+    assert(st2 == api.MergeSql.Stmt("/tmp/s2", "'path/to.parquet'", "id", "id"))
+    intercept[IllegalArgumentException] { // alias mismatch in ON
+      api.MergeSql.parse("MERGE INTO '/x' AS t USING src AS s ON a.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    intercept[IllegalArgumentException] { // unsupported clause body
+      api.MergeSql.parse("MERGE INTO '/x' AS t USING src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
+  test("core_merge_sql (SQL path) equals core_upsert_store (API path) row-for-row") {
+    val viaSql = Registry.byKey("core_merge_sql").query(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val viaApi = Registry.byKey("core_upsert_store").query(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("MergeSql replay with the same batchId is a no-op") {
+    val dir = s"target/tmp/merge_replay_${System.nanoTime()}"
+    Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p")
+      .createOrReplaceTempView("merge_replay_src")
+    val stmt = s"MERGE INTO '$dir' USING merge_replay_src ON t.k = s.k LATEST BY v " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    assert(api.MergeSql.run(spark, stmt, nBuckets = 4, batchId = Some("b0")))
+    assert(!api.MergeSql.run(spark, stmt, nBuckets = 4, batchId = Some("b0")))
+    assert(api.MergeSql.readTarget(spark, dir).count() == 2)
+    api.StoreIO.delete(spark, dir)
+  }
+
+  // ---- store-concurrency hardening (round-10 ADVICE fixes) ----------------
+
+  test("DqHistory.append is idempotent per run_seq across the ledger crash window") {
+    val dir = s"target/tmp/dqh_replay_${System.nanoTime()}"
+    def panel(ppm: Long) =
+      Seq(("rows_nonnull", ppm, 900000L, true)).toDF("expectation", "metric_ppm", "threshold_ppm", "ok")
+    assert(api.DqHistory.append(panel(990000L), dir, runSeq = 1L, batchId = Some("r1")))
+    assert(api.DqHistory.append(panel(970000L), dir, runSeq = 2L, batchId = Some("r2")))
+    // crash window replay: the run-2 swap landed but its ledger record was
+    // lost — the redelivery arrives with a DIFFERENT ledger id and must
+    // converge to ONE panel for run 2, not a duplicate that makes trend()
+    // compare run 2 against itself
+    assert(api.DqHistory.append(panel(970000L), dir, runSeq = 2L, batchId = Some("r2-replay")))
+    val runs = api.DqHistory.read(spark, dir)
+      .groupBy("run_seq").count().as[(Long, Long)].collect().toMap
+    assert(runs == Map(1L -> 1L, 2L -> 1L))
+    val t = api.DqHistory.trend(spark, dir).collect().head
+    assert(t.getAs[Long]("prev_run_seq") == 1L && t.getAs[Long]("run_seq") == 2L)
+    assert(t.getAs[Long]("delta_ppm") == -20000L)
+  }
+
+  test("vacuum: minAgeMs protects an in-flight staged write; tombstones cleaned") {
+    val dir = s"target/tmp/vac_age_${System.nanoTime()}"
+    val data = Seq((1L, "a")).toDF("k", "p")
+    api.StoreIO.swapIn(data, spark, s"$dir/t")
+    data.write.mode("overwrite").parquet(s"$dir/t-staged-0badf00d")
+    // a freshly-written staged dir survives an age-guarded vacuum ...
+    assert(api.StoreIO.vacuum(spark, dir, minAgeMs = 3600000L) == ((0, 0)))
+    assert(api.StoreIO.exists(spark, s"$dir/t-staged-0badf00d"))
+    // ... and is collected once it is old enough (age 0 = everything)
+    assert(api.StoreIO.vacuum(spark, dir) == ((1, 0)))
+    assert(!api.StoreIO.exists(spark, s"$dir/t-staged-0badf00d"))
+    // orphaned lease-break tombstones are swept too
+    val f = api.StoreIO.fs(spark, dir)
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/.lease-broken-deadbeef"), true).close()
+    api.StoreIO.vacuum(spark, dir)
+    assert(!api.StoreIO.exists(spark, s"$dir/.lease-broken-deadbeef"))
+  }
+
+  test("vacuum refuses to run while a writer holds the lease") {
+    val dir = s"target/tmp/vac_lease_${System.nanoTime()}"
+    api.StoreIO.swapIn(Seq((1L, "a")).toDF("k", "p"), spark, s"$dir/t")
+    api.StoreIO.withLease(spark, dir) {
+      intercept[api.StoreIO.LeaseHeldException] {
+        api.StoreIO.vacuum(spark, dir)
+      }
+    }
+  }
+
+  test("withLease: stale break is atomic-rename based — loser raises, no double hold") {
+    val dir = s"target/tmp/lease_break_${System.nanoTime()}"
+    val f = api.StoreIO.fs(spark, dir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // a crashed writer's stale lease
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/.lease")
+    f.create(lease, false).close()
+    f.setTimes(lease, System.currentTimeMillis() - 3600000L, -1)
+    // one waiter breaks it and proceeds; the lease is re-created by the
+    // winner, so a second concurrent-ish waiter sees a FRESH lease and
+    // raises instead of breaking the winner's
+    var entered = 0
+    api.StoreIO.withLease(spark, dir, staleMs = 60000L) {
+      entered += 1
+      intercept[api.StoreIO.LeaseHeldException] {
+        api.StoreIO.withLease(spark, dir, staleMs = 60000L) { entered += 1 }
+      }
+    }
+    assert(entered == 1)
+    // released on exit; no tombstone debris left behind
+    assert(!api.StoreIO.exists(spark, s"$dir/.lease"))
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".lease-broken-")))
+  }
+
+  test("Wap: fatal errors propagate out of publish and leave the live table untouched") {
+    val dir = s"target/tmp/wap_fatal_${System.nanoTime()}"
+    val live = Seq((1L, "live")).toDF("k", "p")
+    assert(api.Wap.publish(spark, live, dir, "t",
+      Seq("nonempty" -> (df => df.count() > 0))).published)
+    val batch = Seq((2L, "next")).toDF("k", "p")
+    intercept[OutOfMemoryError] {
+      api.Wap.publish(spark, batch, dir, "t",
+        Seq("boom" -> (_ => throw new OutOfMemoryError("simulated"))))
+    }
+    // the live generation is still the first publish
+    assert(api.StoreIO.read(spark, dir, "t").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "live")))
+    // a NON-fatal check failure still audits cleanly (no publish, no throw)
+    val rep = api.Wap.publish(spark, batch, dir, "t",
+      Seq("fails" -> (_ => throw new RuntimeException("bad batch"))))
+    assert(!rep.published && rep.checksFailed == 1)
+  }
+
+  // ---- webhook module ------------------------------------------------------
+
+  test("WebhookModule: schema conforms, signatures verify, replays dedupe") {
+    val del = api.WebhookModule.deliveries(spark, sf)
+    // conform pins names + types; nullability flags are advisory in Spark
+    assert(del.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      api.WebhookModule.DeliverySchema.struct.fields.map(f => (f.name, f.dataType)).toSeq)
+    val parsed = api.WebhookModule.parse(del).localCheckpoint()
+    // every 7th delivery is corrupted, everything else verifies
+    assert(parsed.where("sig_ok <> (delivery_id % 7 <> 0)").count() == 0)
+    // parse extracts the payload fields losslessly
+    assert(parsed.where("customer IS NULL OR amount_cents IS NULL").count() == 0)
+    val deduped = api.WebhookModule.dedupeReplays(parsed.where(col("sig_ok")))
+    // one delivery per event_key, and it is the smallest delivery_id
+    val w = deduped.groupBy("event_key").count().where("count > 1").count()
+    assert(w == 0)
+    val notMin = deduped.as("d").join(
+      parsed.where(col("sig_ok")).groupBy("event_key")
+        .agg(min("delivery_id").as("min_id")), "event_key")
+      .where("delivery_id <> min_id")
+    assert(notMin.count() == 0)
+  }
+
+  // ---- embedding near-dup: cell pruning is exact ---------------------------
+
+  test("cell-pruned embedding neardup equals label-blocked all-pairs exactly") {
+    val got = Registry.byKey("llm_embedding_neardup").query(spark, sf)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val emb = Tables.t(spark, sf, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val truth = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label")), Seq("label"))
+      .where("v1 < v2 AND cosine_sim(e1, e2) >= 0.35")
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+  }
+
+  // ---- streaming sink lease retry ------------------------------------------
+
+  test("upsertSink retries through a transiently-held writer lease") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = s"target/tmp/sink_retry_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, Long, String)]
+    mem.addData(Seq((1L, 1L, "a")))
+    // someone else holds the table lease right now (fresh mtime — not
+    // stale, not breakable); the sink must wait it out, not die
+    val f = api.StoreIO.fs(spark, s"$base/table")
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/table"))
+    val lease = new org.apache.hadoop.fs.Path(s"$base/table/.lease")
+    f.create(lease, false).close()
+    val releaser = new Thread(() => { Thread.sleep(3000L); f.delete(lease, false); () })
+    releaser.start()
+    val q = streaming.Streams.upsertSink(
+      mem.toDF().toDF("k", "version", "payload"),
+      key = "k", versionCol = "version",
+      tableDir = s"$base/table", checkpointDir = s"$base/ckpt")
+    q.awaitTermination()
+    releaser.join()
+    assert(api.UpsertStore.read(spark, s"$base/table").count() == 1)
+  }
+}
