@@ -178,7 +178,9 @@ object Round10 {
     Op("llm_neardup_prune_audit",
       (s, d) => {
         graft.functions.CosineSimilarity.register(s)
-        val cand = LlmOps.neardupCellCandidates(s, d).localCheckpoint()
+        // one streaming aggregate over the LAZY candidate pipeline — never
+        // materialize the pair frame (at 20x it is ~20M rows x 128 floats)
+        val cand = LlmOps.neardupCellCandidates(s, d)
         val counts = cand.agg(
           count(lit(1)).as("n_candidates"),
           sum(when(expr(s"cosine_sim(e1, e2) >= ${LlmOps.neardupThr}"), 1L)
