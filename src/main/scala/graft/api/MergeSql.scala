@@ -77,11 +77,34 @@ object MergeSql {
       spark: SparkSession,
       sql: String,
       nBuckets: Int = UpsertStore.defaultBuckets,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Boolean = {
     val st = parse(sql)
     UpsertStore.update(
       sourceDf(spark, st.source), st.targetDir, st.key, st.version,
-      nBuckets = nBuckets, batchId = batchId)
+      nBuckets = nBuckets, batchId = batchId, leaseStaleMs = leaseStaleMs)
+  }
+
+  private val delRe =
+    """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+
+  /** Execute a `DELETE FROM '<storeDir>' WHERE <predicate>` statement
+    * against an [[UpsertStore]] target — the second mutation-SQL verb
+    * beside MERGE (the GDPR-erasure / retention-sweep shape). The
+    * predicate is any Spark SQL boolean expression over the stored
+    * columns. Returns rows removed (0 on a ledger replay).
+    */
+  def runDelete(
+      spark: SparkSession,
+      sql: String,
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Long = sql match {
+    case delRe(dir, pred) =>
+      UpsertStore.delete(spark, dir,
+        org.apache.spark.sql.functions.expr(pred), batchId, leaseStaleMs)
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported DELETE statement; expected: DELETE FROM '<dir>' WHERE <predicate>")
   }
 
   /** Read back a MERGE target (the store's current generation). */

@@ -83,6 +83,44 @@ object UpsertStore {
       updateLocked(batch, dir, key, versionCol, nBuckets, batchId)
     }
 
+  /** Delete every stored row matching `predicate` (SQL DELETE
+    * semantics: a NULL predicate keeps the row). Runs under the writer
+    * lease with the applied-batch ledger, so a replayed delete is a
+    * no-op. Work is per-bucket: each bucket generation is read once,
+    * and only buckets that actually contain matches are rewritten
+    * (staged-write + atomic swap — a crash mid-delete leaves every
+    * bucket a complete generation, some deleted, some not, and the
+    * replay converges). Returns the number of rows removed (0 on a
+    * ledger replay).
+    */
+  def delete(
+      spark: SparkSession,
+      dir: String,
+      predicate: org.apache.spark.sql.Column,
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Long =
+    StoreIO.withLease(spark, dir, leaseStaleMs) {
+      if (batchId.exists(StoreIO.applied(spark, dir, _))) 0L
+      else {
+        val n = buckets(spark, dir)
+        val hit = coalesce(predicate, lit(false))
+        var removed = 0L
+        (0 until n).foreach { b =>
+          val path = StoreIO.genPath(spark, bucketDir(dir, b))
+          if (StoreIO.exists(spark, path)) {
+            val cur = spark.read.parquet(path)
+            val hits = cur.where(hit).count()
+            if (hits > 0) {
+              removed += hits
+              StoreIO.swapIn(cur.where(!hit), spark, bucketDir(dir, b))
+            }
+          }
+        }
+        batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+        removed
+      }
+    }
+
   private def updateLocked(
       batch: DataFrame,
       dir: String,

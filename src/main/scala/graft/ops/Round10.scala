@@ -377,6 +377,108 @@ object Round10 {
         "('o_totalprice', 'type_changed', 'double', 'decimal(12,2)'), " +
         "('o_year', 'added', NULL, 'int')) " +
         "AS t(\"column\", status, type_a, type_b) ORDER BY \"column\"")),
+
+    // The second mutation-SQL verb: DELETE FROM '<dir>' WHERE <pred>
+    // against the upsert store (the GDPR-erasure / retention-sweep
+    // shape as SQL text). Builds the store through one MERGE, deletes
+    // a customer slice, reads back — per-bucket rewrite of only the
+    // buckets holding matches, under lease + ledger, every promotion
+    // an atomic swap.
+    Op("core_delete_sql",
+      (s, d) => {
+        val dir = s"target/tmp/delete_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_delete_src")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_delete_src ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        graft.api.MergeSql.runDelete(s,
+          s"DELETE FROM '$dir' WHERE o_custkey % 10 = 3", batchId = Some("del")): Unit
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3 ORDER BY o_custkey")),
+
+    // EXACT global percentiles of a FACT-cardinality column (p50/p90/
+    // p99/p99.9 of lineitem extended price, 1e-2 fixed point) — the
+    // DistOrder flagship: where rfm/pareto rank customer AGGREGATES,
+    // this ranks the fact table itself, and still plans with zero
+    // global windows (bucketed parallel rank; cut ranks are exact
+    // ceil(p*n) literals; a broadcast join fans one ranked row out per
+    // requested percentile, so coinciding cuts at tiny n behave
+    // identically on both engines).
+    Op("rel_global_percentiles",
+      (s, d) => {
+        val v = T.t(s, d, "lineitem").select(
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        val rk = graft.api.DistOrder.rankCum(v, col("cents"),
+          Seq(col("cents").asc, col("l_orderkey"), col("l_linenumber")))
+        import s.implicits._
+        val cuts = Seq(5000, 9000, 9900, 9990)
+          .map(bp => (bp, (rk.n * bp + 9999L) / 10000L))
+          .toDF("pct_bp", "cut")
+        rk.df.join(broadcast(cuts), col("rn") === col("cut"))
+          .select(col("pct_bp"), col("cents").as("value_cents"))
+          .orderBy("pct_bp")
+      },
+      Some("WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents, " +
+        "l_orderkey, l_linenumber FROM lineitem), " +
+        "t AS (SELECT cents, row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rn, " +
+        "count(*) OVER () AS n FROM v), " +
+        "c AS (SELECT unnest([5000, 9000, 9900, 9990]) AS pct_bp) " +
+        "SELECT c.pct_bp, t.cents AS value_cents FROM t JOIN c " +
+        "ON t.rn = (t.n * c.pct_bp + 9999) // 10000 ORDER BY pct_bp")),
+
+    // The MERGE SQL surface as a STREAMING sink, driven end-to-end by a
+    // REAL Structured Streaming query: a parquet file source over the
+    // orders table feeds Streams.mergeSink (each micro-batch binds to
+    // the statement's USING view and applies under lease + ledger +
+    // in-batch lease retry), and the store read-back sits under the
+    // oracle. Single input file + AvailableNow = one deterministic
+    // batch, so the merged table is the latest order per customer.
+    Op("strm_merge_sink",
+      (s, d) => {
+        val base = s"target/tmp/strm_merge_${java.util.UUID.randomUUID().toString.take(8)}"
+        val sch = T.t(s, d, "orders").schema
+        // the file-stream source wants a DIRECTORY: stream the table dir
+        // directly when orders.parquet is one (Spark-written layout), or
+        // glob-filter the flat testdata file out of its parent otherwise
+        val isDir = graft.api.StoreIO.fs(s, d).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$d/orders.parquet")).isDirectory
+        val src = (if (isDir) s.readStream.schema(sch).parquet(s"$d/orders.parquet")
+                   else s.readStream.schema(sch)
+                     .option("pathGlobFilter", "orders.parquet").parquet(d))
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+        val q = graft.streaming.Streams.mergeSink(src,
+          s"MERGE INTO '$base/table' USING graft_strm_merge_src " +
+            "ON t.o_custkey = s.o_custkey LATEST BY o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+          s"$base/ckpt", nBuckets = 8)
+        q.awaitTermination()
+        // a source with zero FILES fires zero batches and never bootstraps
+        // the store — surface that as the empty table, not a read error
+        val got =
+          if (graft.api.UpsertStore.exists(s, s"$base/table"))
+            graft.api.MergeSql.readTarget(s, s"$base/table").localCheckpoint()
+          else T.t(s, d, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice").limit(0)
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
+        "ORDER BY o_custkey")),
   )
 
   /** Fixed-point event frame (same shape as Round8b's). */

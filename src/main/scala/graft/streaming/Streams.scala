@@ -374,6 +374,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming MERGE-SQL sink: each micro-batch registers as the MERGE
+    * statement's source view and applies via [[graft.api.MergeSql]] —
+    * the SQL-text twin of [[upsertSink]] (same UpsertStore semantics,
+    * lease, ledger and retry posture; the statement's USING clause
+    * must name a plain view, which this sink re-binds to the current
+    * batch each trigger). One sink per view name per session — the
+    * view is session-global.
+    */
+  def mergeSink(
+      stream: DataFrame,
+      mergeSql: String,
+      checkpointDir: String,
+      nBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stmt = graft.api.MergeSql.parse(mergeSql) // fail fast, not per batch
+    require(!stmt.source.startsWith("'"),
+      "mergeSink needs a view-name USING source (the sink binds each batch to it)")
+    val runKey = runKeyOf(checkpointDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.createOrReplaceTempView(stmt.source)
+        retryLease(90000L) {
+          graft.api.MergeSql.run(batch.sparkSession, mergeSql,
+            nBuckets = nBuckets, batchId = Some(s"$runKey-$batchId"),
+            leaseStaleMs = 60000L)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Dead-letter-queue split sink: every micro-batch is validated once,
     * good rows append to `goodDir`, rejected rows append to `badDir`
     * with the rule name that rejected them — the quarantine pattern of

@@ -78,6 +78,30 @@ class Round10Spec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("DELETE SQL: null-predicate rows survive, replay is a no-op, bad shapes throw") {
+    val dir = s"target/tmp/delete_sql_${System.nanoTime()}"
+    Seq((1L, 1L, "keep"), (2L, 1L, "drop"), (3L, 1L, null.asInstanceOf[String]))
+      .toDF("k", "v", "p").createOrReplaceTempView("del_sql_src")
+    api.MergeSql.run(spark,
+      s"MERGE INTO '$dir' USING del_sql_src ON t.k = s.k LATEST BY v " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      nBuckets = 4)
+    // p = 'drop' matches row 2; row 3's NULL comparison must KEEP the row
+    val removed = api.MergeSql.runDelete(spark,
+      s"DELETE FROM '$dir' WHERE p = 'drop'", batchId = Some("d1"))
+    assert(removed == 1L)
+    assert(api.MergeSql.readTarget(spark, dir).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // ledger replay: same batchId removes nothing
+    assert(api.MergeSql.runDelete(spark,
+      s"DELETE FROM '$dir' WHERE k IS NOT NULL", batchId = Some("d1")) == 0L)
+    assert(api.MergeSql.readTarget(spark, dir).count() == 2)
+    intercept[IllegalArgumentException] {
+      api.MergeSql.runDelete(spark, s"DELETE FROM '$dir'") // no WHERE
+    }
+    api.StoreIO.delete(spark, dir)
+  }
+
   test("MergeSql replay with the same batchId is a no-op") {
     val dir = s"target/tmp/merge_replay_${System.nanoTime()}"
     Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p")
