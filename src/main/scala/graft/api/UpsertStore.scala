@@ -121,6 +121,48 @@ object UpsertStore {
       }
     }
 
+  /** Delete by KEY SET — the scalable form for erasure queues: the key
+    * frame routes through the same bucket hash as the data, so each
+    * touched bucket is ONE anti-join against its own slice of the keys
+    * (never a table-wide pass; untouched buckets are not even listed).
+    * Runs under lease + ledger like [[delete]]; returns rows removed.
+    */
+  def deleteKeys(
+      keys: DataFrame,
+      dir: String,
+      key: String,
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Long = {
+    val spark = keys.sparkSession
+    StoreIO.withLease(spark, dir, leaseStaleMs) {
+      if (batchId.exists(StoreIO.applied(spark, dir, _))) 0L
+      else {
+        val n = buckets(spark, dir)
+        val k = keys.select(key).distinct()
+          .withColumn("__b", bucketExpr(key, n))
+          .localCheckpoint()
+        val touched = k.select("__b").distinct().collect()
+          .map(_.getInt(0)).sorted // bounded by nBuckets, never by data
+        var removed = 0L
+        touched.foreach { b =>
+          val path = StoreIO.genPath(spark, bucketDir(dir, b))
+          if (StoreIO.exists(spark, path)) {
+            val cur = spark.read.parquet(path)
+            val slice = k.where(col("__b") === b).drop("__b")
+            val hits = cur.join(slice, Seq(key), "left_semi").count()
+            if (hits > 0) {
+              removed += hits
+              StoreIO.swapIn(cur.join(slice, Seq(key), "left_anti"),
+                spark, bucketDir(dir, b))
+            }
+          }
+        }
+        batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+        removed
+      }
+    }
+  }
+
   private def updateLocked(
       batch: DataFrame,
       dir: String,

@@ -448,15 +448,7 @@ object Round10 {
     Op("strm_merge_sink",
       (s, d) => {
         val base = s"target/tmp/strm_merge_${java.util.UUID.randomUUID().toString.take(8)}"
-        val sch = T.t(s, d, "orders").schema
-        // the file-stream source wants a DIRECTORY: stream the table dir
-        // directly when orders.parquet is one (Spark-written layout), or
-        // glob-filter the flat testdata file out of its parent otherwise
-        val isDir = graft.api.StoreIO.fs(s, d).getFileStatus(
-          new org.apache.hadoop.fs.Path(s"$d/orders.parquet")).isDirectory
-        val src = (if (isDir) s.readStream.schema(sch).parquet(s"$d/orders.parquet")
-                   else s.readStream.schema(sch)
-                     .option("pathGlobFilter", "orders.parquet").parquet(d))
+        val src = streamTable(s, d, "orders")
           .select("o_custkey", "o_orderkey", "o_totalprice")
         val q = graft.streaming.Streams.mergeSink(src,
           s"MERGE INTO '$base/table' USING graft_strm_merge_src " +
@@ -479,7 +471,100 @@ object Round10 {
         "FROM orders) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
         "ORDER BY o_custkey")),
+
+    // Streaming ERASURE QUEUE: a stream of subject keys applied to the
+    // upsert store through Streams.deleteSink — each micro-batch
+    // anti-joins out of only the buckets its keys hash into
+    // (UpsertStore.deleteKeys: key-set routing via the store's own
+    // bucket hash), under lease + ledger + in-batch lease retry. The
+    // end state must equal the batch DELETE verb's semantics — the
+    // streaming and SQL paths cross-check each other on the same
+    // declarative oracle.
+    Op("strm_delete_sink",
+      (s, d) => {
+        val base = s"target/tmp/strm_del_${java.util.UUID.randomUUID().toString.take(8)}"
+        T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_strm_del_seed")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$base/table' USING graft_strm_del_seed " +
+            "ON t.o_custkey = s.o_custkey LATEST BY o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        val q = graft.streaming.Streams.deleteSink(
+          streamTable(s, d, "customer")
+            .where("c_custkey % 10 = 3")
+            .select(col("c_custkey").as("o_custkey")),
+          key = "o_custkey", tableDir = s"$base/table",
+          checkpointDir = s"$base/ckpt")
+        q.awaitTermination()
+        val got = graft.api.UpsertStore.read(s, s"$base/table").localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("o_custkey")
+      },
+      // every order custkey exists in customer (FK), so the erased set is
+      // exactly the %10=3 slice — the same truth core_delete_sql pins
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3 ORDER BY o_custkey")),
+
+    // Seeded differentially-private noisy counts — the release side of
+    // the privacy family (mask/k-anonymity/erasure/export): per-segment
+    // counts plus discrete Laplace(1/eps) noise drawn from a 41-point
+    // inverse-CDF table. The table is computed ONCE in Scala and
+    // inlined as the SAME literal array into the Spark plan and the
+    // oracle SQL, and the per-group draw is a small-domain LCG in plain
+    // BIGINT (no overflow, no cross-engine transcendental parity to
+    // trust). Deterministic-by-seed is exactly how a DP release is made
+    // reproducible for audit.
+    Op("core_dp_noisy_counts",
+      (s, d) => {
+        val eps = 1.0
+        val table = (0 until 41).map { i =>
+          val u = (i + 0.5) / 41.0 - 0.5
+          Math.round(-1.0 / eps * Math.signum(u) * Math.log(1.0 - 2.0 * Math.abs(u)))
+        }
+        val seed = 20260815L
+        val idx = s"pmod(CAST(ascii(substring(c_mktsegment, 1, 1)) * 256 + " +
+          s"length(c_mktsegment) AS BIGINT) * 1103515245 + $seed, 41)"
+        T.t(s, d, "customer")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .select(col("c_mktsegment"),
+            expr(s"CAST(n + element_at(array(${table.mkString(", ")}), " +
+              s"CAST($idx AS INT) + 1) AS BIGINT)").as("noisy_count"),
+            lit(1000000L).as("epsilon_ppm"))
+          .orderBy("c_mktsegment")
+      },
+      {
+        val eps = 1.0
+        val table = (0 until 41).map { i =>
+          val u = (i + 0.5) / 41.0 - 0.5
+          Math.round(-1.0 / eps * Math.signum(u) * Math.log(1.0 - 2.0 * Math.abs(u)))
+        }
+        val idx = "((ascii(substr(c_mktsegment, 1, 1)) * 256 + " +
+          "length(c_mktsegment)) * 1103515245 + 20260815) % 41"
+        Some("SELECT c_mktsegment, " +
+          s"CAST(count(*) + ([${table.mkString(", ")}])[CAST($idx AS INTEGER) + 1] AS BIGINT) " +
+          "AS noisy_count, CAST(1000000 AS BIGINT) AS epsilon_ppm " +
+          "FROM customer GROUP BY 1 ORDER BY 1")
+      }),
   )
+
+  /** File-stream a testdata table, handling both the flat-file layout
+    * (driver-generated parquet) and the directory layout (Spark-written
+    * fixtures) — the file source itself accepts only directories.
+    */
+  private def streamTable(
+      s: org.apache.spark.sql.SparkSession, d: String, name: String) = {
+    val sch = T.t(s, d, name).schema
+    val isDir = graft.api.StoreIO.fs(s, d).getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$d/$name.parquet")).isDirectory
+    if (isDir) s.readStream.schema(sch).parquet(s"$d/$name.parquet")
+    else s.readStream.schema(sch)
+      .option("pathGlobFilter", s"$name.parquet").parquet(d)
+  }
 
   /** Fixed-point event frame (same shape as Round8b's). */
   private def eventsFp(s: org.apache.spark.sql.SparkSession, d: String) =

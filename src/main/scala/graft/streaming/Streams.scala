@@ -407,6 +407,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming erasure sink — a GDPR deletion queue applied to the
+    * upsert store: each micro-batch of subject keys anti-joins out of
+    * ONLY the buckets those keys hash into ([[graft.api.UpsertStore
+    * .deleteKeys]]), under the writer lease, ledger and the same
+    * in-batch lease retry as the other store sinks. Replayed batches
+    * are no-ops; per-batch work is O(batch + touched buckets).
+    */
+  def deleteSink(
+      keyStream: DataFrame,
+      key: String,
+      tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runKey = runKeyOf(checkpointDir)
+    keyStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        retryLease(90000L) {
+          graft.api.UpsertStore.deleteKeys(
+            batch.toDF(), tableDir, key,
+            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Dead-letter-queue split sink: every micro-batch is validated once,
     * good rows append to `goodDir`, rejected rows append to `badDir`
     * with the rule name that rejected them — the quarantine pattern of

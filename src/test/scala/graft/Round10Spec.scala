@@ -102,6 +102,23 @@ class Round10Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, dir)
   }
 
+  test("deleteKeys: bucket-routed key-set erasure, replay no-op") {
+    val dir = s"target/tmp/delkeys_${System.nanoTime()}"
+    val rows = (1L to 40L).map(k => (k, 1L, s"p$k"))
+    rows.toDF("k", "v", "p").createOrReplaceTempView("delkeys_src")
+    api.MergeSql.run(spark,
+      s"MERGE INTO '$dir' USING delkeys_src ON t.k = s.k LATEST BY v " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      nBuckets = 8)
+    val keys = Seq(3L, 7L, 999L).toDF("k") // 999 hits nothing
+    assert(api.UpsertStore.deleteKeys(keys, dir, "k", batchId = Some("e1")) == 2L)
+    assert(api.UpsertStore.read(spark, dir).count() == 38)
+    // ledger replay removes nothing
+    assert(api.UpsertStore.deleteKeys(keys, dir, "k", batchId = Some("e1")) == 0L)
+    assert(api.UpsertStore.read(spark, dir).where("k IN (3, 7)").count() == 0)
+    api.StoreIO.delete(spark, dir)
+  }
+
   test("MergeSql replay with the same batchId is a no-op") {
     val dir = s"target/tmp/merge_replay_${System.nanoTime()}"
     Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "v", "p")
