@@ -628,16 +628,30 @@ class PlansSpec extends AnyFunSuite {
       "rel_forecast_des" -> "double-exponential recursion over the day series (calendar-bounded)",
       "rel_user_growth" -> "cumulative-users window over the per-day aggregate (calendar-bounded)",
       "rel_benford_audit" -> "deviation window over the 9-row first-digit frame (constant)")
-    val offenders = Registry.all.flatMap { op =>
-      val wins =
-        try op.query(spark, TestSpark.sf).queryExecution.sparkPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-        }
+    // CartesianProductExec is the other fact-cardinality killer: a true
+    // cartesian (not a broadcast nest-loop over a bounded side) multiplies
+    // partitions. Only the op whose SEMANTICS are a cross join may carry
+    // one.
+    val cartesianOk = Set("rel_join_cross")
+    var winOffenders = List.empty[String]
+    var cartOffenders = List.empty[String]
+    Registry.all.foreach { op =>
+      val plan =
+        try op.query(spark, TestSpark.sf).queryExecution.sparkPlan
         catch { case e: Throwable => fail(s"${op.key} failed to plan: $e") }
-      if (wins.nonEmpty && !bounded.contains(op.key)) Some(op.key) else None
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty && !bounded.contains(op.key)) winOffenders ::= op.key
+      val carts = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      if (carts.nonEmpty && !cartesianOk.contains(op.key)) cartOffenders ::= op.key
     }
-    assert(offenders.isEmpty,
-      s"ops with an unwhitelisted global WindowExec: ${offenders.mkString(", ")}")
+    assert(winOffenders.isEmpty,
+      s"ops with an unwhitelisted global WindowExec: ${winOffenders.mkString(", ")}")
+    assert(cartOffenders.isEmpty,
+      s"ops with an unwhitelisted CartesianProduct: ${cartOffenders.mkString(", ")}")
   }
 }

@@ -37,6 +37,25 @@ class Round10Spec extends AnyFunSuite {
     assert(globalWins.size <= 1)
   }
 
+  test("DistOrder.rankCum is exact under heavy ties straddling bucket boundaries") {
+    // value = id % 17 gives ~59 rows per tie-group over 1000 rows with
+    // only 17 distinct bucket-key values and buckets = 5 — every
+    // boundary lands ON a tie group, the worst case for order-aligned
+    // bucketing (ties must co-locate or ranks interleave wrongly)
+    val df = spark.range(1000).select(
+      (col("id") % 17).as("v"), col("id").as("tie"))
+    val rk = api.DistOrder.rankCum(df, col("v"),
+      Seq(col("v").asc, col("tie").asc), value = Some(col("v")), buckets = 5)
+    val w = Window.orderBy(col("v").asc, col("tie").asc)
+    val truth = df
+      .withColumn("rn_t", row_number().over(w).cast("long"))
+      .withColumn("cum_t", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(rk.df.join(truth, Seq("v", "tie"))
+      .where("rn <> rn_t OR cum <> cum_t").count() == 0)
+    assert(rk.n == 1000L)
+  }
+
   test("DistOrder.ntileOf matches ntile() for awkward n/tiles combinations") {
     for (n <- Seq(1L, 4L, 5L, 7L, 12L, 100L, 101L)) {
       val df = spark.range(n).toDF("id")
