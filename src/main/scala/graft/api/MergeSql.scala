@@ -12,9 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   USING <tempViewName | '<parquetPath>'> [AS] s
   *   ON t.<key> = s.<key>
   *   [LATEST BY <versionCol>]
+  *   [WHEN MATCHED AND <pred> THEN DELETE]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
   * }}}
+  *
+  * The conditional-DELETE clause is the CDC tombstone: after version
+  * arbitration, a source row matching `<pred>` (UNQUALIFIED source
+  * column references, e.g. `op = 'D'`) removes its key instead of
+  * upserting it — Debezium-style change feeds apply directly.
   *
   * Semantics are exactly [[UpsertStore.update]]: source rows override
   * stored rows per key; within the source batch the greatest
@@ -33,13 +39,15 @@ object MergeSql {
       targetDir: String,
       source: String,
       key: String,
-      version: String)
+      version: String,
+      deleteWhere: Option[String] = None)
 
   private val re = (
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS)?(?:\s+(\w+))?\s+""" +
       """USING\s+('[^']+'|[\w.]+)(?:\s+AS)?(?:\s+(\w+))?\s+""" +
       """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+""" +
       """(?:LATEST\s+BY\s+(\w+)\s+)?""" +
+      """(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
 
@@ -48,7 +56,7 @@ object MergeSql {
     * must fail loudly, never silently change semantics).
     */
   def parse(sql: String): Stmt = sql match {
-    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version) =>
+    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version, delWhere) =>
       val t = Option(tAlias).getOrElse("t")
       val s = Option(sAlias).getOrElse("s")
       val (tCol, sCol) =
@@ -58,11 +66,12 @@ object MergeSql {
           s"MERGE ON clause qualifiers ($q1, $q2) do not match aliases ($t, $s)")
       if (tCol != sCol) throw new IllegalArgumentException(
         s"MERGE ON must equate the same column name on both sides ($tCol vs $sCol)")
-      Stmt(dir, src, tCol, Option(version).getOrElse(tCol))
+      Stmt(dir, src, tCol, Option(version).getOrElse(tCol), Option(delWhere))
     case _ =>
       throw new IllegalArgumentException(
         "unsupported MERGE statement; expected: MERGE INTO '<dir>' [AS] t " +
           "USING <view|'<path>'> [AS] s ON t.<k> = s.<k> [LATEST BY <col>] " +
+          "[WHEN MATCHED AND <pred> THEN DELETE] " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
   }
 
@@ -82,7 +91,8 @@ object MergeSql {
     val st = parse(sql)
     UpsertStore.update(
       sourceDf(spark, st.source), st.targetDir, st.key, st.version,
-      nBuckets = nBuckets, batchId = batchId, leaseStaleMs = leaseStaleMs)
+      nBuckets = nBuckets, batchId = batchId, leaseStaleMs = leaseStaleMs,
+      deleteWhere = st.deleteWhere.map(org.apache.spark.sql.functions.expr))
   }
 
   private val delRe =

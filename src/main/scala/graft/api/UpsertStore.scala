@@ -70,6 +70,13 @@ object UpsertStore {
     * (StoreIO.withLease): a concurrent distinct-batch writer raises
     * LeaseHeldException instead of silently last-write-winning a
     * bucket generation.
+    *
+    * `deleteWhere` is the CDC-tombstone clause (MERGE's `WHEN MATCHED
+    * AND <pred> THEN DELETE`): after the per-key version arbitration, a
+    * batch row matching the predicate REMOVES its key from the store
+    * instead of upserting it (a NULL predicate upserts — SQL
+    * three-valued semantics). Tombstones ride the same bucket routing;
+    * a tombstone for an absent key is a no-op.
     */
   def update(
       batch: DataFrame,
@@ -78,9 +85,10 @@ object UpsertStore {
       versionCol: String,
       nBuckets: Int = defaultBuckets,
       batchId: Option[String] = None,
-      leaseStaleMs: Long = 600000L): Boolean =
+      leaseStaleMs: Long = 600000L,
+      deleteWhere: Option[org.apache.spark.sql.Column] = None): Boolean =
     StoreIO.withLease(batch.sparkSession, dir, leaseStaleMs) {
-      updateLocked(batch, dir, key, versionCol, nBuckets, batchId)
+      updateLocked(batch, dir, key, versionCol, nBuckets, batchId, deleteWhere)
     }
 
   /** Delete every stored row matching `predicate` (SQL DELETE
@@ -169,7 +177,8 @@ object UpsertStore {
       key: String,
       versionCol: String,
       nBuckets: Int,
-      batchId: Option[String]): Boolean = {
+      batchId: Option[String],
+      deleteWhere: Option[org.apache.spark.sql.Column] = None): Boolean = {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
     if (bootstrap) {
@@ -198,19 +207,29 @@ object UpsertStore {
     val existingPaths = touched
       .map(b => StoreIO.genPath(spark, bucketDir(dir, b)))
       .filter(StoreIO.exists(spark, _))
+    // tombstone split: EVERY arbitrated batch key overrides its stored
+    // row (the anti-join below), but only non-tombstone rows re-insert
+    val upserts = deleteWhere
+      .map(c => latest.where(!coalesce(c, lit(false))))
+      .getOrElse(latest)
     val merged =
-      if (existingPaths.isEmpty) latest
+      if (existingPaths.isEmpty) upserts
       else spark.read.parquet(existingPaths.toIndexedSeq: _*)
         .withColumn("__b", bucketExpr(key, n))
         .join(latest.select(key), Seq(key), "left_anti")
-        .unionByName(latest)
+        .unionByName(upserts)
 
     // ONE staged write covering every touched bucket, then one atomic
     // promotion per bucket (metadata renames, no second data pass)
     val staged = s"$dir/staged-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.partitionBy("__b").mode("overwrite").parquet(staged)
     touched.foreach { b =>
-      StoreIO.swapInDir(spark, s"$staged/__b=$b", bucketDir(dir, b))
+      // a bucket whose every surviving row was tombstoned away writes no
+      // staged partition — promote an explicit EMPTY generation instead
+      if (StoreIO.exists(spark, s"$staged/__b=$b"))
+        StoreIO.swapInDir(spark, s"$staged/__b=$b", bucketDir(dir, b))
+      else
+        StoreIO.swapIn(merged.drop("__b").limit(0), spark, bucketDir(dir, b))
     }
     StoreIO.delete(spark, staged)
     batchId.foreach(StoreIO.recordApplied(spark, dir, _))

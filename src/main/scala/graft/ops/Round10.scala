@@ -472,6 +472,37 @@ object Round10 {
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
         "ORDER BY o_custkey")),
 
+    // CDC TOMBSTONES through the MERGE surface: the source carries a
+    // change-op flag and the statement's `WHEN MATCHED AND op = 'D'
+    // THEN DELETE` clause (the third standard MERGE clause) removes a
+    // key whose LATEST change is a delete — the Debezium-feed shape
+    // applied in one statement. Version arbitration runs BEFORE the
+    // tombstone split, so a delete superseded by a later update in the
+    // same batch correctly upserts.
+    Op("core_merge_tombstones",
+      (s, d) => {
+        val dir = s"target/tmp/merge_cdc_${java.util.UUID.randomUUID().toString.take(8)}"
+        T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            expr("CASE WHEN o_orderkey % 7 = 2 THEN 'D' ELSE 'U' END").as("op"))
+          .createOrReplaceTempView("graft_merge_cdc_src")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_merge_cdc_src " +
+            "ON t.o_custkey = s.o_custkey LATEST BY o_orderkey " +
+            "WHEN MATCHED AND op = 'D' THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("cdc")): Unit
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 7 = 2 THEN 'D' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, op FROM f " +
+        "WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey")),
+
     // Streaming ERASURE QUEUE: a stream of subject keys applied to the
     // upsert store through Streams.deleteSink — each micro-batch
     // anti-joins out of only the buckets its keys hash into

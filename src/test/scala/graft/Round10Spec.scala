@@ -121,6 +121,45 @@ class Round10Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, dir)
   }
 
+  test("MERGE tombstones: delete clause removes, later version overrides, re-insert works") {
+    val dir = s"target/tmp/cdc_tomb_${System.nanoTime()}"
+    def stmt = s"MERGE INTO '$dir' USING cdc_tomb_src ON t.k = s.k LATEST BY v " +
+      "WHEN MATCHED AND op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    def run(rows: (Long, Long, String, String)*): Unit = {
+      rows.toDF("k", "v", "p", "op").createOrReplaceTempView("cdc_tomb_src")
+      api.MergeSql.run(spark, stmt, nBuckets = 4); ()
+    }
+    def keys() = api.MergeSql.readTarget(spark, dir)
+      .select("k").as[Long].collect().sorted.toSeq
+    // within-batch: key 3's delete is SUPERSEDED by a later update
+    run((1L, 1L, "a", "U"), (2L, 1L, "b", "U"), (3L, 1L, "c", "D"), (3L, 2L, "c2", "U"))
+    assert(keys() == Seq(1L, 2L, 3L))
+    // cross-batch tombstone removes key 1 (and an absent-key tombstone no-ops)
+    run((1L, 5L, "x", "D"), (9L, 1L, "ghost", "D"))
+    assert(keys() == Seq(2L, 3L))
+    // re-insert after tombstone
+    run((1L, 6L, "a2", "U"))
+    assert(keys() == Seq(1L, 2L, 3L))
+    api.StoreIO.delete(spark, dir)
+  }
+
+  test("MERGE tombstones: a bucket emptied by deletes promotes an empty generation") {
+    val dir = s"target/tmp/cdc_empty_${System.nanoTime()}"
+    Seq((1L, 1L, "only", "U")).toDF("k", "v", "p", "op")
+      .createOrReplaceTempView("cdc_empty_src")
+    def stmt = s"MERGE INTO '$dir' USING cdc_empty_src ON t.k = s.k LATEST BY v " +
+      "WHEN MATCHED AND op = 'D' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    api.MergeSql.run(spark, stmt, nBuckets = 4)
+    Seq((1L, 2L, "only", "D")).toDF("k", "v", "p", "op")
+      .createOrReplaceTempView("cdc_empty_src")
+    api.MergeSql.run(spark, stmt, nBuckets = 4)
+    // the sole key's bucket is now an EMPTY generation — readable, 0 rows
+    assert(api.MergeSql.readTarget(spark, dir).count() == 0)
+    api.StoreIO.delete(spark, dir)
+  }
+
   test("deleteKeys: bucket-routed key-set erasure, replay no-op") {
     val dir = s"target/tmp/delkeys_${System.nanoTime()}"
     val rows = (1L to 40L).map(k => (k, 1L, s"p$k"))
