@@ -83,6 +83,55 @@ object DistOrder {
     Ranked(out.drop("__do_k", "__do_b", "__do_coff", "__do_soff"), cOff, sOff)
   }
 
+  /** Exact k-selection: return ONLY the rows sitting at the requested
+    * global ranks (1-based, under `order`'s total order), plus their
+    * `rnCol`. `ranks` receives the exact row count n (so percentile
+    * callers can ask for ceil(p*n) without a separate count pass). Same
+    * bucket machinery as [[rankCum]], but the window runs over just the
+    * buckets whose rank interval intersects a requested rank — for a
+    * handful of percentile cuts that is a few buckets of a fact table
+    * instead of all of it, and everything outside them is filtered
+    * before the sort. Returns (rows, exact row count).
+    */
+  def selectRanks(
+      in: DataFrame,
+      ascKey: Column,
+      order: Seq[Column],
+      ranks: Long => Seq[Long],
+      buckets: Int = 64,
+      rnCol: String = "rn"): (DataFrame, Long) = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val keyed = in.withColumn("__do_k", ascKey.cast("double"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = keyed.stat.approxQuantile("__do_k", probs, 0.01)
+      .distinct.sorted.toSeq
+    val withB = keyed.withColumn("__do_b",
+      size(filter(typedlit(bounds), b => b < col("__do_k"))))
+    val stats = withB.groupBy("__do_b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val spans = stats.map { case (b, c) => val s = (b, off, off + c); off += c; s }
+    val n = off
+    val wanted = ranks(n).filter(r => r >= 1 && r <= n).distinct
+    val targets = spans.collect {
+      case (b, lo, hi) if wanted.exists(r => r > lo && r <= hi) => (b, lo)
+    }.toSeq
+    if (targets.isEmpty) {
+      return (withB.where(lit(false))
+        .withColumn(rnCol, lit(0L))
+        .drop("__do_k", "__do_b"), n)
+    }
+    val pre = targets.toDF("__do_b", "__do_coff")
+    val w = Window.partitionBy("__do_b").orderBy(order: _*)
+    val out = withB
+      .join(broadcast(pre), "__do_b") // inner join = the bucket filter
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__do_coff"))
+      .where(col(rnCol).isin(wanted: _*))
+      .drop("__do_k", "__do_b", "__do_coff")
+    (out, n)
+  }
+
   /** SQL-standard `ntile(tiles)` over a precomputed exact rank: the first
     * `n % tiles` tiles carry `n / tiles + 1` rows, the rest `n / tiles` —
     * the same assignment Spark's and DuckDB's ntile produce, as a codegen

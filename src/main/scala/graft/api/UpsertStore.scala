@@ -171,6 +171,51 @@ object UpsertStore {
     }
   }
 
+  /** Re-bucket the store to `newBuckets` — the maintenance move when a
+    * store outgrows its bucket count (buckets are the unit of rewrite;
+    * a few GB each is the sweet spot). The new layout (meta + carried
+    * ledger + re-hashed buckets) is built OFFLINE under a staged
+    * sibling dir and promoted with ONE atomic root swap, so readers
+    * never see a mixed-modulus layout and a crash anywhere leaves
+    * either the old store or the new one complete (`<dir>-old` is the
+    * in-swap fallback; an orphaned staged sibling is vacuum debris for
+    * the PARENT directory). The applied ledger carries over, so a
+    * replay of any pre-rebucket batch is still a no-op afterwards.
+    */
+  def rebucket(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      newBuckets: Int): Unit =
+    StoreIO.withLease(spark, dir) {
+      val cur = read(spark, dir).localCheckpoint()
+      val ledger = StoreIO.read(spark, dir, "applied").localCheckpoint()
+      val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
+      import spark.implicits._
+      StoreIO.swapIn(Seq(newBuckets).toDF("n_buckets"), spark, s"$staged/meta")
+      StoreIO.swapIn(ledger, spark, s"$staged/applied")
+      val tmp = s"$staged/rehash-tmp"
+      cur.withColumn("__b", bucketExpr(key, newBuckets))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      val f = fs0(spark, dir)
+      var placed = 0
+      (0 until newBuckets).foreach { b =>
+        if (StoreIO.exists(spark, s"$tmp/__b=$b")) {
+          require(f.rename(
+            new org.apache.hadoop.fs.Path(s"$tmp/__b=$b"),
+            new org.apache.hadoop.fs.Path(s"$staged/b$b")),
+            s"rebucket: cannot place bucket $b")
+          placed += 1
+        }
+      }
+      // an empty store must stay readable (schema-carrying) post-swap
+      if (placed == 0) StoreIO.swapIn(cur.limit(0), spark, s"$staged/b0")
+      StoreIO.delete(spark, tmp)
+      StoreIO.swapInDir(spark, staged, dir)
+    }
+
+  private def fs0(spark: SparkSession, dir: String) = StoreIO.fs(spark, dir)
+
   private def updateLocked(
       batch: DataFrame,
       dir: String,

@@ -420,13 +420,17 @@ object Round10 {
         val v = T.t(s, d, "lineitem").select(
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
           col("l_orderkey"), col("l_linenumber"))
-        val rk = graft.api.DistOrder.rankCum(v, col("cents"),
-          Seq(col("cents").asc, col("l_orderkey"), col("l_linenumber")))
+        val bps = Seq(5000, 9000, 9900, 9990)
+        def cutsOf(n: Long) = bps.map(bp => (n * bp + 9999L) / 10000L)
+        // exact k-selection: only the buckets containing a cut rank are
+        // ever sorted — a few /64ths of the fact table, not all of it
+        val (rows, n) = graft.api.DistOrder.selectRanks(v, col("cents"),
+          Seq(col("cents").asc, col("l_orderkey"), col("l_linenumber")),
+          cutsOf)
         import s.implicits._
-        val cuts = Seq(5000, 9000, 9900, 9990)
-          .map(bp => (bp, (rk.n * bp + 9999L) / 10000L))
+        val cuts = bps.map(bp => (bp, (n * bp + 9999L) / 10000L))
           .toDF("pct_bp", "cut")
-        rk.df.join(broadcast(cuts), col("rn") === col("cut"))
+        rows.join(broadcast(cuts), col("rn") === col("cut"))
           .select(col("pct_bp"), col("cents").as("value_cents"))
           .orderBy("pct_bp")
       },
@@ -502,6 +506,80 @@ object Round10 {
         "FROM orders) " +
         "SELECT o_custkey, o_orderkey, o_totalprice, op FROM f " +
         "WHERE rn = 1 AND op <> 'D' ORDER BY o_custkey")),
+
+    // Store RE-BUCKETING mid-stream: batch 0 lands in a 4-bucket store,
+    // the store re-buckets to 16 (offline staged rebuild + ONE atomic
+    // root swap, ledger carried over), batch 0 REPLAYS (must be a no-op
+    // against the carried ledger), then batches 1 and 2 merge under the
+    // new modulus. The final table must equal the plain three-batch
+    // semantics — bucket count is an implementation detail the oracle
+    // never sees, and this op pins that it stays one.
+    Op("core_store_rebucket",
+      (s, d) => {
+        val dir = s"target/tmp/rebucket_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        def batch(b: Int, id: String): Unit =
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 4, batchId = Some(id)): Unit
+        batch(0, "b0")
+        graft.api.UpsertStore.rebucket(s, dir, "o_custkey", 16)
+        batch(0, "b0") // replay across the rebucket: ledger carried, no-op
+        batch(1, "b1"); batch(2, "b2")
+        val got = graft.api.UpsertStore.read(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        graft.api.StoreIO.delete(s, s"$dir-old") // root-swap retiree, if any
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
+
+    // As-of query over the SCD2 dimension (the read side of core_scd2):
+    // each user's state at the corpus-midpoint instant — the row whose
+    // validity interval covers T. The probe instant is integer
+    // epoch-micros math both engines replay; the dimension filter is a
+    // plain codegen predicate, no join, no window beyond the SCD2 build
+    // itself (per-user partitions).
+    Op("rel_scd2_asof_query",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val midRow = ev.agg(expr(
+          "(unix_micros(CAST(min(ts) AS TIMESTAMP)) + " +
+            "unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2").as("t"))
+          .head()
+        val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = ev
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where("prev_type IS NULL OR prev_type <> event_type")
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("event_id"))
+        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        changes
+          .withColumn("valid_to", lead("valid_from", 1).over(w2))
+          .where(expr(s"unix_micros(CAST(valid_from AS TIMESTAMP)) <= $mid") &&
+            expr(s"valid_to IS NULL OR unix_micros(CAST(valid_to AS TIMESTAMP)) > $mid"))
+          .select("user_id", "event_type", "valid_from")
+          .orderBy("user_id")
+      },
+      Some("WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS t FROM events), " +
+        "o AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type), " +
+        "v AS (SELECT user_id, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to " +
+        "FROM c) " +
+        "SELECT user_id, event_type, valid_from FROM v, mid " +
+        "WHERE epoch_us(valid_from) <= mid.t " +
+        "AND (valid_to IS NULL OR epoch_us(valid_to) > mid.t) " +
+        "ORDER BY user_id")),
 
     // Streaming ERASURE QUEUE: a stream of subject keys applied to the
     // upsert store through Streams.deleteSink — each micro-batch

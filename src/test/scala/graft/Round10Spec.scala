@@ -56,6 +56,44 @@ class Round10Spec extends AnyFunSuite {
     assert(rk.n == 1000L)
   }
 
+  test("DistOrder.selectRanks returns exactly the requested order statistics") {
+    val df = spark.range(1, 1001).select(
+      ((col("id") * 37) % 1000).as("v"), col("id").as("tie"))
+    val (rows, n) = api.DistOrder.selectRanks(df, col("v"),
+      Seq(col("v").asc, col("tie").asc),
+      m => Seq(1L, m / 2, m, m + 5 /* out of range: dropped */),
+      buckets = 8)
+    assert(n == 1000L)
+    val got = rows.select("rn", "v", "tie").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val w = Window.orderBy(col("v").asc, col("tie").asc)
+    val truth = df.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn").isin(1L, 500L, 1000L))
+      .select("rn", "v", "tie").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == truth)
+  }
+
+  test("UpsertStore.rebucket: modulus change is invisible, ledger carries over") {
+    val dir = s"target/tmp/rebucket_spec_${System.nanoTime()}"
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "v", "p")
+    api.UpsertStore.update(df((1L, 1L, "a"), (2L, 1L, "b")), dir, "k", "v",
+      nBuckets = 2, batchId = Some("b0"))
+    api.UpsertStore.rebucket(spark, dir, "k", 8)
+    assert(api.UpsertStore.buckets(spark, dir) == 8)
+    // replay of a PRE-rebucket batch is still a no-op (carried ledger)
+    assert(!api.UpsertStore.update(df((1L, 9L, "ghost")), dir, "k", "v",
+      nBuckets = 8, batchId = Some("b0")))
+    // post-rebucket merges route on the new modulus and read back whole
+    api.UpsertStore.update(df((2L, 2L, "b2"), (3L, 1L, "c")), dir, "k", "v",
+      batchId = Some("b1"))
+    assert(api.UpsertStore.read(spark, dir).select("k", "p")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    api.StoreIO.delete(spark, dir)
+    api.StoreIO.delete(spark, s"$dir-old")
+  }
+
   test("DistOrder.ntileOf matches ntile() for awkward n/tiles combinations") {
     for (n <- Seq(1L, 4L, 5L, 7L, 12L, 100L, 101L)) {
       val df = spark.range(n).toDF("id")
