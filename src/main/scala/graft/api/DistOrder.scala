@@ -36,9 +36,12 @@ object DistOrder {
     * tiebreak) and optionally carry the running sum of `value` in result
     * order. `ascKey` is any numeric column ASCENDING-monotone in `order`'s
     * leading key (negate for a descending order); it is only used to place
-    * bucket boundaries. Returns the frame with `rnCol` (1-based global
-    * rank, long) and, when `value` is set, `cumCol` (inclusive running
-    * sum, long), plus the exact global row count and value total.
+    * bucket boundaries and MUST be non-null on every row (a null key
+    * would bucket as smallest regardless of the order's null placement —
+    * aggregate keys out or filter nulls first). Returns the frame with
+    * `rnCol` (1-based global rank, long) and, when `value` is set,
+    * `cumCol` (inclusive running sum, long), plus the exact global row
+    * count and value total.
     */
   def rankCum(
       in: DataFrame,

@@ -171,6 +171,19 @@ object UpsertStore {
     }
   }
 
+  /** Per-bucket row counts off the current generations — layout
+    * introspection for skew reads and rebucket decisions. One count per
+    * existing bucket dir; no key rehash, no table-wide pass.
+    */
+  def bucketCounts(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
+    val n = buckets(spark, dir)
+    (0 until n).flatMap { b =>
+      val p = StoreIO.genPath(spark, bucketDir(dir, b))
+      if (StoreIO.exists(spark, p)) Some(b -> spark.read.parquet(p).count())
+      else None
+    }
+  }
+
   /** Re-bucket the store to `newBuckets` — the maintenance move when a
     * store outgrows its bucket count (buckets are the unit of rewrite;
     * a few GB each is the sweet spot). The new layout (meta + carried

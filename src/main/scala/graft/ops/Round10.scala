@@ -540,6 +540,32 @@ object Round10 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 ORDER BY o_custkey")),
 
+    // Store bucket-layout introspection — the read that MOTIVATES
+    // core_store_rebucket: per-bucket row counts off the store's own
+    // layout (one path-pruned scan with a file-to-bucket map, no key
+    // rehash), reporting bucket count, total rows and a skew verdict
+    // (max bucket <= 3x uniform share — xxhash64 routing keeps this
+    // comfortably true for key counts >> buckets). The layout numbers
+    // are engine-side; the oracle pins the data-derived columns and the
+    // shipped verdict, the rel_agg_sketch_hll pattern.
+    Op("core_store_stats",
+      (s, d) => {
+        val dir = s"target/tmp/store_stats_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.api.UpsertStore.update(
+          T.t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+          dir, "o_custkey", "o_orderkey", nBuckets = 16, batchId = Some("seed")): Unit
+        val perBucket = graft.api.UpsertStore.bucketCounts(s, dir)
+        val rows = perBucket.map(_._2).sum
+        val maxB = if (perBucket.isEmpty) 0L else perBucket.map(_._2).max
+        graft.api.StoreIO.delete(s, dir)
+        import s.implicits._
+        Seq((16, rows, maxB * 16 <= rows * 3))
+          .toDF("n_buckets", "rows_total", "skew_ok")
+      },
+      Some("SELECT CAST(16 AS INTEGER) AS n_buckets, " +
+        "(SELECT count(DISTINCT o_custkey) FROM orders) AS rows_total, " +
+        "true AS skew_ok")),
+
     // As-of query over the SCD2 dimension (the read side of core_scd2):
     // each user's state at the corpus-midpoint instant — the row whose
     // validity interval covers T. The probe instant is integer
