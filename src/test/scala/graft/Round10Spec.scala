@@ -359,6 +359,35 @@ class Round10Spec extends AnyFunSuite {
 
   // ---- streaming sink lease retry ------------------------------------------
 
+  test("mergeSink (SQL text) and upsertSink (API) converge to the same store state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = s"target/tmp/sink_parity_${System.nanoTime()}"
+    val data = Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (1L, 2L, "a2"), (3L, 1L, "c1"))
+    val memA = MemoryStream[(Long, Long, String)]
+    memA.addData(data)
+    streaming.Streams.upsertSink(
+      memA.toDF().toDF("k", "version", "payload"),
+      key = "k", versionCol = "version",
+      tableDir = s"$base/api", checkpointDir = s"$base/ckpt_api")
+      .awaitTermination()
+    val memB = MemoryStream[(Long, Long, String)]
+    memB.addData(data)
+    streaming.Streams.mergeSink(
+      memB.toDF().toDF("k", "version", "payload"),
+      s"MERGE INTO '$base/sql' USING parity_merge_batch ON t.k = s.k " +
+        "LATEST BY version WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *",
+      checkpointDir = s"$base/ckpt_sql")
+      .awaitTermination()
+    def state(dir: String) = api.UpsertStore.read(spark, dir)
+      .select("k", "version", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(state(s"$base/api") == state(s"$base/sql"))
+    assert(state(s"$base/api") ==
+      Seq((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+  }
+
   test("upsertSink retries through a transiently-held writer lease") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
