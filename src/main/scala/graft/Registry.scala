@@ -10,7 +10,8 @@ object Registry {
     Sources.ops ++ CoreOps.ops ++ Relational.ops ++ Functions.ops ++
       StreamingOps.ops ++ LlmOps.ops ++ Multimodal.ops ++ Round3.ops ++ Round4.ops ++
       Round5.ops ++ Round5b.ops ++ Round7.ops ++ Round8.ops ++ Round8b.ops ++
-      EventOps.ops ++ Round9.ops ++ Round9b.ops ++ Round9c.ops ++ Round10.ops
+      EventOps.ops ++ Round9.ops ++ Round9b.ops ++ Round9c.ops ++ Round10.ops ++
+      Round11.ops
 
   require(all.map(_.key).distinct.size == all.size, "duplicate op keys")
 

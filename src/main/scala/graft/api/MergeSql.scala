@@ -1,12 +1,13 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
 
-/** A `MERGE INTO` SQL-text entry point for [[UpsertStore]] — the
-  * ergonomic surface Spark users expect from Delta/Iceberg MERGE
-  * targets, routed to the engine's parquet-native bucketed store.
+/** The mutation-SQL surface for [[UpsertStore]] — MERGE / DELETE /
+  * UPDATE statements over the engine's parquet-native bucketed store,
+  * the ergonomic triad Spark users expect from Delta/Iceberg targets.
   *
-  * Supported dialect (the CDC-upsert shape; clause order fixed):
+  * Supported MERGE dialect (the CDC-upsert shape; clause order fixed):
   * {{{
   *   MERGE INTO '<storeDir>' [AS] t
   *   USING <tempViewName | '<parquetPath>'> [AS] s
@@ -15,12 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   [WHEN MATCHED AND <pred> THEN DELETE]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
   * }}}
   *
-  * The conditional-DELETE clause is the CDC tombstone: after version
-  * arbitration, a source row matching `<pred>` (UNQUALIFIED source
-  * column references, e.g. `op = 'D'`) removes its key instead of
-  * upserting it — Debezium-style change feeds apply directly.
+  * The conditional matched-DELETE clause is the CDC tombstone: after
+  * version arbitration, a source row matching `<pred>` (UNQUALIFIED
+  * source column references, e.g. `op = 'D'`) removes its key instead
+  * of upserting it — Debezium-style change feeds apply directly.
+  *
+  * The NOT MATCHED BY SOURCE clause is the full-sync form: stored rows
+  * whose key is absent from the source batch (and that match the
+  * optional predicate, over UNQUALIFIED target columns) are deleted —
+  * "make the store equal the snapshot". It inherently visits every
+  * bucket; reserve it for genuine full-snapshot sources.
   *
   * Semantics are exactly [[UpsertStore.update]]: source rows override
   * stored rows per key; within the source batch the greatest
@@ -29,9 +37,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an error, while CDC batches routinely carry several versions of a
   * key; `LATEST BY` names the column that arbitrates them (omitted, it
   * defaults to the join key itself, which is only meaningful when the
-  * source is already unique per key). Everything runs under the store
-  * writer lease with the applied-batch ledger, so a replayed MERGE
-  * with the same `batchId` is a no-op.
+  * source is already unique per key).
+  *
+  * ANSI deviations beyond LATEST BY — read before assuming standard
+  * MERGE behavior:
+  *  - A source row matching the `WHEN MATCHED AND <pred> THEN DELETE`
+  *    predicate whose key is ABSENT from the target is DROPPED
+  *    entirely; ANSI would route it to `WHEN NOT MATCHED THEN INSERT`.
+  *    This is deliberate: the clause marks CDC tombstones, and a
+  *    tombstone for a never-seen key must not resurrect it as an
+  *    insert on replay.
+  *  - The clause list is fixed-order and `UPDATE SET * / INSERT *`
+  *    only — per-column assignment lists belong to the UPDATE verb.
+  *
+  * Everything runs under the store writer lease with the applied-batch
+  * ledger, so a replayed statement with the same `batchId` is a no-op.
   */
 object MergeSql {
 
@@ -40,7 +60,8 @@ object MergeSql {
       source: String,
       key: String,
       version: String,
-      deleteWhere: Option[String] = None)
+      deleteWhere: Option[String] = None,
+      notMatchedBySourceDelete: Option[String] = None)
 
   private val re = (
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS)?(?:\s+(\w+))?\s+""" +
@@ -49,14 +70,16 @@ object MergeSql {
       """(?:LATEST\s+BY\s+(\w+)\s+)?""" +
       """(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
-      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE""" +
+      """(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE)?\s*;?\s*""").r
 
   /** Parse one MERGE statement of the supported dialect; throws with
     * the expected shape on any deviation (unsupported clause bodies
     * must fail loudly, never silently change semantics).
     */
   def parse(sql: String): Stmt = sql match {
-    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version, delWhere) =>
+    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version, delWhere, syncWhere) =>
       val t = Option(tAlias).getOrElse("t")
       val s = Option(sAlias).getOrElse("s")
       val (tCol, sCol) =
@@ -66,13 +89,21 @@ object MergeSql {
           s"MERGE ON clause qualifiers ($q1, $q2) do not match aliases ($t, $s)")
       if (tCol != sCol) throw new IllegalArgumentException(
         s"MERGE ON must equate the same column name on both sides ($tCol vs $sCol)")
-      Stmt(dir, src, tCol, Option(version).getOrElse(tCol), Option(delWhere))
+      // the unconditional full-sync clause parses with a null predicate —
+      // re-probe the text to tell "clause absent" from "present, no AND"
+      val sync = Option(syncWhere).orElse(
+        if ("(?is).*WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+DELETE.*"
+              .r.matches(sql)) Some("true")
+        else None)
+      Stmt(dir, src, tCol, Option(version).getOrElse(tCol),
+        Option(delWhere), sync)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported MERGE statement; expected: MERGE INTO '<dir>' [AS] t " +
           "USING <view|'<path>'> [AS] s ON t.<k> = s.<k> [LATEST BY <col>] " +
           "[WHEN MATCHED AND <pred> THEN DELETE] " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+          "[WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]")
   }
 
   private def sourceDf(spark: SparkSession, src: String): DataFrame =
@@ -92,17 +123,18 @@ object MergeSql {
     UpsertStore.update(
       sourceDf(spark, st.source), st.targetDir, st.key, st.version,
       nBuckets = nBuckets, batchId = batchId, leaseStaleMs = leaseStaleMs,
-      deleteWhere = st.deleteWhere.map(org.apache.spark.sql.functions.expr))
+      deleteWhere = st.deleteWhere.map(expr),
+      notMatchedBySourceDelete = st.notMatchedBySourceDelete.map(expr))
   }
 
   private val delRe =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
 
   /** Execute a `DELETE FROM '<storeDir>' WHERE <predicate>` statement
-    * against an [[UpsertStore]] target — the second mutation-SQL verb
-    * beside MERGE (the GDPR-erasure / retention-sweep shape). The
-    * predicate is any Spark SQL boolean expression over the stored
-    * columns. Returns rows removed (0 on a ledger replay).
+    * against an [[UpsertStore]] target — the GDPR-erasure /
+    * retention-sweep shape. The predicate is any Spark SQL boolean
+    * expression over the stored columns. Returns rows removed (0 on a
+    * ledger replay).
     */
   def runDelete(
       spark: SparkSession,
@@ -110,11 +142,59 @@ object MergeSql {
       batchId: Option[String] = None,
       leaseStaleMs: Long = 600000L): Long = sql match {
     case delRe(dir, pred) =>
-      UpsertStore.delete(spark, dir,
-        org.apache.spark.sql.functions.expr(pred), batchId, leaseStaleMs)
+      UpsertStore.delete(spark, dir, expr(pred), batchId, leaseStaleMs)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported DELETE statement; expected: DELETE FROM '<dir>' WHERE <predicate>")
+  }
+
+  private val updRe =
+    """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
+  /** Execute an `UPDATE '<storeDir>' SET col = expr [, col = expr]*
+    * [WHERE <predicate>]` statement — the third DML verb. Assignment
+    * right-hand sides are Spark SQL expressions evaluated against the
+    * PRE-UPDATE row (ANSI UPDATE semantics); a missing WHERE updates
+    * every row; a NULL predicate leaves the row untouched. Only
+    * buckets containing matches are rewritten, under lease + ledger.
+    * Returns rows updated (0 on a ledger replay).
+    */
+  def runUpdate(
+      spark: SparkSession,
+      sql: String,
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Long = sql match {
+    case updRe(dir, setList, where) =>
+      UpsertStore.updateRows(spark, dir,
+        splitAssignments(setList).map { case (c, e) => c -> expr(e) },
+        Option(where).map(expr).getOrElse(lit(true)),
+        batchId, leaseStaleMs)
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported UPDATE statement; expected: " +
+          "UPDATE '<dir>' SET col = expr [, col = expr]* [WHERE <predicate>]")
+  }
+
+  /** Split a SET list on top-level commas only (assignment expressions
+    * may carry commas inside function calls).
+    */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    val asg = """(?s)\s*(\w+)\s*=\s*(.+?)\s*""".r
+    parts.toSeq.map {
+      case asg(c, e) => c -> e
+      case bad => throw new IllegalArgumentException(
+        s"malformed SET assignment: '$bad' (expected col = expr)")
+    }
   }
 
   /** Read back a MERGE target (the store's current generation). */

@@ -1,67 +1,219 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persistent key-bucketed upsert table — the parquet-native stand-in
   * for a MERGE INTO target (Delta/Iceberg) that stays DELTA-SIZED per
-  * merge: keys hash into `nBuckets` fixed buckets, each bucket is an
-  * independent [[StoreIO]] generation, and a micro-batch rewrites ONLY
-  * the buckets its keys land in. The round-8 shape (read the whole
-  * table, anti-join, rewrite everything, overwrite in place) did
-  * O(table) work per batch and had a non-atomic in-place overwrite;
-  * here per-batch work is O(batch + touched-bucket data) and every
-  * bucket promotion is the staged-write + atomic-rename swap every
-  * other store in the engine uses.
+  * merge: keys hash into `nBuckets` fixed buckets, a micro-batch
+  * rewrites ONLY the buckets its keys land in, and (since round 11)
+  * every bucket rewrite lands as a NEW IMMUTABLE GENERATION directory
+  * `b<k>/g<seq>` named by the commit that produced it, with a commit
+  * log at `<dir>/commits`. That layout buys four things the round-9/10
+  * rename-swap layout could not:
   *
-  * Merge semantics (unchanged from the sink it backs): batch rows
-  * override stored rows per key; within a batch the greatest
-  * `versionCol` wins (ties broken deterministically by the row's
-  * bucket-input hash order via row_number on version desc).
+  *  - **Atomic publish, no retire window.** A generation becomes
+  *    visible through ONE rename of a finished staged write; there is
+  *    no retire-promote-delete dance and no `<bucket>-old` crash
+  *    fallback to consult — readers listing a bucket see only complete
+  *    generations.
+  *  - **Snapshot isolation for readers.** [[read]] serves each
+  *    bucket's newest generation (torn only ACROSS buckets while a
+  *    commit is mid-publish, same as before), but
+  *    `readAsOf(snapshotSeq(dir))` is a fully consistent snapshot:
+  *    the commit log only advances after every touched bucket has
+  *    landed, so the max committed seq never names a half-published
+  *    state.
+  *  - **Time travel.** [[readAsOf]] reconstructs the table at any
+  *    retained commit: per bucket, the newest generation `<= seq`
+  *    (a bucket first touched later contributes nothing — it was
+  *    empty then). [[readAsOfTime]] resolves a wall-clock instant
+  *    through the commit log's timestamps first.
+  *  - **Keep-N retention instead of unconditional vacuuming.**
+  *    [[retain]] (also run inline by every update via
+  *    `retainCommits`) drops only generations not needed to
+  *    reconstruct the newest N commits, and records the horizon in
+  *    `meta.base_seq` so a time travel below it fails loudly instead
+  *    of silently returning a partial table.
   *
-  * Crash windows:
-  *  - inside one bucket swap: [[StoreIO.swapInDir]] leaves the retired
-  *    generation complete at `<bucket>-old`; [[read]] falls back.
-  *  - between bucket swaps: some buckets carry the batch, some don't —
-  *    each is a complete generation, so reads stay consistent
-  *    per-bucket, and since the applied-ledger entry is recorded only
-  *    AFTER the last swap, the foreachBatch replay re-merges; the
-  *    merge is idempotent per key (already-applied rows anti-join away
-  *    and re-insert identically), so replay converges to the same
-  *    table.
+  * Merge semantics (unchanged): batch rows override stored rows per
+  * key; within a batch the greatest `versionCol` wins (ties broken
+  * deterministically via row_number on version desc). Schema
+  * EVOLUTION is supported end-to-end: a batch may add columns (old
+  * generations are read with parquet schema merging and surface NULL
+  * for them) — see `core_store_schema_evolution`.
+  *
+  * Crash windows (all converge under foreachBatch replay):
+  *  - mid-publish within a commit: some buckets carry `g<seq>`, some
+  *    don't; the commit log was not advanced, so the replay recomputes
+  *    the SAME seq and re-publishes every touched bucket (the merge is
+  *    idempotent per key — deleting a half-written `g<seq>` before the
+  *    rename makes the overwrite safe).
+  *  - between the commit-log append and the applied-ledger append: the
+  *    replay re-merges under a fresh seq; content is identical (the
+  *    anti-join removes the already-applied keys and re-inserts them
+  *    identically), so the extra commit is a no-op state.
   *
   * At 100 TB: pick `nBuckets` so a bucket is a few GB (the unit of
   * rewrite); the touched-bucket read is a path-pruned scan, never a
-  * table scan, and untouched buckets are not even listed.
+  * table scan, and untouched buckets are not even listed. Retention
+  * bounds the generation count per bucket, so listings stay
+  * O(nBuckets x retainCommits) in the worst case and O(nBuckets + a
+  * few) in the steady state.
   */
 object UpsertStore {
 
   val defaultBuckets = 32
+
+  /** Commits kept reconstructable by default — every update prunes
+    * generations older than the newest `retainCommits` commits, so a
+    * long-running CDC sink does not accumulate unbounded history.
+    * Pass `Int.MaxValue` to keep everything (audit stores).
+    */
+  val defaultRetain = 16
 
   private def bucketExpr(key: String, n: Int) =
     pmod(xxhash64(col(key)), lit(n.toLong)).cast("int")
 
   private def bucketDir(dir: String, b: Int): String = s"$dir/b$b"
 
+  private def genName(seq: Long): String = f"g$seq%012d"
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Root resolution with the rebucket crash-window fallback: rebucket
+    * publishes a whole new store layout with ONE root swap; a crash
+    * between its two renames leaves the complete old store at
+    * `<dir>-old`. Readers must consult it — `<dir>` may even EXIST yet
+    * be empty (a concurrent lease acquisition mkdirs the root), so the
+    * probe is for `meta`, not the directory.
+    */
+  private def rootOf(spark: SparkSession, dir: String): String = {
+    val f = StoreIO.fs(spark, dir)
+    def hasMeta(d: String) =
+      f.exists(hp(s"$d/meta")) || f.exists(hp(s"$d/meta-old"))
+    if (!hasMeta(dir) && hasMeta(s"$dir-old")) s"$dir-old" else dir
+  }
+
   /** Stored bucket count (meta is written once at bootstrap, so every
     * later batch agrees on the hash modulus whatever the caller says).
     */
   def buckets(spark: SparkSession, dir: String): Int =
-    StoreIO.read(spark, dir, "meta").head().getInt(0)
+    StoreIO.read(spark, rootOf(spark, dir), "meta")
+      .select("n_buckets").head().getInt(0)
 
-  def exists(spark: SparkSession, dir: String): Boolean =
-    StoreIO.exists(spark, s"$dir/meta") || StoreIO.exists(spark, s"$dir/meta-old")
+  /** Oldest commit still reconstructable by [[readAsOf]] — advanced by
+    * retention and by [[rebucket]] (which compacts history into one
+    * full generation).
+    */
+  def baseSeq(spark: SparkSession, dir: String): Long = {
+    val m = StoreIO.read(spark, rootOf(spark, dir), "meta")
+    if (m.columns.contains("base_seq")) m.select("base_seq").head().getLong(0)
+    else 0L
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val r = rootOf(spark, dir)
+    StoreIO.exists(spark, s"$r/meta") || StoreIO.exists(spark, s"$r/meta-old")
+  }
+
+  private val commitsSchema = StructType(Seq(
+    StructField("seq", LongType), StructField("batch_id", StringType),
+    StructField("kind", StringType), StructField("ts_ms", LongType)))
+
+  private def commitsDf(spark: SparkSession, root: String): DataFrame =
+    if (StoreIO.exists(spark, s"$root/commits") ||
+        StoreIO.exists(spark, s"$root/commits-old"))
+      StoreIO.read(spark, root, "commits")
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), commitsSchema)
+
+  /** The commit log: (seq, batch_id, kind, ts_ms), one row per
+    * state-changing commit (merge / delete / update / rebucket).
+    */
+  def commits(spark: SparkSession, dir: String): DataFrame =
+    commitsDf(spark, rootOf(spark, dir))
+
+  /** Newest committed seq — `readAsOf(snapshotSeq(dir))` is the
+    * torn-proof consistent read (the log advances only after every
+    * touched bucket's generation has landed).
+    */
+  def snapshotSeq(spark: SparkSession, dir: String): Long = {
+    val root = rootOf(spark, dir)
+    val m = commitsDf(spark, root).agg(max("seq")).head()
+    if (m.isNullAt(0)) baseSeq(spark, root) else m.getLong(0)
+  }
+
+  private def recordCommit(
+      spark: SparkSession, root: String, seq: Long,
+      batchId: Option[String], kind: String): Unit =
+    StoreIO.swapIn(
+      commitsDf(spark, root).unionByName(spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(seq, batchId.orNull, kind, System.currentTimeMillis())),
+        commitsSchema)),
+      spark, s"$root/commits")
+
+  /** All generations of one bucket: (seq, path), unsorted. */
+  private def genList(
+      f: org.apache.hadoop.fs.FileSystem,
+      bdir: String): Seq[(Long, String)] =
+    if (!f.exists(hp(bdir))) Seq.empty
+    else f.listStatus(hp(bdir)).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.length == 13 && n.head == 'g' && n.drop(1).forall(_.isDigit))
+        Some(n.drop(1).toLong -> st.getPath.toString)
+      else None
+    }
+
+  /** Per-bucket newest-generation-`<= seq`, the reconstruction rule. */
+  private def pathsAt(
+      spark: SparkSession, root: String, seq: Long): Seq[String] = {
+    val n = buckets(spark, root)
+    val f = StoreIO.fs(spark, root)
+    (0 until n).flatMap { b =>
+      val gens = genList(f, bucketDir(root, b)).filter(_._1 <= seq)
+      if (gens.isEmpty) None else Some(gens.maxBy(_._1)._2)
+    }
+  }
+
+  private def readAt(spark: SparkSession, dir: String, seq: Long): DataFrame = {
+    val root = rootOf(spark, dir)
+    val paths = pathsAt(spark, root, seq)
+    require(paths.nonEmpty, s"upsert store $dir has no generations at seq $seq")
+    // mergeSchema: generations written before a schema-evolving batch
+    // lack its columns; the merged read surfaces them as NULL
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
 
   /** The current table: one path-pruned multi-path read over the
-    * current generation of every non-empty bucket.
+    * newest generation of every non-empty bucket.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val n = buckets(spark, dir)
-    val paths = (0 until n).map(b => StoreIO.genPath(spark, bucketDir(dir, b)))
-      .filter(StoreIO.exists(spark, _))
-    require(paths.nonEmpty, s"upsert store $dir has no buckets")
-    spark.read.parquet(paths: _*)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, Long.MaxValue)
+
+  /** The table as of commit `seq` (inclusive). Fails loudly when the
+    * history below `seq` has been retired by retention or rebucket —
+    * a silent partial reconstruction would be a wrong answer.
+    */
+  def readAsOf(spark: SparkSession, dir: String, seq: Long): DataFrame = {
+    val base = baseSeq(spark, dir)
+    require(seq >= base,
+      s"store $dir retains history from commit $base; asked for $seq")
+    readAt(spark, dir, seq)
+  }
+
+  /** The table as of a wall-clock instant, resolved through the commit
+    * log's `ts_ms` (the newest commit at-or-before `tsMs`).
+    */
+  def readAsOfTime(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val root = rootOf(spark, dir)
+    val m = commitsDf(spark, root)
+      .where(col("ts_ms") <= tsMs).agg(max("seq")).head()
+    require(!m.isNullAt(0), s"store $dir has no commit at or before ts $tsMs")
+    readAsOf(spark, root, m.getLong(0))
   }
 
   /** Merge one batch. Returns false when `batchId` is already in the
@@ -77,6 +229,18 @@ object UpsertStore {
     * instead of upserting it (a NULL predicate upserts — SQL
     * three-valued semantics). Tombstones ride the same bucket routing;
     * a tombstone for an absent key is a no-op.
+    *
+    * `notMatchedBySourceDelete` is MERGE's full-sync clause (`WHEN NOT
+    * MATCHED BY SOURCE [AND <pred>] THEN DELETE`): stored rows whose
+    * key is ABSENT from the batch and that match the predicate
+    * (`lit(true)` for the unconditional form) are removed. Unlike the
+    * delta path this inherently visits EVERY bucket — unmatched rows
+    * can live anywhere — so reserve it for genuine full-snapshot
+    * sources; each untouched bucket pays one scan and is rewritten
+    * only if it actually loses rows.
+    *
+    * `retainCommits` bounds history growth inline (see
+    * [[defaultRetain]]); pass `Int.MaxValue` to keep all generations.
     */
   def update(
       batch: DataFrame,
@@ -86,19 +250,20 @@ object UpsertStore {
       nBuckets: Int = defaultBuckets,
       batchId: Option[String] = None,
       leaseStaleMs: Long = 600000L,
-      deleteWhere: Option[org.apache.spark.sql.Column] = None): Boolean =
+      deleteWhere: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      retainCommits: Int = defaultRetain): Boolean =
     StoreIO.withLease(batch.sparkSession, dir, leaseStaleMs) {
-      updateLocked(batch, dir, key, versionCol, nBuckets, batchId, deleteWhere)
+      updateLocked(batch, dir, key, versionCol, nBuckets, batchId,
+        deleteWhere, notMatchedBySourceDelete, retainCommits)
     }
 
   /** Delete every stored row matching `predicate` (SQL DELETE
     * semantics: a NULL predicate keeps the row). Runs under the writer
     * lease with the applied-batch ledger, so a replayed delete is a
-    * no-op. Work is per-bucket: each bucket generation is read once,
-    * and only buckets that actually contain matches are rewritten
-    * (staged-write + atomic swap — a crash mid-delete leaves every
-    * bucket a complete generation, some deleted, some not, and the
-    * replay converges). Returns the number of rows removed (0 on a
+    * no-op. Work is per-bucket: each bucket's newest generation is
+    * read once, and only buckets that actually contain matches gain a
+    * new generation. Returns the number of rows removed (0 on a
     * ledger replay).
     */
   def delete(
@@ -108,26 +273,99 @@ object UpsertStore {
       batchId: Option[String] = None,
       leaseStaleMs: Long = 600000L): Long =
     StoreIO.withLease(spark, dir, leaseStaleMs) {
-      if (batchId.exists(StoreIO.applied(spark, dir, _))) 0L
+      val root = rootOf(spark, dir)
+      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
       else {
-        val n = buckets(spark, dir)
         val hit = coalesce(predicate, lit(false))
-        var removed = 0L
-        (0 until n).foreach { b =>
-          val path = StoreIO.genPath(spark, bucketDir(dir, b))
-          if (StoreIO.exists(spark, path)) {
-            val cur = spark.read.parquet(path)
-            val hits = cur.where(hit).count()
-            if (hits > 0) {
-              removed += hits
-              StoreIO.swapIn(cur.where(!hit), spark, bucketDir(dir, b))
-            }
-          }
+        val removed = rewriteBuckets(spark, root, "delete", batchId) {
+          cur => (cur.where(hit).count(), cur.where(!hit))
         }
-        batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+        batchId.foreach(StoreIO.recordApplied(spark, root, _))
         removed
       }
     }
+
+  /** SQL UPDATE: rewrite rows matching `predicate` with the `set`
+    * assignments (column -> expression over the OLD row — every
+    * right-hand side sees pre-update values, per ANSI). NULL predicate
+    * leaves the row untouched. Per-bucket work like [[delete]]: only
+    * buckets containing matches gain a generation. Returns rows
+    * updated (0 on a ledger replay).
+    */
+  def updateRows(
+      spark: SparkSession,
+      dir: String,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column,
+      batchId: Option[String] = None,
+      leaseStaleMs: Long = 600000L): Long =
+    StoreIO.withLease(spark, dir, leaseStaleMs) {
+      val root = rootOf(spark, dir)
+      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
+      else {
+        val schema = read(spark, root).schema
+        val cols = schema.fieldNames.toSet
+        set.foreach { case (c, _) =>
+          require(cols.contains(c), s"UPDATE SET names unknown column $c")
+        }
+        val hit = coalesce(predicate, lit(false))
+        val setMap = set.toMap
+        val updated = rewriteBuckets(spark, root, "update", batchId) { cur =>
+          val n = cur.where(hit).count()
+          // one SELECT so every assignment reads the pre-update row
+          (n, cur.select(schema.fieldNames.toSeq.map { c =>
+            setMap.get(c) match {
+              case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*))
+        }
+        batchId.foreach(StoreIO.recordApplied(spark, root, _))
+        updated
+      }
+    }
+
+  /** Shared per-bucket rewrite loop for predicate-driven mutations:
+    * `f(alignedBucket)` returns (affected-row count, replacement
+    * frame); buckets with zero affected rows keep their current
+    * generation. Buckets are aligned to the store's merged schema
+    * before `f` so predicates over evolved columns see NULLs rather
+    * than failing on pre-evolution generations.
+    */
+  private def rewriteBuckets(
+      spark: SparkSession, dir: String, kind: String,
+      batchId: Option[String])(
+      f: DataFrame => (Long, DataFrame)): Long = {
+    val root = rootOf(spark, dir)
+    val n = buckets(spark, root)
+    val fullSchema = read(spark, root).schema
+    val seq = snapshotSeq(spark, root) + 1
+    val fsys = StoreIO.fs(spark, root)
+    var affected = 0L
+    var touched = false
+    (0 until n).foreach { b =>
+      val gens = genList(fsys, bucketDir(root, b))
+      if (gens.nonEmpty) {
+        val cur = align(spark.read.parquet(gens.maxBy(_._1)._2), fullSchema)
+        val (hits, next) = f(cur)
+        if (hits > 0) {
+          affected += hits
+          publishDf(next, spark, bucketDir(root, b), seq)
+          touched = true
+        }
+      }
+    }
+    if (touched) recordCommit(spark, root, seq, batchId, kind)
+    affected
+  }
+
+  private def align(cur: DataFrame, full: StructType): DataFrame = {
+    val have = cur.columns.toSet
+    cur.select(full.fields.toSeq.map { fld =>
+      if (have(fld.name)) col(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*)
+  }
 
   /** Delete by KEY SET — the scalable form for erasure queues: the key
     * frame routes through the same bucket hash as the data, so each
@@ -143,57 +381,112 @@ object UpsertStore {
       leaseStaleMs: Long = 600000L): Long = {
     val spark = keys.sparkSession
     StoreIO.withLease(spark, dir, leaseStaleMs) {
-      if (batchId.exists(StoreIO.applied(spark, dir, _))) 0L
+      val root = rootOf(spark, dir)
+      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
       else {
-        val n = buckets(spark, dir)
+        val n = buckets(spark, root)
+        val fsys = StoreIO.fs(spark, root)
         val k = keys.select(key).distinct()
           .withColumn("__b", bucketExpr(key, n))
           .localCheckpoint()
         val touched = k.select("__b").distinct().collect()
           .map(_.getInt(0)).sorted // bounded by nBuckets, never by data
+        val seq = snapshotSeq(spark, root) + 1
         var removed = 0L
+        var wrote = false
         touched.foreach { b =>
-          val path = StoreIO.genPath(spark, bucketDir(dir, b))
-          if (StoreIO.exists(spark, path)) {
-            val cur = spark.read.parquet(path)
+          val gens = genList(fsys, bucketDir(root, b))
+          if (gens.nonEmpty) {
+            val cur = spark.read.parquet(gens.maxBy(_._1)._2)
             val slice = k.where(col("__b") === b).drop("__b")
             val hits = cur.join(slice, Seq(key), "left_semi").count()
             if (hits > 0) {
               removed += hits
-              StoreIO.swapIn(cur.join(slice, Seq(key), "left_anti"),
-                spark, bucketDir(dir, b))
+              publishDf(cur.join(slice, Seq(key), "left_anti"),
+                spark, bucketDir(root, b), seq)
+              wrote = true
             }
           }
         }
-        batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+        if (wrote) recordCommit(spark, root, seq, batchId, "delete_keys")
+        batchId.foreach(StoreIO.recordApplied(spark, root, _))
         removed
       }
     }
   }
 
-  /** Per-bucket row counts off the current generations — layout
+  /** Per-bucket row counts off the newest generations — layout
     * introspection for skew reads and rebucket decisions. One count per
     * existing bucket dir; no key rehash, no table-wide pass.
     */
   def bucketCounts(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
-    val n = buckets(spark, dir)
+    val root = rootOf(spark, dir)
+    val n = buckets(spark, root)
+    val f = StoreIO.fs(spark, root)
     (0 until n).flatMap { b =>
-      val p = StoreIO.genPath(spark, bucketDir(dir, b))
-      if (StoreIO.exists(spark, p)) Some(b -> spark.read.parquet(p).count())
-      else None
+      val gens = genList(f, bucketDir(root, b))
+      if (gens.isEmpty) None
+      else Some(b -> spark.read.parquet(gens.maxBy(_._1)._2).count())
     }
+  }
+
+  /** Drop generations not needed to reconstruct the newest
+    * `keepCommits` commits and advance `meta.base_seq` to the new
+    * horizon. Per bucket the rule is: keep everything `>= cutoff` plus
+    * the newest generation `<= cutoff` (the reconstruction base for
+    * `readAsOf(cutoff)`); everything older is unreachable. Runs under
+    * the writer lease; O(directory listing), never O(data).
+    */
+  def retain(spark: SparkSession, dir: String, keepCommits: Int): Unit =
+    StoreIO.withLease(spark, dir) {
+      retainLocked(spark, rootOf(spark, dir), keepCommits)
+    }
+
+  private def retainLocked(
+      spark: SparkSession, root: String, keepCommits: Int): Unit = {
+    if (keepCommits == Int.MaxValue) return
+    require(keepCommits >= 1, "retention must keep at least the newest commit")
+    val maxS = snapshotSeq(spark, root)
+    val cutoff = maxS - keepCommits + 1
+    if (cutoff <= baseSeq(spark, root)) return
+    val n = buckets(spark, root)
+    val f = StoreIO.fs(spark, root)
+    (0 until n).foreach { b =>
+      val gens = genList(f, bucketDir(root, b))
+      val atOrBelow = gens.filter(_._1 <= cutoff)
+      if (atOrBelow.nonEmpty) {
+        val base = atOrBelow.maxBy(_._1)._1
+        gens.filter(_._1 < base).foreach(g => f.delete(hp(g._2), true))
+      }
+    }
+    import spark.implicits._
+    StoreIO.swapIn(Seq((n, cutoff)).toDF("n_buckets", "base_seq"),
+      spark, s"$root/meta")
   }
 
   /** Re-bucket the store to `newBuckets` — the maintenance move when a
     * store outgrows its bucket count (buckets are the unit of rewrite;
     * a few GB each is the sweet spot). The new layout (meta + carried
-    * ledger + re-hashed buckets) is built OFFLINE under a staged
-    * sibling dir and promoted with ONE atomic root swap, so readers
-    * never see a mixed-modulus layout and a crash anywhere leaves
-    * either the old store or the new one complete (`<dir>-old` is the
-    * in-swap fallback; an orphaned staged sibling is vacuum debris for
-    * the PARENT directory). The applied ledger carries over, so a
-    * replay of any pre-rebucket batch is still a no-op afterwards.
+    * ledger + carried commit log + re-hashed buckets, ONE full
+    * generation per bucket at the current snapshot seq) is built
+    * OFFLINE under a staged sibling dir and promoted with ONE atomic
+    * root swap, so readers never see a mixed-modulus layout and a
+    * crash anywhere leaves either the old store or the new one
+    * complete (`<dir>-old` is the in-swap fallback, which
+    * [[rootOf]] honours on every read path; an orphaned staged
+    * sibling is vacuum debris for the PARENT directory). The applied
+    * ledger carries over, so a replay of any pre-rebucket batch is
+    * still a no-op afterwards. History COMPACTS: `base_seq` advances
+    * to the snapshot seq — time travel below it is retired (the old
+    * per-bucket generations do not exist under the new modulus).
+    *
+    * The staged layout is born holding the writer lease (`.lease` is
+    * created inside it before the swap), so the promoted root is
+    * never lease-free while this call is still inside its critical
+    * section; and the promote is verified to have landed at exactly
+    * `<dir>/meta` — a concurrent lease-acquirer re-creating `<dir>`
+    * mid-swap would otherwise absorb the staged tree as a subdirectory
+    * while the rename still "succeeds".
     */
   def rebucket(
       spark: SparkSession,
@@ -203,31 +496,63 @@ object UpsertStore {
     StoreIO.withLease(spark, dir) {
       val cur = read(spark, dir).localCheckpoint()
       val ledger = StoreIO.read(spark, dir, "applied").localCheckpoint()
+      val log = commitsDf(spark, rootOf(spark, dir)).localCheckpoint()
+      val seq = snapshotSeq(spark, dir)
       val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
       import spark.implicits._
-      StoreIO.swapIn(Seq(newBuckets).toDF("n_buckets"), spark, s"$staged/meta")
+      StoreIO.swapIn(Seq((newBuckets, seq)).toDF("n_buckets", "base_seq"),
+        spark, s"$staged/meta")
       StoreIO.swapIn(ledger, spark, s"$staged/applied")
+      StoreIO.swapIn(log, spark, s"$staged/commits")
       val tmp = s"$staged/rehash-tmp"
       cur.withColumn("__b", bucketExpr(key, newBuckets))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
-      val f = fs0(spark, dir)
+      val f = StoreIO.fs(spark, dir)
       var placed = 0
       (0 until newBuckets).foreach { b =>
         if (StoreIO.exists(spark, s"$tmp/__b=$b")) {
-          require(f.rename(
-            new org.apache.hadoop.fs.Path(s"$tmp/__b=$b"),
-            new org.apache.hadoop.fs.Path(s"$staged/b$b")),
+          f.mkdirs(hp(s"$staged/b$b"))
+          require(f.rename(hp(s"$tmp/__b=$b"),
+            hp(s"$staged/b$b/${genName(seq)}")),
             s"rebucket: cannot place bucket $b")
           placed += 1
         }
       }
       // an empty store must stay readable (schema-carrying) post-swap
-      if (placed == 0) StoreIO.swapIn(cur.limit(0), spark, s"$staged/b0")
+      if (placed == 0)
+        publishDf(emptyOf(spark, cur.schema), spark, s"$staged/b0", seq)
       StoreIO.delete(spark, tmp)
+      // the promoted root must hold the lease this critical section owns
+      f.create(hp(s"$staged/.lease"), true).close()
       StoreIO.swapInDir(spark, staged, dir)
+      require(StoreIO.exists(spark, s"$dir/meta"),
+        s"rebucket: promote of $dir raced a concurrent writer; " +
+          s"store intact at $dir-old")
     }
 
-  private def fs0(spark: SparkSession, dir: String) = StoreIO.fs(spark, dir)
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  /** Stage-write `df` under the bucket dir and publish it as
+    * generation `seq` with one rename. A pre-existing `g<seq>` is a
+    * half-published predecessor of THIS commit (the log had not
+    * advanced, so the replay recomputed the same seq) — overwrite it.
+    */
+  private def publishDf(
+      df: DataFrame, spark: SparkSession, bdir: String, seq: Long): Unit = {
+    val staged = s"$bdir/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(staged)
+    publishDir(spark, staged, bdir, seq)
+  }
+
+  private def publishDir(
+      spark: SparkSession, staged: String, bdir: String, seq: Long): Unit = {
+    val f = StoreIO.fs(spark, bdir)
+    f.mkdirs(hp(bdir))
+    val tgt = hp(s"$bdir/${genName(seq)}")
+    if (f.exists(tgt)) f.delete(tgt, true)
+    require(f.rename(hp(staged), tgt), s"publish: cannot promote $staged")
+  }
 
   private def updateLocked(
       batch: DataFrame,
@@ -236,16 +561,22 @@ object UpsertStore {
       versionCol: String,
       nBuckets: Int,
       batchId: Option[String],
-      deleteWhere: Option[org.apache.spark.sql.Column] = None): Boolean = {
+      deleteWhere: Option[org.apache.spark.sql.Column],
+      notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
+      retainCommits: Int): Boolean = {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
     if (bootstrap) {
       import spark.implicits._
-      StoreIO.swapIn(Seq(nBuckets).toDF("n_buckets"), spark, s"$dir/meta")
+      StoreIO.swapIn(Seq((nBuckets, 0L)).toDF("n_buckets", "base_seq"),
+        spark, s"$dir/meta")
       StoreIO.swapIn(StoreIO.ledgerDf(spark, Seq.empty), spark, s"$dir/applied")
     }
-    if (batchId.exists(StoreIO.applied(spark, dir, _))) return false
-    val n = buckets(spark, dir)
+    val root = rootOf(spark, dir)
+    if (batchId.exists(StoreIO.applied(spark, root, _))) return false
+    val n = buckets(spark, root)
+    val seq = snapshotSeq(spark, root) + 1
+    val fsys = StoreIO.fs(spark, root)
 
     val wLatest = Window.partitionBy(key).orderBy(col(versionCol).desc)
     val latest = batch
@@ -258,13 +589,16 @@ object UpsertStore {
     if (bootstrap && touched.isEmpty) {
       // an empty first batch must still leave a readable (schema-carrying)
       // store: one empty bucket generation
-      StoreIO.swapIn(latest.drop("__b"), spark, bucketDir(dir, 0))
-      batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+      publishDf(emptyOf(spark, latest.drop("__b").schema),
+        spark, bucketDir(root, 0), seq)
+      recordCommit(spark, root, seq, batchId, "merge")
+      batchId.foreach(StoreIO.recordApplied(spark, root, _))
       return true
     }
-    val existingPaths = touched
-      .map(b => StoreIO.genPath(spark, bucketDir(dir, b)))
-      .filter(StoreIO.exists(spark, _))
+    val existingPaths = touched.toIndexedSeq.flatMap { b =>
+      val gens = genList(fsys, bucketDir(root, b))
+      if (gens.isEmpty) None else Some(gens.maxBy(_._1)._2)
+    }
     // tombstone split: EVERY arbitrated batch key overrides its stored
     // row (the anti-join below), but only non-tombstone rows re-insert
     val upserts = deleteWhere
@@ -272,25 +606,56 @@ object UpsertStore {
       .getOrElse(latest)
     val merged =
       if (existingPaths.isEmpty) upserts
-      else spark.read.parquet(existingPaths.toIndexedSeq: _*)
-        .withColumn("__b", bucketExpr(key, n))
-        .join(latest.select(key), Seq(key), "left_anti")
-        .unionByName(upserts)
+      else {
+        val kept0 = spark.read.option("mergeSchema", "true")
+          .parquet(existingPaths: _*)
+          .withColumn("__b", bucketExpr(key, n))
+          .join(latest.select(key), Seq(key), "left_anti")
+        // full-sync: unmatched stored rows matching the clause predicate
+        // leave the touched buckets here (untouched buckets below)
+        val kept = notMatchedBySourceDelete
+          .map(c => kept0.where(!coalesce(c, lit(false))))
+          .getOrElse(kept0)
+        // allowMissingColumns both ways: the batch may ADD columns
+        // (schema evolution) or a pre-evolution replay may LACK some
+        kept.unionByName(upserts, allowMissingColumns = true)
+      }
+    val outSchema = StructType(merged.schema.filterNot(_.name == "__b"))
 
     // ONE staged write covering every touched bucket, then one atomic
-    // promotion per bucket (metadata renames, no second data pass)
-    val staged = s"$dir/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+    // rename per bucket publishing generation `seq`
+    val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.partitionBy("__b").mode("overwrite").parquet(staged)
     touched.foreach { b =>
       // a bucket whose every surviving row was tombstoned away writes no
-      // staged partition — promote an explicit EMPTY generation instead
+      // staged partition — publish an explicit EMPTY generation instead
+      // (built from the schema directly: nothing here may depend on the
+      // retired generations still being scannable)
       if (StoreIO.exists(spark, s"$staged/__b=$b"))
-        StoreIO.swapInDir(spark, s"$staged/__b=$b", bucketDir(dir, b))
+        publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), seq)
       else
-        StoreIO.swapIn(merged.drop("__b").limit(0), spark, bucketDir(dir, b))
+        publishDf(emptyOf(spark, outSchema), spark, bucketDir(root, b), seq)
     }
     StoreIO.delete(spark, staged)
-    batchId.foreach(StoreIO.recordApplied(spark, dir, _))
+
+    // full-sync over the UNtouched buckets: every stored row there is
+    // by construction not-matched-by-source; rewrite only buckets that
+    // actually lose rows
+    notMatchedBySourceDelete.foreach { c =>
+      val hit = coalesce(c, lit(false))
+      (0 until n).filterNot(touched.contains).foreach { b =>
+        val gens = genList(fsys, bucketDir(root, b))
+        if (gens.nonEmpty) {
+          val cur = align(spark.read.parquet(gens.maxBy(_._1)._2), outSchema)
+          if (cur.where(hit).limit(1).count() > 0)
+            publishDf(cur.where(!hit), spark, bucketDir(root, b), seq)
+        }
+      }
+    }
+
+    recordCommit(spark, root, seq, batchId, "merge")
+    batchId.foreach(StoreIO.recordApplied(spark, root, _))
+    retainLocked(spark, root, retainCommits)
     true
   }
 }

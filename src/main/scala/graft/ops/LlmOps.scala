@@ -79,8 +79,16 @@ object LlmOps {
     val emb = T.spread(T.t(s, d, "embeddings"))
     val unit = emb.withColumn("u",
       expr(s"transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dot("embedding", "embedding")}))"))
-    val seeds = unit.where(s"vec_id < $nSeeds")
-      .select(col("vec_id").cast("int").as("c_id"), col("u").as("c_vec"))
+    // seeds are selected DATA-DEPENDENTLY (first nSeeds rows by vec_id
+    // via a bounded sort-limit, one driver collect of <= 32 rows) — a
+    // fixed `vec_id < 32` filter silently returned ZERO candidate
+    // pairs on any input whose ids happen to start above 32
+    import s.implicits._
+    val seedRows = unit.select(col("vec_id"), col("u"))
+      .orderBy("vec_id").limit(nSeeds).collect()
+    val seeds = seedRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      .toDF("c_id", "c_vec")
     val d2u = "aggregate(zip_with(u, c_vec, (x, c) -> (x - c) * (x - c)), " +
       "CAST(0 AS DOUBLE), (a, v) -> a + v)"
     val assigned = unit.crossJoin(broadcast(seeds))
@@ -93,8 +101,8 @@ object LlmOps {
       .localCheckpoint()
     val radii = assigned.groupBy("cell").agg(max("d2").as("r2")).collect()
       .map(r => r.getInt(0) -> math.sqrt(r.getDouble(1))).toMap
-    val seedVecs = seeds.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val seedVecs = seedRows.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toMap
     // fp slack on the admit side only: a falsely admitted pair costs a
     // sim evaluation, a falsely pruned one would cost correctness
     val bound = math.sqrt(2.0 - 2.0 * neardupThr) + 1e-9
@@ -104,7 +112,6 @@ object LlmOps {
       dist = math.sqrt(va.zip(vb).map { case (p, q) => (p - q) * (p - q) }.sum)
       if dist - radii(a) - radii(b) <= bound
     } yield (a, b)
-    import s.implicits._
     val admDf = adm.toDF("cell", "cell2")
     val x = assigned.join(broadcast(admDf), "cell")
       .select(col("vec_id").as("v1"), col("embedding").as("e1"),

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Round 11: the store's DML triad completed (UPDATE verb, full-sync
+  * MERGE) and the generation-log store features (time travel, keep-N
+  * retention, schema evolution) — all over the immutable-generation
+  * UpsertStore layout.
+  */
+object Round11 {
+
+  /** Latest-order-per-customer seed frame with exact integer money
+    * (cents) — the shared fixture for the DML ops, so every oracle is
+    * integer-exact on both engines.
+    */
+  private def seedSrc(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+      expr("o_orderkey % 100").as("disc_cents"))
+
+  /** DuckDB CTE `l`: the same latest-per-customer seed. */
+  private val oSeed =
+    "f AS (SELECT o_custkey, o_orderkey, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, " +
+      "o_orderkey % 100 AS disc_cents, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+      "FROM orders), " +
+      "l AS (SELECT o_custkey, o_orderkey, total_cents, disc_cents FROM f WHERE rn = 1)"
+
+  val ops: Seq[Op] = Seq(
+
+    // The THIRD mutation-SQL verb, completing the MERGE/DELETE/UPDATE
+    // DML triad: `UPDATE '<dir>' SET col = expr, ... WHERE pred`
+    // against the upsert store. Assignment right-hand sides evaluate
+    // against the PRE-UPDATE row (ANSI): the op's second assignment
+    // zeroes the column the first one reads, and the oracle pins that
+    // both saw the old values. Only buckets with matches gain a new
+    // generation, under lease + ledger; a replay with the same batchId
+    // is a no-op (asserted inline — 0 rows on the second run).
+    Op("core_update_sql",
+      (s, d) => {
+        val dir = s"target/tmp/update_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        seedSrc(s, d).createOrReplaceTempView("graft_update_src")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_update_src ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        val sql = s"UPDATE '$dir' SET total_cents = total_cents + disc_cents, " +
+          "disc_cents = CAST(0 AS BIGINT) WHERE o_custkey % 5 = 0"
+        graft.api.MergeSql.runUpdate(s, sql, batchId = Some("u1")): Unit
+        val n2 = graft.api.MergeSql.runUpdate(s, sql, batchId = Some("u1"))
+        require(n2 == 0L, s"replayed UPDATE must be a ledger no-op, touched $n2")
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some(s"WITH $oSeed " +
+        "SELECT o_custkey, o_orderkey, " +
+        "CASE WHEN o_custkey % 5 = 0 THEN total_cents + disc_cents ELSE total_cents END AS total_cents, " +
+        "CASE WHEN o_custkey % 5 = 0 THEN CAST(0 AS BIGINT) ELSE disc_cents END AS disc_cents " +
+        "FROM l ORDER BY o_custkey")),
+
+    // MERGE's full-sync clause: `WHEN NOT MATCHED BY SOURCE AND <pred>
+    // THEN DELETE` — the snapshot-reconciliation shape (source is the
+    // new full state; stored keys it no longer carries are swept,
+    // here conditionally: every 7th customer is contractually
+    // retained). Matched keys take the source row as usual; the clause
+    // inherently visits every bucket, which is exactly what a
+    // full-snapshot reconcile means.
+    Op("core_merge_full_sync",
+      (s, d) => {
+        val dir = s"target/tmp/full_sync_${java.util.UUID.randomUUID().toString.take(8)}"
+        seedSrc(s, d).select("o_custkey", "o_orderkey", "total_cents")
+          .createOrReplaceTempView("graft_sync_seed")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_sync_seed ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        seedSrc(s, d).where("o_custkey % 3 <> 1")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (col("total_cents") + 1).as("total_cents"))
+          .createOrReplaceTempView("graft_sync_snap")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_sync_snap ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT * " +
+            "WHEN NOT MATCHED BY SOURCE AND o_custkey % 7 <> 0 THEN DELETE",
+          nBuckets = 8, batchId = Some("sync")): Unit
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some(s"WITH $oSeed " +
+        "SELECT o_custkey, o_orderkey, total_cents + 1 AS total_cents FROM l " +
+        "WHERE o_custkey % 3 <> 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, total_cents FROM l " +
+        "WHERE o_custkey % 3 = 1 AND o_custkey % 7 = 0 " +
+        "ORDER BY o_custkey")),
+
+    // TIME TRAVEL over the generation-log store: three CDC batches
+    // commit as seqs 1..3; `readAsOf(2)` reconstructs the two-batch
+    // state (per bucket, the newest generation <= 2 — buckets first
+    // touched by batch 3 contribute nothing, exactly the state a
+    // reader at that commit saw), while the plain read serves seq 3.
+    // Both snapshots ship under one oracle, tagged — the DuckDB side
+    // replays the two- and three-batch latest-wins semantics directly.
+    Op("core_store_time_travel",
+      (s, d) => {
+        val dir = s"target/tmp/time_travel_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        require(graft.api.UpsertStore.snapshotSeq(s, dir) == 3L,
+          "three batches must commit as seqs 1..3")
+        val asof = graft.api.UpsertStore.readAsOf(s, dir, 2L)
+          .withColumn("snap", lit("asof2"))
+        val cur = graft.api.UpsertStore.read(s, dir)
+          .withColumn("snap", lit("current"))
+        val got = asof.unionByName(cur).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("snap", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "f2 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb), " +
+        "m3 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f3 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m3 ON t.o_custkey = m3.o_custkey AND t.b = m3.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'asof2' AS snap FROM f2 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'current' AS snap FROM f3 WHERE rn = 1 " +
+        "ORDER BY snap, o_custkey")),
+
+    // SCHEMA EVOLUTION on the store: batch 2 ADDS a column (and is
+    // deliberately a SMALL key slice into a 32-bucket store, so most
+    // buckets keep their pre-evolution generations on disk). The
+    // merged read surfaces the new column across generation schemas
+    // (parquet schema merge) with NULL backfill for keys whose newest
+    // row predates it — the Delta-style additive evolution a
+    // long-lived CDC target needs.
+    Op("core_store_schema_evolution",
+      (s, d) => {
+        val dir = s"target/tmp/schema_evo_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(2)))
+        graft.api.UpsertStore.update(
+          t.where("b = 0").select("o_custkey", "o_orderkey"),
+          dir, "o_custkey", "o_orderkey", nBuckets = 32, batchId = Some("v1")): Unit
+        graft.api.UpsertStore.update(
+          t.where("b = 1 AND o_custkey % 10 = 7")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          dir, "o_custkey", "o_orderkey", nBuckets = 32, batchId = Some("v2")): Unit
+        val r = graft.api.UpsertStore.read(s, dir)
+        // a degenerate fixture (empty/one-row) may never run batch 2, so
+        // the column never evolves in — surface it as all-NULL then
+        val evolved =
+          if (r.columns.contains("o_totalprice")) r
+          else r.withColumn("o_totalprice", lit(null).cast("double"))
+        val got = evolved
+          .select("o_custkey", "o_orderkey", "o_totalprice").localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 2 AS b FROM orders), " +
+        "u AS (SELECT o_custkey, o_orderkey, o_totalprice, 1 AS src FROM t " +
+        "WHERE b = 1 AND o_custkey % 10 = 7 " +
+        "UNION ALL SELECT o_custkey, o_orderkey, o_totalprice, 0 AS src FROM t WHERE b = 0), " +
+        "m AS (SELECT o_custkey, max(src) AS ms FROM u GROUP BY 1), " +
+        "f AS (SELECT u.o_custkey, u.o_orderkey, u.o_totalprice, u.src, " +
+        "row_number() OVER (PARTITION BY u.o_custkey ORDER BY u.o_orderkey DESC) AS rn " +
+        "FROM u JOIN m ON u.o_custkey = m.o_custkey AND u.src = m.ms) " +
+        "SELECT o_custkey, o_orderkey, " +
+        "CASE WHEN src = 1 THEN o_totalprice ELSE NULL END AS o_totalprice " +
+        "FROM f WHERE rn = 1 ORDER BY o_custkey")),
+
+    // KEEP-N RETENTION: four batches commit as seqs 1..4; retain(2)
+    // advances the reconstruction horizon (base_seq) to 3 — asOf(3)
+    // and asOf(4) stay reconstructable, older history is retired and
+    // a deeper readAsOf fails loudly (spec-pinned). The op ships the
+    // horizon numbers plus row counts at the horizon and head; the
+    // counts are data-derived and the oracle replays them, the
+    // core_store_stats pattern.
+    Op("core_store_retention",
+      (s, d) => {
+        val dir = s"target/tmp/retention_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(4)))
+        (0 to 3).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b"),
+            retainCommits = Int.MaxValue): Unit
+        }
+        graft.api.UpsertStore.retain(s, dir, keepCommits = 2)
+        val base = graft.api.UpsertStore.baseSeq(s, dir)
+        val head = graft.api.UpsertStore.snapshotSeq(s, dir)
+        val nCur = graft.api.UpsertStore.read(s, dir).count()
+        val nBase = graft.api.UpsertStore.readAsOf(s, dir, base).count()
+        graft.api.StoreIO.delete(s, dir)
+        import s.implicits._
+        Seq((base, head, nCur, nBase))
+          .toDF("base_seq", "snapshot_seq", "rows_current", "rows_asof_base")
+      },
+      Some("SELECT CAST(3 AS BIGINT) AS base_seq, CAST(4 AS BIGINT) AS snapshot_seq, " +
+        "(SELECT count(DISTINCT o_custkey) FROM orders) AS rows_current, " +
+        "(SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 4 <= 2) AS rows_asof_base")),
+  )
+}

@@ -347,27 +347,40 @@ object Streams {
     loop()
   }
 
+  /** Lease posture shared by the three store sinks: the default 60 s
+    * stale-TTL assumes the sink is the store dir's SOLE writer, so a
+    * lease found at batch time is almost certainly a crashed
+    * predecessor of THIS query — break it after 60 s instead of
+    * stalling micro-batch retries for the cross-job default of 10 min.
+    * Running MORE THAN ONE sink against one tableDir (e.g. a mergeSink
+    * plus a deleteSink applying an erasure queue) voids that
+    * assumption: a batch holding the lease longer than the TTL would
+    * be broken MID-WRITE by the peer and both writers would race. For
+    * multi-sink stores pass `leaseStaleMs` comfortably above the
+    * worst-case batch duration of EVERY sink sharing the dir, so only
+    * a genuinely crashed holder is ever broken. `retryLease` keeps the
+    * batch alive while a live peer holds the lease.
+    */
+  private val soleWriterLeaseMs = 60000L
+
   def upsertSink(
       stream: DataFrame,
       key: String,
       versionCol: String,
       tableDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      leaseStaleMs: Long = soleWriterLeaseMs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val runKey = runKeyOf(checkpointDir)
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // short lease TTL: the streaming sink is the sole writer, so a
-        // lease found here is almost certainly a crashed predecessor
-        // of THIS query — break it after 60 s instead of stalling
-        // micro-batch retries for the cross-job default of 10 min;
-        // retryLease keeps the batch alive across that window
-        retryLease(90000L) {
+        retryLease(math.max(90000L, leaseStaleMs + 30000L)) {
           graft.api.UpsertStore.update(
             batch.toDF(), tableDir, key, versionCol,
-            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = leaseStaleMs)
         }
         ()
       }
@@ -386,7 +399,9 @@ object Streams {
       stream: DataFrame,
       mergeSql: String,
       checkpointDir: String,
-      nBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+      nBuckets: Int = 32,
+      leaseStaleMs: Long = soleWriterLeaseMs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val stmt = graft.api.MergeSql.parse(mergeSql) // fail fast, not per batch
     require(!stmt.source.startsWith("'"),
       "mergeSink needs a view-name USING source (the sink binds each batch to it)")
@@ -397,10 +412,10 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.createOrReplaceTempView(stmt.source)
-        retryLease(90000L) {
+        retryLease(math.max(90000L, leaseStaleMs + 30000L)) {
           graft.api.MergeSql.run(batch.sparkSession, mergeSql,
             nBuckets = nBuckets, batchId = Some(s"$runKey-$batchId"),
-            leaseStaleMs = 60000L)
+            leaseStaleMs = leaseStaleMs)
         }
         ()
       }
@@ -418,17 +433,19 @@ object Streams {
       keyStream: DataFrame,
       key: String,
       tableDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      leaseStaleMs: Long = soleWriterLeaseMs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val runKey = runKeyOf(checkpointDir)
     keyStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        retryLease(90000L) {
+        retryLease(math.max(90000L, leaseStaleMs + 30000L)) {
           graft.api.UpsertStore.deleteKeys(
             batch.toDF(), tableDir, key,
-            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = 60000L)
+            batchId = Some(s"$runKey-$batchId"), leaseStaleMs = leaseStaleMs)
         }
         ()
       }

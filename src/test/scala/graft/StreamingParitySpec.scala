@@ -491,7 +491,7 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, "a2"), (2L, 5L, "b5"), (3L, 1L, "c1")))
   }
 
-  test("UpsertStore: delta-sized merge, replay no-op, bucket crash-window fallback") {
+  test("UpsertStore: delta-sized merge, replay no-op, generation crash windows") {
     import spark.implicits._
     val dir = s"target/tmp/upsert_store_${System.nanoTime()}"
     def df(rows: (Long, Long, String)*) = rows.toDF("k", "version", "payload")
@@ -529,9 +529,9 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(table().head == (1L, 9L, "vX"))
     assert(table().size == 20)
 
-    // death between the staged write and the first bucket swap: the
-    // orphaned staged dir must be invisible to readers and harmless to
-    // later updates
+    // death between the staged write and the first generation publish:
+    // the orphaned staged dir must be invisible to readers and harmless
+    // to later updates
     val orphan = new java.io.File(s"$dir/staged-deadbeef/__b=0")
     assert(orphan.mkdirs())
     assert(table().size == 20, "an orphaned staged dir must not leak into reads")
@@ -539,13 +539,47 @@ class StreamingParitySpec extends AnyFunSuite {
       batchId = Some("c")))
     assert(table().find(_._1 == 2L).get == (2L, 11L, "vY"))
 
-    // worst per-bucket crash window: current generation retired to
-    // -old, promotion never happened — read() falls back per bucket
-    val victim = changed.head
-    val f = new java.io.File(s"$dir/$victim")
-    assert(f.renameTo(new java.io.File(s"$dir/$victim-old")))
-    assert(table().size == 20, "read must fall back to the retired bucket generation")
-    assert(table().head == (1L, 9L, "vX"))
+    // worst crash window of the generation log: a batch died after
+    // publishing SOME buckets' g<seq+1> but before advancing the commit
+    // log. Plain read() may see the half-published state (per-bucket
+    // newest gen), but readAsOf(snapshotSeq) is torn-proof — the log
+    // only advances after every touched bucket lands — and the replayed
+    // batch recomputes the SAME seq, overwrites the partial generation,
+    // and converges.
+    val committed = api.UpsertStore.snapshotSeq(spark, dir)
+    val victimBucket = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("b\\d+"))
+      .find(b => spark.read.parquet(
+        b.listFiles().map(_.getPath).sorted.last).where("k = 1").count() > 0)
+      .get
+    // the half-published generation is what the died batch WOULD have
+    // committed for this bucket: its full merged content (publish only
+    // ever renames a complete staged bucket output)
+    val victimCur = spark.read.parquet(
+      victimBucket.listFiles().map(_.getPath).sorted.last)
+    victimCur.where("k <> 1").unionByName(df((1L, 99L, "vZ")))
+      .write.parquet(f"${victimBucket.getPath}/g${committed + 1}%012d")
+    // torn-proof snapshot: the half-published generation is invisible
+    // at the committed seq
+    val snap = api.UpsertStore.readAsOf(spark, dir, committed)
+      .select("k", "version", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(snap.head == (1L, 9L, "vX"),
+      "readAsOf(snapshotSeq) must not see a half-published generation")
+    assert(snap.size == 20)
+    // the foreachBatch replay of the died batch converges: same seq,
+    // partial generation overwritten
+    assert(api.UpsertStore.update(df((1L, 99L, "vZ")), dir, "k", "version",
+      batchId = Some("d")))
+    assert(api.UpsertStore.snapshotSeq(spark, dir) == committed + 1)
+    assert(table().head == (1L, 99L, "vZ"))
+    assert(table().size == 20)
+
+    // rebucket's root-swap crash window: the complete store retired at
+    // <dir>-old while <dir> is gone — every read path falls back
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir-old")))
+    assert(table().size == 20, "read must fall back to the <dir>-old root")
+    assert(api.UpsertStore.buckets(spark, dir) > 0)
   }
 
   test("dqSink: per-micro-batch panels land in DqHistory; trend flags the regression") {
