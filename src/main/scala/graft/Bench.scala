@@ -67,7 +67,9 @@ object Bench {
     // round 10: SQL MERGE surface, sketch-merged MAU, ball-pruned
     // neardup, real-codec multimodal, webhook module
     "core_merge_sql", "rel_dau_mau_hll", "rel_pareto_concentration",
-    "llm_embedding_neardup", "llm_multimodal_decode", "mod_webhook_parse")
+    "llm_embedding_neardup", "llm_multimodal_decode", "mod_webhook_parse",
+    // round 11: generation-log store (DML triad, time travel, CDC-out)
+    "core_update_sql", "core_store_time_travel", "core_store_changefeed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -117,10 +117,13 @@ object StoreIO {
     * above the worst-case update (it bounds crash-recovery latency,
     * nothing else).
     *
-    * Atomicity caveat: create-no-overwrite and rename are atomic on
-    * local FS and HDFS. Plain S3 (s3a) has neither — on S3 back the
-    * lease with a conditional-put layer (S3 If-None-Match) or an
-    * external lock service, and treat this lease as best-effort
+    * Atomicity caveat: acquisition is POSIX O_CREAT|O_EXCL on file:
+    * URIs (Hadoop's LocalFileSystem create(overwrite=false) is
+    * check-then-act and NOT atomic — a concurrency soak caught two
+    * simultaneous writers both entering) and the server-side atomic
+    * create-no-overwrite on HDFS. Plain S3 (s3a) has neither — on S3
+    * back the lease with a conditional-put layer (S3 If-None-Match)
+    * or an external lock service, and treat this lease as best-effort
     * double-write protection.
     */
   def withLease[A](spark: SparkSession, dir: String, staleMs: Long = 600000L)(
@@ -129,9 +132,23 @@ object StoreIO {
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(root)) f.mkdirs(root)
     val lease = new org.apache.hadoop.fs.Path(s"$dir/.lease")
-    def tryAcquire(): Boolean =
-      try { f.create(lease, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    // Hadoop's LocalFileSystem.create(overwrite = false) is
+    // check-then-act — NOT atomic — so two simultaneous writers could
+    // both "create" the lease and both enter the critical section (a
+    // concurrency soak caught exactly that: racing commits-table
+    // swaps). On file: URIs go through POSIX O_CREAT|O_EXCL
+    // (File.createNewFile — genuinely atomic); elsewhere (HDFS) the
+    // server-side create-no-overwrite is atomic already.
+    val qualified = f.makeQualified(lease)
+    def tryAcquire(): Boolean = {
+      val scheme = qualified.toUri.getScheme
+      if (scheme == null || scheme == "file")
+        try new java.io.File(qualified.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      else
+        try { f.create(lease, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
     if (!tryAcquire()) {
       val stale =
         try System.currentTimeMillis() -

@@ -415,6 +415,104 @@ object UpsertStore {
     }
   }
 
+  /** Bucket-pruned point lookup: the probe keys route through the
+    * store's own bucket hash, so ONLY the buckets they land in are
+    * read (and semi-joined against the key slice) — the O(touched
+    * buckets) read path the bucketing buys, never a table scan. At
+    * 100 TB a handful of probe keys reads a handful of bucket
+    * generations; untouched buckets are not even listed.
+    */
+  def lookup(keys: DataFrame, dir: String, key: String): DataFrame = {
+    val spark = keys.sparkSession
+    val root = rootOf(spark, dir)
+    val n = buckets(spark, root)
+    val fsys = StoreIO.fs(spark, root)
+    val k = keys.select(key).distinct()
+      .withColumn("__b", bucketExpr(key, n))
+      .localCheckpoint()
+    val touched = k.select("__b").distinct().collect()
+      .map(_.getInt(0)).sorted // bounded by nBuckets, never by data
+    val paths = touched.toIndexedSeq.flatMap { b =>
+      val gens = genList(fsys, bucketDir(root, b))
+      if (gens.isEmpty) None else Some(gens.maxBy(_._1)._2)
+    }
+    if (paths.isEmpty) read(spark, root).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .join(k.drop("__b"), Seq(key), "left_semi")
+  }
+
+  /** CDC-OUT off the generation log: the row-level changes between two
+    * committed snapshots — `change` is `insert` (key only in `toSeq`),
+    * `delete` (key only in `fromSeq`; values are the before-image) or
+    * `update` (key in both with any column differing; values are the
+    * after-image). Unchanged rows emit nothing. This is the read side
+    * of `core_apply_changefeed`: downstream consumers re-derive a
+    * change feed FROM the store instead of re-diffing full snapshots.
+    *
+    * Path-pruned by construction: a bucket whose newest-generation
+    * path is IDENTICAL at both seqs cannot contain a change and is
+    * skipped without being read — between adjacent commits that is
+    * every untouched bucket, so the diff costs O(changed buckets), not
+    * O(table). Both sides route through the same bucket hash, so at
+    * scale the join is effectively co-partitioned.
+    */
+  def changesBetween(
+      spark: SparkSession,
+      dir: String,
+      fromSeq: Long,
+      toSeq: Long,
+      key: String): DataFrame = {
+    val root = rootOf(spark, dir)
+    require(fromSeq <= toSeq, s"changesBetween: fromSeq $fromSeq > toSeq $toSeq")
+    val base = baseSeq(spark, root)
+    require(fromSeq >= base,
+      s"store $dir retains history from commit $base; asked for $fromSeq")
+    val n = buckets(spark, root)
+    val fsys = StoreIO.fs(spark, root)
+    val perBucket = (0 until n).map { b =>
+      val gens = genList(fsys, bucketDir(root, b))
+      def at(s: Long) = {
+        val g = gens.filter(_._1 <= s)
+        if (g.isEmpty) None else Some(g.maxBy(_._1)._2)
+      }
+      (at(fromSeq), at(toSeq))
+    }.filter { case (a, b) => a != b } // identical path == identical rows
+    def side(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    val aOpt = side(perBucket.flatMap(_._1))
+    val bOpt = side(perBucket.flatMap(_._2))
+    (aOpt, bOpt) match {
+      case (None, None) =>
+        // no changed buckets: an empty frame in the change-feed shape
+        val cur = read(spark, root)
+        cur.limit(0).withColumn("change", lit(""))
+          .select(col("change") +: cur.columns.map(col).toIndexedSeq: _*)
+      case _ =>
+        val schema = (aOpt, bOpt) match {
+          case (Some(a), Some(b)) =>
+            StructType((a.schema ++ b.schema.filterNot(f =>
+              a.schema.fieldNames.contains(f.name))).toSeq)
+          case _ => aOpt.orElse(bOpt).get.schema
+        }
+        def aligned(o: Option[DataFrame]) =
+          align(o.getOrElse(emptyOf(spark, schema)), schema)
+        val others = schema.fieldNames.filterNot(_ == key).toIndexedSeq
+        val a = aligned(aOpt).select(col(key),
+          struct(others.map(col): _*).as("__before"))
+        val b = aligned(bOpt).select(col(key),
+          struct(others.map(col): _*).as("__after"))
+        a.join(b, Seq(key), "full_outer")
+          .withColumn("change",
+            when(col("__before").isNull, lit("insert"))
+              .when(col("__after").isNull, lit("delete"))
+              .when(!(col("__before") <=> col("__after")), lit("update")))
+          .where(col("change").isNotNull)
+          .select(col("change") +: col(key) +: others.map(c =>
+            coalesce(col(s"__after.$c"), col(s"__before.$c")).as(c)): _*)
+    }
+  }
+
   /** Per-bucket row counts off the newest generations — layout
     * introspection for skew reads and rebucket decisions. One count per
     * existing bucket dir; no key rehash, no table-wide pass.

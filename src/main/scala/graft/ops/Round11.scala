@@ -219,5 +219,121 @@ object Round11 {
       Some("SELECT CAST(3 AS BIGINT) AS base_seq, CAST(4 AS BIGINT) AS snapshot_seq, " +
         "(SELECT count(DISTINCT o_custkey) FROM orders) AS rows_current, " +
         "(SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderkey % 4 <= 2) AS rows_asof_base")),
+
+    // BUCKET-PRUNED POINT LOOKUP: the probe keys route through the
+    // store's own hash, so only the buckets they land in are read and
+    // semi-joined — the O(probe) read path that justifies key
+    // bucketing (a spec pins that the physical scan touches only the
+    // probed buckets' paths). Probe set: every ~97th customer.
+    Op("core_store_point_lookup",
+      (s, d) => {
+        val dir = s"target/tmp/lookup_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.api.UpsertStore.update(
+          T.t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          dir, "o_custkey", "o_orderkey", nBuckets = 16, batchId = Some("seed")): Unit
+        val probes = T.t(s, d, "orders")
+          .where("o_custkey % 97 = 0").select("o_custkey").distinct()
+        val got = graft.api.UpsertStore.lookup(probes, dir, "o_custkey")
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f " +
+        "WHERE rn = 1 AND o_custkey % 97 = 0 ORDER BY o_custkey")),
+
+    // CHANGEFEED OUT of the generation log (the read twin of
+    // core_apply_changefeed): row-level insert/update/delete between
+    // commit 1 (first batch) and commit 3 (second batch + a DELETE
+    // sweep). Buckets whose newest-generation path is identical at
+    // both seqs are skipped unread, so the diff costs O(changed
+    // buckets); keys whose winning row did not change emit nothing
+    // (including insert-then-delete inside the window — snapshot-diff
+    // semantics).
+    Op("core_store_changefeed",
+      (s, d) => {
+        val dir = s"target/tmp/changefeed_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .where("o_orderkey % 3 <= 1")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 1).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        val got = graft.api.UpsertStore
+          .changesBetween(s, dir, fromSeq = 1L, toSeq = 3L, key = "o_custkey")
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b " +
+        "FROM orders WHERE o_orderkey % 3 <= 1), " +
+        "s1 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM t WHERE b = 0) WHERE rn = 1), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "s3 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3) " +
+        "SELECT CASE WHEN s1.o_custkey IS NULL THEN 'insert' " +
+        "WHEN s3.o_custkey IS NULL THEN 'delete' ELSE 'update' END AS change, " +
+        "coalesce(s3.o_custkey, s1.o_custkey) AS o_custkey, " +
+        "coalesce(s3.o_orderkey, s1.o_orderkey) AS o_orderkey, " +
+        "coalesce(s3.o_totalprice, s1.o_totalprice) AS o_totalprice " +
+        "FROM s1 FULL OUTER JOIN s3 ON s1.o_custkey = s3.o_custkey " +
+        "WHERE s1.o_custkey IS NULL OR s3.o_custkey IS NULL " +
+        "OR s1.o_orderkey IS DISTINCT FROM s3.o_orderkey " +
+        "OR s1.o_totalprice IS DISTINCT FROM s3.o_totalprice " +
+        "ORDER BY o_custkey")),
+
+    // Chi-squared independence test (market segment x nation band on
+    // customer) — the categorical companion to rel_ks_drift_test /
+    // rel_psi_drift / rel_ab_welch_ttest: per-cell observed counts,
+    // expected under independence, and the chi2 contribution, all in
+    // integer fixed point ((o*n - r*c)^2 * 1e6 div (r*c*n) — no
+    // cross-engine float summation to trust; DECIMAL(38) headroom
+    // holds to ~1e8 rows x 1e8 cell counts, normalize first beyond).
+    // One map-side-combinable groupBy builds the 25-cell contingency;
+    // margins and the total are bounded broadcast joins off it.
+    Op("rel_chi2_independence",
+      (s, d) => {
+        val cell = T.t(s, d, "customer")
+          .groupBy(col("c_mktsegment"), expr("c_nationkey % 5").as("nat_band"))
+          .agg(count(lit(1)).as("o"))
+        val rm = cell.groupBy("c_mktsegment").agg(sum("o").as("r"))
+        val cm = cell.groupBy("nat_band").agg(sum("o").as("c"))
+        val nn = cell.agg(sum("o").as("n"))
+        val dlt = "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+        cell.join(broadcast(rm), "c_mktsegment")
+          .join(broadcast(cm), "nat_band")
+          .crossJoin(broadcast(nn))
+          .select(col("c_mktsegment"), col("nat_band"), col("o").as("n_obs"),
+            expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 div n AS BIGINT)")
+              .as("expected_ppm"),
+            expr(s"CAST($dlt * $dlt * 1000000 div " +
+              "(CAST(r AS DECIMAL(38,0)) * c * n) AS BIGINT)").as("contrib_ppm"))
+          .orderBy("c_mktsegment", "nat_band")
+      },
+      Some("WITH cell AS (SELECT c_mktsegment, c_nationkey % 5 AS nat_band, " +
+        "count(*) AS o FROM customer GROUP BY 1, 2), " +
+        "r AS (SELECT c_mktsegment, sum(o) AS r FROM cell GROUP BY 1), " +
+        "c AS (SELECT nat_band, sum(o) AS c FROM cell GROUP BY 1), " +
+        "nn AS (SELECT sum(o) AS n FROM cell) " +
+        "SELECT cell.c_mktsegment, cell.nat_band, o AS n_obs, " +
+        "CAST(CAST(r.r AS HUGEINT) * c.c * 1000000 // nn.n AS BIGINT) AS expected_ppm, " +
+        "CAST((CAST(o AS HUGEINT) * nn.n - CAST(r.r AS HUGEINT) * c.c) * " +
+        "(CAST(o AS HUGEINT) * nn.n - CAST(r.r AS HUGEINT) * c.c) * 1000000 // " +
+        "(CAST(r.r AS HUGEINT) * c.c * nn.n) AS BIGINT) AS contrib_ppm " +
+        "FROM cell JOIN r USING (c_mktsegment) JOIN c USING (nat_band), nn " +
+        "ORDER BY c_mktsegment, nat_band")),
   )
 }

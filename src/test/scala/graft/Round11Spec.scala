@@ -249,6 +249,67 @@ class Round11Spec extends AnyFunSuite {
     assert(api.UpsertStore.buckets(spark, d) == 8)
   }
 
+  // ---- point lookup + changefeed -----------------------------------------
+
+  test("lookup reads ONLY the probed keys' buckets (physical scan paths)") {
+    val d = tmpDir("lookup")
+    api.UpsertStore.update(
+      (1 to 64).map(i => (i.toLong, 1L, s"v$i")).toDF("k", "version", "payload"),
+      d, "k", "version", nBuckets = 16, batchId = Some("seed"))
+    val probe = Seq(7L).toDF("k")
+    val got = api.UpsertStore.lookup(probe, d, "k")
+    assert(got.select("k", "version", "payload")
+      .as[(Long, Long, String)].collect().toSeq == Seq((7L, 1L, "v7")))
+    // the scan's root paths must sit inside ONE bucket dir — the one
+    // key 7 hashes into — not the whole store
+    val scanPaths = got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.filter(_.contains(d))
+    assert(scanPaths.nonEmpty)
+    val bucketsRead = scanPaths.map(_.replaceAll(".*/(b\\d+)/.*", "$1")).distinct
+    assert(bucketsRead.size == 1,
+      s"one probe key must read one bucket, read: $bucketsRead")
+    // a probe on an absent key returns empty, not an error
+    assert(api.UpsertStore.lookup(Seq(9999L).toDF("k"), d, "k").count() == 0)
+  }
+
+  test("changesBetween: insert/update/delete/unchanged; untouched buckets unread") {
+    val d = tmpDir("cdc_out")
+    api.UpsertStore.update(
+      (1 to 32).map(i => (i.toLong, 1L, s"v$i")).toDF("k", "version", "payload"),
+      d, "k", "version", nBuckets = 8, batchId = Some("c1"))
+    // commit 2: update key 1, insert key 100; commit 3: delete key 2
+    api.UpsertStore.update(df((1L, 2L, "v1b"), (100L, 1L, "new")),
+      d, "k", "version", nBuckets = 8, batchId = Some("c2"))
+    api.UpsertStore.delete(spark, d, expr("k = 2"), batchId = Some("c3"))
+    val ch = api.UpsertStore.changesBetween(spark, d, 1L, 3L, "k")
+    val rows = ch.select("change", "k", "version", "payload")
+      .as[(String, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(rows == Seq(("update", 1L, 2L, "v1b"), ("delete", 2L, 1L, "v2"),
+      ("insert", 100L, 1L, "new")).sortBy(_._2))
+    // buckets untouched by commits 2-3 must not even be scanned
+    val scanned = ch.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.filter(_.contains("/b")).map(_.replaceAll(".*/(b\\d+)/.*", "$1")).toSet
+    val touched = Seq(1L, 2L, 100L)
+      .map(k => api.UpsertStore.lookup(Seq(k).toDF("k"), d, "k"))
+      .flatMap(_.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten).map(_.replaceAll(".*/(b\\d+)/.*", "$1")).toSet
+    assert(scanned.subsetOf(touched),
+      s"changefeed scanned $scanned, but only $touched changed")
+    // identical seqs diff to nothing
+    assert(api.UpsertStore.changesBetween(spark, d, 3L, 3L, "k").count() == 0)
+    // pre-retention history guard applies here too
+    api.UpsertStore.retain(spark, d, keepCommits = 1)
+    intercept[IllegalArgumentException] {
+      api.UpsertStore.changesBetween(spark, d, 1L, 3L, "k")
+    }
+  }
+
   // ---- concurrency soak --------------------------------------------------
 
   test("two concurrent MERGE writers on distinct batches both land exactly once") {
