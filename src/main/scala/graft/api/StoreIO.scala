@@ -170,6 +170,56 @@ object StoreIO {
     try body finally f.delete(lease, false)
   }
 
+  /** Read a small driver-side metadata file (one string), None when
+    * absent. Store METADATA (bucket meta, commit logs) is not data —
+    * reading it through a Spark job pays scheduler latency per store
+    * access; Iceberg/Delta keep such state in small JSON files for the
+    * same reason.
+    */
+  def readSmall(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Atomically replace a small metadata file: write a staged sibling,
+    * then promote. On file: URIs the promote is a POSIX atomic rename
+    * (readers see the old or the new content, never neither); on other
+    * filesystems it is delete+rename with the same tiny window the
+    * generation swaps document. Callers serialize writers via the
+    * lease; this protects READERS.
+    */
+  def writeSmallAtomic(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path-staged-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = f.makeQualified(new org.apache.hadoop.fs.Path(path))
+    if (target.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      f.delete(new org.apache.hadoop.fs.Path(path), false)
+      require(f.rename(tmp, new org.apache.hadoop.fs.Path(path)),
+        s"writeSmallAtomic: cannot promote $tmp")
+    }
+  }
+
   private val stagedRe = "^(.*-)?staged-[0-9a-f]{8}$".r
 
   /** Garbage-collect crash debris under a store root: orphaned
@@ -199,7 +249,9 @@ object StoreIO {
       def walk(p: org.apache.hadoop.fs.Path): (Int, Int) = {
         f.listStatus(p)
           .filter(e => !e.isDirectory &&
-            e.getPath.getName.startsWith(".lease-broken-"))
+            (e.getPath.getName.startsWith(".lease-broken-") ||
+              (stagedRe.matches(e.getPath.getName) &&
+                e.getModificationTime <= cutoff)))
           .foreach(e => f.delete(e.getPath, false))
         val entries = f.listStatus(p).filter(_.isDirectory)
         val names = entries.map(_.getPath.getName).toSet

@@ -88,53 +88,79 @@ object UpsertStore {
     * between its two renames leaves the complete old store at
     * `<dir>-old`. Readers must consult it — `<dir>` may even EXIST yet
     * be empty (a concurrent lease acquisition mkdirs the root), so the
-    * probe is for `meta`, not the directory.
+    * probe is for the meta file, not the directory.
     */
   private def rootOf(spark: SparkSession, dir: String): String = {
     val f = StoreIO.fs(spark, dir)
-    def hasMeta(d: String) =
-      f.exists(hp(s"$d/meta")) || f.exists(hp(s"$d/meta-old"))
+    def hasMeta(d: String) = f.exists(hp(s"$d/meta.json"))
     if (!hasMeta(dir) && hasMeta(s"$dir-old")) s"$dir-old" else dir
   }
+
+  // Store METADATA lives in small JSON files read/written driver-side
+  // (StoreIO.readSmall / writeSmallAtomic) — the Iceberg/Delta posture.
+  // Going through parquet + Spark jobs for a 1-row meta and a
+  // few-hundred-row commit log cost 3-5 scheduler round-trips PER
+  // COMMIT and one per store READ; at 100 TB metadata latency gates
+  // micro-batch cadence, not data throughput.
+
+  private final case class Meta(nBuckets: Int, baseSeq: Long)
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jstr(s: String): String = jackson.writeValueAsString(s)
+
+  private def metaOf(spark: SparkSession, root: String): Meta = {
+    val txt = StoreIO.readSmall(spark, s"$root/meta.json").getOrElse(
+      sys.error(s"upsert store $root has no meta.json"))
+    val n = jackson.readTree(txt)
+    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong())
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit =
+    StoreIO.writeSmallAtomic(spark, s"$root/meta.json",
+      s"""{"n_buckets":${m.nBuckets},"base_seq":${m.baseSeq}}""")
 
   /** Stored bucket count (meta is written once at bootstrap, so every
     * later batch agrees on the hash modulus whatever the caller says).
     */
   def buckets(spark: SparkSession, dir: String): Int =
-    StoreIO.read(spark, rootOf(spark, dir), "meta")
-      .select("n_buckets").head().getInt(0)
+    metaOf(spark, rootOf(spark, dir)).nBuckets
 
   /** Oldest commit still reconstructable by [[readAsOf]] — advanced by
     * retention and by [[rebucket]] (which compacts history into one
     * full generation).
     */
-  def baseSeq(spark: SparkSession, dir: String): Long = {
-    val m = StoreIO.read(spark, rootOf(spark, dir), "meta")
-    if (m.columns.contains("base_seq")) m.select("base_seq").head().getLong(0)
-    else 0L
-  }
+  def baseSeq(spark: SparkSession, dir: String): Long =
+    metaOf(spark, rootOf(spark, dir)).baseSeq
 
-  def exists(spark: SparkSession, dir: String): Boolean = {
-    val r = rootOf(spark, dir)
-    StoreIO.exists(spark, s"$r/meta") || StoreIO.exists(spark, s"$r/meta-old")
-  }
+  def exists(spark: SparkSession, dir: String): Boolean =
+    StoreIO.exists(spark, s"${rootOf(spark, dir)}/meta.json")
 
   private val commitsSchema = StructType(Seq(
     StructField("seq", LongType), StructField("batch_id", StringType),
     StructField("kind", StringType), StructField("ts_ms", LongType)))
 
-  private def commitsDf(spark: SparkSession, root: String): DataFrame =
-    if (StoreIO.exists(spark, s"$root/commits") ||
-        StoreIO.exists(spark, s"$root/commits-old"))
-      StoreIO.read(spark, root, "commits")
-    else spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), commitsSchema)
+  private final case class Commit(
+      seq: Long, batchId: Option[String], kind: String, tsMs: Long)
+
+  /** The commit log as JSON lines (newest last). */
+  private def commitLog(spark: SparkSession, root: String): Seq[Commit] =
+    StoreIO.readSmall(spark, s"$root/commits.json").toSeq
+      .flatMap(_.split('\n')).filter(_.nonEmpty).map { line =>
+        val n = jackson.readTree(line)
+        Commit(n.get("seq").asLong(),
+          Option(n.get("batch_id")).filterNot(_.isNull).map(_.asText()),
+          n.get("kind").asText(), n.get("ts_ms").asLong())
+      }
 
   /** The commit log: (seq, batch_id, kind, ts_ms), one row per
     * state-changing commit (merge / delete / update / rebucket).
     */
   def commits(spark: SparkSession, dir: String): DataFrame =
-    commitsDf(spark, rootOf(spark, dir))
+    spark.createDataFrame(
+      java.util.Arrays.asList(commitLog(spark, rootOf(spark, dir)).map(c =>
+        Row(c.seq, c.batchId.orNull, c.kind, c.tsMs)): _*),
+      commitsSchema)
 
   /** Newest committed seq — `readAsOf(snapshotSeq(dir))` is the
     * torn-proof consistent read (the log advances only after every
@@ -142,19 +168,19 @@ object UpsertStore {
     */
   def snapshotSeq(spark: SparkSession, dir: String): Long = {
     val root = rootOf(spark, dir)
-    val m = commitsDf(spark, root).agg(max("seq")).head()
-    if (m.isNullAt(0)) baseSeq(spark, root) else m.getLong(0)
+    val log = commitLog(spark, root)
+    if (log.isEmpty) metaOf(spark, root).baseSeq else log.map(_.seq).max
   }
 
   private def recordCommit(
       spark: SparkSession, root: String, seq: Long,
-      batchId: Option[String], kind: String): Unit =
-    StoreIO.swapIn(
-      commitsDf(spark, root).unionByName(spark.createDataFrame(
-        java.util.Arrays.asList(
-          Row(seq, batchId.orNull, kind, System.currentTimeMillis())),
-        commitsSchema)),
-      spark, s"$root/commits")
+      batchId: Option[String], kind: String): Unit = {
+    val prev = StoreIO.readSmall(spark, s"$root/commits.json").getOrElse("")
+    val line = s"""{"seq":$seq,"batch_id":${batchId.map(jstr).getOrElse("null")},""" +
+      s""""kind":${jstr(kind)},"ts_ms":${System.currentTimeMillis()}}"""
+    StoreIO.writeSmallAtomic(spark, s"$root/commits.json",
+      if (prev.isEmpty) line + "\n" else prev + line + "\n")
+  }
 
   /** All generations of one bucket: (seq, path), unsorted. */
   private def genList(
@@ -210,10 +236,9 @@ object UpsertStore {
     */
   def readAsOfTime(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
     val root = rootOf(spark, dir)
-    val m = commitsDf(spark, root)
-      .where(col("ts_ms") <= tsMs).agg(max("seq")).head()
-    require(!m.isNullAt(0), s"store $dir has no commit at or before ts $tsMs")
-    readAsOf(spark, root, m.getLong(0))
+    val at = commitLog(spark, root).filter(_.tsMs <= tsMs)
+    require(at.nonEmpty, s"store $dir has no commit at or before ts $tsMs")
+    readAsOf(spark, root, at.map(_.seq).max)
   }
 
   /** Merge one batch. Returns false when `batchId` is already in the
@@ -557,9 +582,7 @@ object UpsertStore {
         gens.filter(_._1 < base).foreach(g => f.delete(hp(g._2), true))
       }
     }
-    import spark.implicits._
-    StoreIO.swapIn(Seq((n, cutoff)).toDF("n_buckets", "base_seq"),
-      spark, s"$root/meta")
+    writeMeta(spark, root, Meta(n, cutoff))
   }
 
   /** Re-bucket the store to `newBuckets` — the maintenance move when a
@@ -592,16 +615,15 @@ object UpsertStore {
       key: String,
       newBuckets: Int): Unit =
     StoreIO.withLease(spark, dir) {
+      val root0 = rootOf(spark, dir)
       val cur = read(spark, dir).localCheckpoint()
       val ledger = StoreIO.read(spark, dir, "applied").localCheckpoint()
-      val log = commitsDf(spark, rootOf(spark, dir)).localCheckpoint()
+      val log = StoreIO.readSmall(spark, s"$root0/commits.json")
       val seq = snapshotSeq(spark, dir)
       val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
-      import spark.implicits._
-      StoreIO.swapIn(Seq((newBuckets, seq)).toDF("n_buckets", "base_seq"),
-        spark, s"$staged/meta")
+      writeMeta(spark, staged, Meta(newBuckets, seq))
       StoreIO.swapIn(ledger, spark, s"$staged/applied")
-      StoreIO.swapIn(log, spark, s"$staged/commits")
+      log.foreach(StoreIO.writeSmallAtomic(spark, s"$staged/commits.json", _))
       val tmp = s"$staged/rehash-tmp"
       cur.withColumn("__b", bucketExpr(key, newBuckets))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
@@ -623,7 +645,7 @@ object UpsertStore {
       // the promoted root must hold the lease this critical section owns
       f.create(hp(s"$staged/.lease"), true).close()
       StoreIO.swapInDir(spark, staged, dir)
-      require(StoreIO.exists(spark, s"$dir/meta"),
+      require(StoreIO.exists(spark, s"$dir/meta.json"),
         s"rebucket: promote of $dir raced a concurrent writer; " +
           s"store intact at $dir-old")
     }
@@ -665,9 +687,7 @@ object UpsertStore {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
     if (bootstrap) {
-      import spark.implicits._
-      StoreIO.swapIn(Seq((nBuckets, 0L)).toDF("n_buckets", "base_seq"),
-        spark, s"$dir/meta")
+      writeMeta(spark, dir, Meta(nBuckets, 0L))
       StoreIO.swapIn(StoreIO.ledgerDf(spark, Seq.empty), spark, s"$dir/applied")
     }
     val root = rootOf(spark, dir)
