@@ -51,10 +51,9 @@ import org.apache.spark.sql.types._
   *    the SAME seq and re-publishes every touched bucket (the merge is
   *    idempotent per key — deleting a half-written `g<seq>` before the
   *    rename makes the overwrite safe).
-  *  - between the commit-log append and the applied-ledger append: the
-  *    replay re-merges under a fresh seq; content is identical (the
-  *    anti-join removes the already-applied keys and re-inserts them
-  *    identically), so the extra commit is a no-op state.
+  *  - there is NO commit-vs-ledger gap: the commit log line carries the
+  *    batch id, so the replay check and the commit record are one
+  *    atomic metadata append.
   *
   * At 100 TB: pick `nBuckets` so a bucket is a few GB (the unit of
   * rewrite); the touched-bucket read is a path-pruned scan, never a
@@ -182,6 +181,17 @@ object UpsertStore {
       if (prev.isEmpty) line + "\n" else prev + line + "\n")
   }
 
+  /** The commit log IS the applied-batch ledger: `batch_id` rides every
+    * commit line, so the replay check and the commit record are ONE
+    * atomic metadata append — there is no commit-log-vs-ledger crash
+    * gap, and the check costs an FS read, not a Spark job. Mutations
+    * that change nothing still commit (an empty line, no generations)
+    * when a batchId is present, so their replays stay exact no-ops.
+    */
+  private def appliedInLog(
+      spark: SparkSession, root: String, batchId: String): Boolean =
+    commitLog(spark, root).exists(_.batchId.contains(batchId))
+
   /** All generations of one bucket: (seq, path), unsorted. */
   private def genList(
       f: org.apache.hadoop.fs.FileSystem,
@@ -299,14 +309,12 @@ object UpsertStore {
       leaseStaleMs: Long = 600000L): Long =
     StoreIO.withLease(spark, dir, leaseStaleMs) {
       val root = rootOf(spark, dir)
-      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
+      if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
         val hit = coalesce(predicate, lit(false))
-        val removed = rewriteBuckets(spark, root, "delete", batchId) {
+        rewriteBuckets(spark, root, "delete", batchId) {
           cur => (cur.where(hit).count(), cur.where(!hit))
         }
-        batchId.foreach(StoreIO.recordApplied(spark, root, _))
-        removed
       }
     }
 
@@ -326,7 +334,7 @@ object UpsertStore {
       leaseStaleMs: Long = 600000L): Long =
     StoreIO.withLease(spark, dir, leaseStaleMs) {
       val root = rootOf(spark, dir)
-      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
+      if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
         val schema = read(spark, root).schema
         val cols = schema.fieldNames.toSet
@@ -335,7 +343,7 @@ object UpsertStore {
         }
         val hit = coalesce(predicate, lit(false))
         val setMap = set.toMap
-        val updated = rewriteBuckets(spark, root, "update", batchId) { cur =>
+        rewriteBuckets(spark, root, "update", batchId) { cur =>
           val n = cur.where(hit).count()
           // one SELECT so every assignment reads the pre-update row
           (n, cur.select(schema.fieldNames.toSeq.map { c =>
@@ -345,8 +353,6 @@ object UpsertStore {
             }
           }: _*))
         }
-        batchId.foreach(StoreIO.recordApplied(spark, root, _))
-        updated
       }
     }
 
@@ -380,7 +386,9 @@ object UpsertStore {
         }
       }
     }
-    if (touched) recordCommit(spark, root, seq, batchId, kind)
+    // a ledgered no-change mutation still commits (empty line, no
+    // generations) so its replay is an exact no-op
+    if (touched || batchId.nonEmpty) recordCommit(spark, root, seq, batchId, kind)
     affected
   }
 
@@ -407,7 +415,7 @@ object UpsertStore {
     val spark = keys.sparkSession
     StoreIO.withLease(spark, dir, leaseStaleMs) {
       val root = rootOf(spark, dir)
-      if (batchId.exists(StoreIO.applied(spark, root, _))) 0L
+      if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
         val n = buckets(spark, root)
         val fsys = StoreIO.fs(spark, root)
@@ -433,8 +441,8 @@ object UpsertStore {
             }
           }
         }
-        if (wrote) recordCommit(spark, root, seq, batchId, "delete_keys")
-        batchId.foreach(StoreIO.recordApplied(spark, root, _))
+        if (wrote || batchId.nonEmpty)
+          recordCommit(spark, root, seq, batchId, "delete_keys")
         removed
       }
     }
@@ -617,12 +625,12 @@ object UpsertStore {
     StoreIO.withLease(spark, dir) {
       val root0 = rootOf(spark, dir)
       val cur = read(spark, dir).localCheckpoint()
-      val ledger = StoreIO.read(spark, dir, "applied").localCheckpoint()
+      // the commit log doubles as the applied ledger; carrying it over
+      // keeps pre-rebucket replays no-ops under the new modulus
       val log = StoreIO.readSmall(spark, s"$root0/commits.json")
       val seq = snapshotSeq(spark, dir)
       val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
       writeMeta(spark, staged, Meta(newBuckets, seq))
-      StoreIO.swapIn(ledger, spark, s"$staged/applied")
       log.foreach(StoreIO.writeSmallAtomic(spark, s"$staged/commits.json", _))
       val tmp = s"$staged/rehash-tmp"
       cur.withColumn("__b", bucketExpr(key, newBuckets))
@@ -686,12 +694,9 @@ object UpsertStore {
       retainCommits: Int): Boolean = {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
-    if (bootstrap) {
-      writeMeta(spark, dir, Meta(nBuckets, 0L))
-      StoreIO.swapIn(StoreIO.ledgerDf(spark, Seq.empty), spark, s"$dir/applied")
-    }
+    if (bootstrap) writeMeta(spark, dir, Meta(nBuckets, 0L))
     val root = rootOf(spark, dir)
-    if (batchId.exists(StoreIO.applied(spark, root, _))) return false
+    if (batchId.exists(appliedInLog(spark, root, _))) return false
     val n = buckets(spark, root)
     val seq = snapshotSeq(spark, root) + 1
     val fsys = StoreIO.fs(spark, root)
@@ -710,7 +715,6 @@ object UpsertStore {
       publishDf(emptyOf(spark, latest.drop("__b").schema),
         spark, bucketDir(root, 0), seq)
       recordCommit(spark, root, seq, batchId, "merge")
-      batchId.foreach(StoreIO.recordApplied(spark, root, _))
       return true
     }
     val existingPaths = touched.toIndexedSeq.flatMap { b =>
@@ -772,7 +776,6 @@ object UpsertStore {
     }
 
     recordCommit(spark, root, seq, batchId, "merge")
-    batchId.foreach(StoreIO.recordApplied(spark, root, _))
     retainLocked(spark, root, retainCommits)
     true
   }
