@@ -546,6 +546,37 @@ object UpsertStore {
     }
   }
 
+  /** Incremental changefeed consumption: the pending changes since the
+    * cursor's last consumed commit, plus the head seq to pass to
+    * [[commitCursor]] once the consumer has durably processed them —
+    * at-least-once by construction (a consumer that crashes before
+    * committing re-reads the same window; the changes are a
+    * deterministic function of the two snapshots, so redelivery is
+    * idempotent for idempotent consumers). A missing cursor starts at
+    * the store's base seq, so the first consumption is the initial
+    * load (every row an `insert`). A cursor that fell behind the
+    * retention horizon fails loudly via [[changesBetween]]'s guard —
+    * silently skipping unreconstructable history would lose deletes.
+    */
+  def changesSince(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      cursorPath: String): (DataFrame, Long) = {
+    val root = rootOf(spark, dir)
+    val from = StoreIO.readSmall(spark, cursorPath)
+      .map(jackson.readTree(_).get("last_seq").asLong())
+      .getOrElse(metaOf(spark, root).baseSeq)
+    val head = snapshotSeq(spark, root)
+    (changesBetween(spark, root, from, head, key), head)
+  }
+
+  /** Durably advance a consumer cursor (atomic replace — a crash
+    * leaves the old or the new cursor, never a torn one).
+    */
+  def commitCursor(spark: SparkSession, cursorPath: String, seq: Long): Unit =
+    StoreIO.writeSmallAtomic(spark, cursorPath, s"""{"last_seq":$seq}""")
+
   /** Per-bucket row counts off the newest generations — layout
     * introspection for skew reads and rebucket decisions. One count per
     * existing bucket dir; no key rehash, no table-wide pass.

@@ -295,6 +295,64 @@ object Round11 {
         "OR s1.o_totalprice IS DISTINCT FROM s3.o_totalprice " +
         "ORDER BY o_custkey")),
 
+    // INCREMENTAL CHANGEFEED CONSUMPTION — the CDC-consumer loop over
+    // the store (changesSince + commitCursor): run 1 consumes the
+    // 2-batch state as its initial load (every row an insert, cursor
+    // advances 0 -> 2); batch 3 and a DELETE sweep land; run 2
+    // consumes exactly the delta (cursor 2 -> 4). At-least-once by
+    // construction: the cursor only advances after the consumer has
+    // its batch; a replayed window re-derives the identical changes.
+    Op("core_store_incremental_consume",
+      (s, d) => {
+        val base = s"target/tmp/consume_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/table"
+        val cursor = s"$base/cursor.json"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        def batch(b: Int): Unit = graft.api.UpsertStore.update(
+          t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some(s"b$b")): Unit
+        batch(0); batch(1)
+        val (run1, head1) = graft.api.UpsertStore
+          .changesSince(s, dir, "o_custkey", cursor)
+        val r1 = run1.withColumn("run", lit("r1")).localCheckpoint()
+        graft.api.UpsertStore.commitCursor(s, cursor, head1)
+        batch(2)
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        val (run2, head2) = graft.api.UpsertStore
+          .changesSince(s, dir, "o_custkey", cursor)
+        val r2 = run2.withColumn("run", lit("r2")).localCheckpoint()
+        graft.api.UpsertStore.commitCursor(s, cursor, head2)
+        graft.api.StoreIO.delete(s, base)
+        r1.unionByName(r2).orderBy("run", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "s2 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb) WHERE rn = 1), " +
+        "m4 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "s4 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m4 ON t.o_custkey = m4.o_custkey AND t.b = m4.mb) " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3) " +
+        "SELECT 'insert' AS change, o_custkey, o_orderkey, o_totalprice, 'r1' AS run FROM s2 " +
+        "UNION ALL " +
+        "SELECT CASE WHEN s2.o_custkey IS NULL THEN 'insert' " +
+        "WHEN s4.o_custkey IS NULL THEN 'delete' ELSE 'update' END AS change, " +
+        "coalesce(s4.o_custkey, s2.o_custkey) AS o_custkey, " +
+        "coalesce(s4.o_orderkey, s2.o_orderkey) AS o_orderkey, " +
+        "coalesce(s4.o_totalprice, s2.o_totalprice) AS o_totalprice, 'r2' AS run " +
+        "FROM s2 FULL OUTER JOIN s4 ON s2.o_custkey = s4.o_custkey " +
+        "WHERE s2.o_custkey IS NULL OR s4.o_custkey IS NULL " +
+        "OR s2.o_orderkey IS DISTINCT FROM s4.o_orderkey " +
+        "OR s2.o_totalprice IS DISTINCT FROM s4.o_totalprice " +
+        "ORDER BY run, o_custkey")),
+
     // Chi-squared independence test (market segment x nation band on
     // customer) — the categorical companion to rel_ks_drift_test /
     // rel_psi_drift / rel_ab_welch_ttest: per-cell observed counts,

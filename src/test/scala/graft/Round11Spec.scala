@@ -310,6 +310,40 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("changesSince: at-least-once cursor; uncommitted windows redeliver") {
+    val base = tmpDir("consume")
+    val d = s"$base/table"
+    val cursor = s"$base/cursor.json"
+    api.UpsertStore.update(df((1L, 1L, "a"), (2L, 1L, "b")), d, "k", "version",
+      nBuckets = 4, batchId = Some("c1"))
+    def consume() = {
+      val (ch, head) = api.UpsertStore.changesSince(spark, d, "k", cursor)
+      (ch.select("change", "k").as[(String, Long)].collect().sortBy(_._2).toSeq,
+        head)
+    }
+    // initial load: everything is an insert
+    val (w1, h1) = consume()
+    assert(w1 == Seq(("insert", 1L), ("insert", 2L)) && h1 == 1L)
+    // crash before commitCursor: the SAME window redelivers
+    assert(consume()._1 == w1)
+    api.UpsertStore.commitCursor(spark, cursor, h1)
+    // nothing new: empty window at the same head
+    val (w2, h2) = consume()
+    assert(w2.isEmpty && h2 == 1L)
+    api.UpsertStore.update(df((2L, 5L, "b5")), d, "k", "version",
+      nBuckets = 4, batchId = Some("c2"))
+    assert(consume() == (Seq(("update", 2L)), 2L))
+    // a consumer that fell behind the retention horizon fails loudly
+    (3 to 6).foreach { i =>
+      api.UpsertStore.update(df((1L, i.toLong, s"v$i")), d, "k", "version",
+        nBuckets = 4, batchId = Some(s"c$i"))
+    }
+    api.UpsertStore.retain(spark, d, keepCommits = 2)
+    intercept[IllegalArgumentException] {
+      api.UpsertStore.changesSince(spark, d, "k", cursor)
+    }
+  }
+
   // ---- concurrency soak --------------------------------------------------
 
   test("two concurrent MERGE writers on distinct batches both land exactly once") {
