@@ -344,6 +344,42 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("readAsOf(snapshotSeq) is torn-proof under a live concurrent writer") {
+    val d = tmpDir("snap_reader")
+    val keys = 1 to 40
+    def batchDf(v: Int) = keys.map(k => (k.toLong, v.toLong, s"p$v"))
+      .toDF("k", "version", "payload")
+    api.UpsertStore.update(batchDf(1), d, "k", "version", nBuckets = 4,
+      batchId = Some("v1"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var writing = true
+    val writer = new Thread(() => {
+      try (2 to 8).foreach { v =>
+        api.UpsertStore.update(batchDf(v), d, "k", "version", nBuckets = 4,
+          batchId = Some(s"v$v"))
+      } catch { case t: Throwable => errs.add(t) }
+      finally writing = false
+    })
+    // every batch rewrites EVERY key, so a consistent snapshot holds
+    // exactly one version across its 40 rows; a torn read (some buckets
+    // at seq s, others at s+1) would mix versions. Plain read() is
+    // ALLOWED to tear across buckets — readAsOf(snapshotSeq) is not.
+    val reader = new Thread(() => {
+      try while (writing) {
+        val s = api.UpsertStore.snapshotSeq(spark, d)
+        val versions = api.UpsertStore.readAsOf(spark, d, s)
+          .select("version").distinct().as[Long].collect().toSeq
+        assert(versions.size == 1,
+          s"snapshot at seq $s mixed versions: $versions")
+        assert(versions.head == s, s"snapshot seq $s read version ${versions.head}")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    writer.start(); reader.start()
+    writer.join(180000L); reader.join(30000L)
+    assert(errs.isEmpty, s"failure under concurrency: ${Option(errs.peek())}")
+    assert(api.UpsertStore.read(spark, d).where("version = 8").count() == 40L)
+  }
+
   // ---- concurrency soak --------------------------------------------------
 
   test("two concurrent MERGE writers on distinct batches both land exactly once") {
