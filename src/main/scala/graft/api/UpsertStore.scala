@@ -577,6 +577,47 @@ object UpsertStore {
   def commitCursor(spark: SparkSession, cursorPath: String, seq: Long): Unit =
     StoreIO.writeSmallAtomic(spark, cursorPath, s"""{"last_seq":$seq}""")
 
+  /** Compact the newest generation of every bucket whose file count
+    * exceeds what its data volume needs (the Delta OPTIMIZE analog):
+    * each staged write leaves up to `shuffle.partitions` part files
+    * per bucket, so a long-running CDC sink accretes small files that
+    * tax every subsequent scan's task scheduling. Compaction rewrites
+    * only over-fragmented buckets into `ceil(bytes / targetFileBytes)`
+    * files as ONE new commit (kind `optimize`) — content is unchanged
+    * (time travel still reconstructs pre-compaction states from the
+    * retained generations), readers never see a partial rewrite, and
+    * a replay converges like any other commit. Returns the number of
+    * buckets rewritten.
+    */
+  def optimize(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    StoreIO.withLease(spark, dir) {
+      val root = rootOf(spark, dir)
+      val n = buckets(spark, root)
+      val fsys = StoreIO.fs(spark, root)
+      val seq = snapshotSeq(spark, root) + 1
+      var rewrote = 0
+      (0 until n).foreach { b =>
+        val gens = genList(fsys, bucketDir(root, b))
+        if (gens.nonEmpty) {
+          val cur = gens.maxBy(_._1)._2
+          val parts = fsys.listStatus(hp(cur))
+            .filter(s => !s.isDirectory && s.getPath.getName.startsWith("part-"))
+          val bytes = parts.map(_.getLen).sum
+          val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+          if (parts.length > want) {
+            publishDf(spark.read.parquet(cur).coalesce(want.toInt),
+              spark, bucketDir(root, b), seq)
+            rewrote += 1
+          }
+        }
+      }
+      if (rewrote > 0) recordCommit(spark, root, seq, None, "optimize")
+      rewrote
+    }
+
   /** Per-bucket row counts off the newest generations — layout
     * introspection for skew reads and rebucket decisions. One count per
     * existing bucket dir; no key rehash, no table-wide pass.

@@ -353,6 +353,44 @@ object Round11 {
         "OR s2.o_totalprice IS DISTINCT FROM s4.o_totalprice " +
         "ORDER BY run, o_custkey")),
 
+    // SMALL-FILE COMPACTION (the Delta OPTIMIZE analog): a CDC batch's
+    // staged write leaves up to shuffle.partitions part files per
+    // bucket; optimize() rewrites over-fragmented buckets to their
+    // size-appropriate file count as ONE new commit, content
+    // unchanged (the oracle pins it), file-count reduction asserted
+    // engine-side. Pre-compaction states stay time-travelable.
+    Op("core_store_optimize",
+      (s, d) => {
+        val dir = s"target/tmp/optimize_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.api.UpsertStore.update(
+          T.t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          dir, "o_custkey", "o_orderkey", nBuckets = 8, batchId = Some("seed")): Unit
+        def maxFiles(): Int = {
+          val f = graft.api.StoreIO.fs(s, dir)
+          (0 until 8).map { b =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/b$b")
+            if (!f.exists(p)) 0
+            else f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+              .map(g => f.listStatus(g)
+                .count(st => !st.isDirectory && st.getPath.getName.startsWith("part-")))
+              .maxOption.getOrElse(0)
+          }.maxOption.getOrElse(0)
+        }
+        val before = maxFiles()
+        graft.api.UpsertStore.optimize(s, dir): Unit
+        val after = maxFiles()
+        require(after <= math.max(1, before),
+          s"optimize must not fragment: $before -> $after files/bucket")
+        val got = graft.api.UpsertStore.read(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
+        "ORDER BY o_custkey")),
+
     // Chi-squared independence test (market segment x nation band on
     // customer) — the categorical companion to rel_ks_drift_test /
     // rel_psi_drift / rel_ab_welch_ttest: per-cell observed counts,

@@ -380,6 +380,44 @@ class Round11Spec extends AnyFunSuite {
     assert(api.UpsertStore.read(spark, d).where("version = 8").count() == 40L)
   }
 
+  test("optimize: content and time travel unchanged, file count bounded, idempotent") {
+    val d = tmpDir("optimize")
+    // two commits so compaction has history to preserve
+    api.UpsertStore.update(
+      (1 to 40).map(i => (i.toLong, 1L, s"v$i")).toDF("k", "version", "payload"),
+      d, "k", "version", nBuckets = 4, batchId = Some("c1"))
+    api.UpsertStore.update(df((1L, 2L, "v1b")), d, "k", "version",
+      nBuckets = 4, batchId = Some("c2"))
+    val preSeq = api.UpsertStore.snapshotSeq(spark, d)
+    val preState = state(d)
+    val preAsOf1 = api.UpsertStore.readAsOf(spark, d, 1L).count()
+    val rewrote = api.UpsertStore.optimize(spark, d, targetFileBytes = 1L << 30)
+    assert(rewrote > 0, "a 4-partition staged write must leave compactable buckets")
+    // content identical; compaction is its own commit
+    assert(state(d) == preState)
+    assert(api.UpsertStore.snapshotSeq(spark, d) == preSeq + 1)
+    assert(api.UpsertStore.commits(spark, d)
+      .where("kind = 'optimize'").count() == 1L)
+    // pre-compaction history still reconstructs
+    assert(api.UpsertStore.readAsOf(spark, d, preSeq)
+      .select("k", "version", "payload")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq == preState)
+    assert(api.UpsertStore.readAsOf(spark, d, 1L).count() == preAsOf1)
+    // idempotent: a second pass finds nothing to rewrite
+    assert(api.UpsertStore.optimize(spark, d, targetFileBytes = 1L << 30) == 0)
+    // every compacted bucket is down to one file
+    val f = api.StoreIO.fs(spark, d)
+    (0 until 4).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/b$b")
+      if (f.exists(p)) {
+        val newest = f.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath).maxBy(_.getName)
+        assert(f.listStatus(newest)
+          .count(st => !st.isDirectory && st.getPath.getName.startsWith("part-")) <= 1)
+      }
+    }
+  }
+
   // ---- concurrency soak --------------------------------------------------
 
   test("two concurrent MERGE writers on distinct batches both land exactly once") {
