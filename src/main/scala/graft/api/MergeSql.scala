@@ -197,7 +197,40 @@ object MergeSql {
     }
   }
 
-  /** Read back a MERGE target (the store's current generation). */
-  def readTarget(spark: SparkSession, dir: String): DataFrame =
-    UpsertStore.read(spark, dir)
+  /** Read back a MERGE target — the current table, or a time-travel
+    * snapshot when `versionAsOf` names a retained commit seq.
+    */
+  def readTarget(
+      spark: SparkSession,
+      dir: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    versionAsOf match {
+      case Some(seq) => UpsertStore.readAsOf(spark, dir, seq)
+      case None => UpsertStore.read(spark, dir)
+    }
+
+  private val optRe =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+  private val vacRe =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+COMMITS\s*;?\s*""".r
+
+  /** Maintenance verbs over a store target, completing the SQL-text
+    * surface beside MERGE/DELETE/UPDATE:
+    * `OPTIMIZE '<dir>'` — small-file compaction
+    * ([[UpsertStore.optimize]]; returns buckets rewritten), and
+    * `VACUUM '<dir>' RETAIN <n> COMMITS` — keep-N history retention
+    * ([[UpsertStore.retain]] then [[StoreIO.vacuum]] for crash debris;
+    * returns the new reconstruction horizon `base_seq`).
+    */
+  def runMaintenance(spark: SparkSession, sql: String): Long = sql match {
+    case optRe(dir) => UpsertStore.optimize(spark, dir).toLong
+    case vacRe(dir, n) =>
+      UpsertStore.retain(spark, dir, n.toInt)
+      StoreIO.vacuum(spark, dir): Unit
+      UpsertStore.baseSeq(spark, dir)
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported maintenance statement; expected: OPTIMIZE '<dir>' | " +
+          "VACUUM '<dir>' RETAIN <n> COMMITS")
+  }
 }

@@ -391,6 +391,54 @@ object Round11 {
         "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
         "ORDER BY o_custkey")),
 
+    // The MAINTENANCE SQL verbs closing the store's SQL-text surface
+    // (OPTIMIZE / VACUUM ... RETAIN N COMMITS beside MERGE/DELETE/
+    // UPDATE), plus VERSION AS OF read-back: four batches land via
+    // MERGE, VACUUM RETAIN 2 advances the horizon to seq 3, OPTIMIZE
+    // compacts, and the op ships the seq-3 snapshot and the current
+    // table under one oracle — the SQL path driving retention, time
+    // travel and compaction end-to-end.
+    Op("core_store_maintenance_sql",
+      (s, d) => {
+        val dir = s"target/tmp/maint_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(4)))
+        (0 to 3).foreach { b =>
+          t.where(col("b") === b).drop("b")
+            .createOrReplaceTempView(s"graft_maint_src_$b")
+          graft.api.MergeSql.run(s,
+            s"MERGE INTO '$dir' USING graft_maint_src_$b ON t.o_custkey = s.o_custkey " +
+              "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT *",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val horizon = graft.api.MergeSql.runMaintenance(s,
+          s"VACUUM '$dir' RETAIN 2 COMMITS")
+        require(horizon == 3L, s"RETAIN 2 of 4 commits must set base_seq 3, got $horizon")
+        graft.api.MergeSql.runMaintenance(s, s"OPTIMIZE '$dir'"): Unit
+        val asof = graft.api.MergeSql.readTarget(s, dir, versionAsOf = Some(3L))
+          .withColumn("snap", lit("asof3"))
+        val cur = graft.api.MergeSql.readTarget(s, dir)
+          .withColumn("snap", lit("current"))
+        val got = asof.unionByName(cur).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("snap", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 4 AS b FROM orders), " +
+        "m3 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 2 GROUP BY 1), " +
+        "f3 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m3 ON t.o_custkey = m3.o_custkey AND t.b = m3.mb), " +
+        "m4 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f4 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m4 ON t.o_custkey = m4.o_custkey AND t.b = m4.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'asof3' AS snap FROM f3 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'current' AS snap FROM f4 WHERE rn = 1 " +
+        "ORDER BY snap, o_custkey")),
+
     // Chi-squared independence test (market segment x nation band on
     // customer) — the categorical companion to rel_ks_drift_test /
     // rel_psi_drift / rel_ab_welch_ttest: per-cell observed counts,

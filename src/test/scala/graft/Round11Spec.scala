@@ -418,6 +418,31 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("maintenance SQL: OPTIMIZE and VACUUM RETAIN route correctly; bad shapes throw") {
+    val d = tmpDir("maint")
+    (1 to 4).foreach { i =>
+      api.UpsertStore.update(df((i.toLong, 1L, s"v$i")), d, "k", "version",
+        nBuckets = 2, batchId = Some(s"c$i"), retainCommits = Int.MaxValue)
+    }
+    assert(api.MergeSql.runMaintenance(spark,
+      s"VACUUM '$d' RETAIN 2 COMMITS") == 3L)
+    assert(api.UpsertStore.baseSeq(spark, d) == 3L)
+    val rewrote = api.MergeSql.runMaintenance(spark, s"OPTIMIZE '$d'")
+    assert(rewrote >= 0L)
+    assert(state(d).size == 4)
+    // VERSION AS OF read-back goes through the same guard as readAsOf
+    assert(api.MergeSql.readTarget(spark, d, versionAsOf = Some(3L)).count() == 3L)
+    intercept[IllegalArgumentException] {
+      api.MergeSql.readTarget(spark, d, versionAsOf = Some(1L))
+    }
+    intercept[IllegalArgumentException] {
+      api.MergeSql.runMaintenance(spark, s"VACUUM '$d'")
+    }
+    intercept[IllegalArgumentException] {
+      api.MergeSql.runMaintenance(spark, s"COMPACT '$d'")
+    }
+  }
+
   // ---- concurrency soak --------------------------------------------------
 
   test("two concurrent MERGE writers on distinct batches both land exactly once") {
