@@ -69,7 +69,9 @@ object Bench {
     "core_merge_sql", "rel_dau_mau_hll", "rel_pareto_concentration",
     "llm_embedding_neardup", "llm_multimodal_decode", "mod_webhook_parse",
     // round 11: generation-log store (DML triad, time travel, CDC-out)
-    "core_update_sql", "core_store_time_travel", "core_store_changefeed")
+    "core_update_sql", "core_store_time_travel", "core_store_changefeed",
+    // round 12: full-sync UPDATE arm, live changefeed source
+    "core_merge_full_sync_update", "strm_changefeed_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

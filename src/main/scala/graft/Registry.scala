@@ -11,7 +11,7 @@ object Registry {
       StreamingOps.ops ++ LlmOps.ops ++ Multimodal.ops ++ Round3.ops ++ Round4.ops ++
       Round5.ops ++ Round5b.ops ++ Round7.ops ++ Round8.ops ++ Round8b.ops ++
       EventOps.ops ++ Round9.ops ++ Round9b.ops ++ Round9c.ops ++ Round10.ops ++
-      Round11.ops
+      Round11.ops ++ Round12.ops
 
   require(all.map(_.key).distinct.size == all.size, "duplicate op keys")
 

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions.{expr, lit}
   *   [WHEN MATCHED AND <pred> THEN DELETE]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN UPDATE SET col = expr, ...]
   *   [WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]
   * }}}
   *
@@ -24,11 +25,16 @@ import org.apache.spark.sql.functions.{expr, lit}
   * source column references, e.g. `op = 'D'`) removes its key instead
   * of upserting it — Debezium-style change feeds apply directly.
   *
-  * The NOT MATCHED BY SOURCE clause is the full-sync form: stored rows
-  * whose key is absent from the source batch (and that match the
-  * optional predicate, over UNQUALIFIED target columns) are deleted —
-  * "make the store equal the snapshot". It inherently visits every
-  * bucket; reserve it for genuine full-snapshot sources.
+  * The NOT MATCHED BY SOURCE clauses are the full-sync family, over
+  * stored rows whose key is absent from the source batch (predicates
+  * and assignments reference UNQUALIFIED target columns): the UPDATE
+  * arm applies its assignments to matching rows (flag stale rows —
+  * right-hand sides see the PRE-update row, ANSI), the DELETE arm
+  * removes them ("make the store equal the snapshot"); where both
+  * match, UPDATE wins (first-match-wins in the fixed clause order).
+  * Either form inherently examines every bucket — reserve them for
+  * genuine full-snapshot sources (the examination is O(1) Spark jobs,
+  * and only buckets that actually change rewrite).
   *
   * Semantics are exactly [[UpsertStore.update]]: source rows override
   * stored rows per key; within the source batch the greatest
@@ -61,7 +67,8 @@ object MergeSql {
       key: String,
       version: String,
       deleteWhere: Option[String] = None,
-      notMatchedBySourceDelete: Option[String] = None)
+      notMatchedBySourceDelete: Option[String] = None,
+      notMatchedBySourceUpdate: Option[(String, String)] = None)
 
   private val re = (
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS)?(?:\s+(\w+))?\s+""" +
@@ -72,6 +79,8 @@ object MergeSql {
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""" +
       """(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE""" +
+      """(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?))?""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE""" +
       """(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE)?\s*;?\s*""").r
 
   /** Parse one MERGE statement of the supported dialect; throws with
@@ -79,7 +88,8 @@ object MergeSql {
     * must fail loudly, never silently change semantics).
     */
   def parse(sql: String): Stmt = sql match {
-    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version, delWhere, syncWhere) =>
+    case re(dir, tAlias, src, sAlias, q1, c1, q2, c2, version, delWhere,
+        syncUpdWhere, syncUpdSet, syncWhere) =>
       val t = Option(tAlias).getOrElse("t")
       val s = Option(sAlias).getOrElse("s")
       val (tCol, sCol) =
@@ -95,14 +105,19 @@ object MergeSql {
         if ("(?is).*WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+THEN\\s+DELETE.*"
               .r.matches(sql)) Some("true")
         else None)
+      // UPDATE arm: the SET list group is the presence marker (absent
+      // clause ⇒ null); a missing AND means unconditional
+      val syncUpd = Option(syncUpdSet).map(set =>
+        (Option(syncUpdWhere).getOrElse("true"), set))
       Stmt(dir, src, tCol, Option(version).getOrElse(tCol),
-        Option(delWhere), sync)
+        Option(delWhere), sync, syncUpd)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported MERGE statement; expected: MERGE INTO '<dir>' [AS] t " +
           "USING <view|'<path>'> [AS] s ON t.<k> = s.<k> [LATEST BY <col>] " +
           "[WHEN MATCHED AND <pred> THEN DELETE] " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+          "[WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN UPDATE SET col = expr, ...] " +
           "[WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE]")
   }
 
@@ -124,7 +139,11 @@ object MergeSql {
       sourceDf(spark, st.source), st.targetDir, st.key, st.version,
       nBuckets = nBuckets, batchId = batchId, leaseStaleMs = leaseStaleMs,
       deleteWhere = st.deleteWhere.map(expr),
-      notMatchedBySourceDelete = st.notMatchedBySourceDelete.map(expr))
+      notMatchedBySourceDelete = st.notMatchedBySourceDelete.map(expr),
+      notMatchedBySourceUpdate = st.notMatchedBySourceUpdate.map {
+        case (pred, set) =>
+          (expr(pred), splitAssignments(set).map { case (c, e) => c -> expr(e) })
+      })
   }
 
   private val delRe =
@@ -175,19 +194,28 @@ object MergeSql {
           "UPDATE '<dir>' SET col = expr [, col = expr]* [WHERE <predicate>]")
   }
 
-  /** Split a SET list on top-level commas only (assignment expressions
-    * may carry commas inside function calls).
+  /** Split a SET list on top-level commas only: assignment expressions
+    * may carry commas inside function calls AND inside string literals
+    * (`SET note = 'a,b'`), so the scanner tracks single-quote state
+    * beside paren/bracket depth — separators and brackets inside a
+    * quoted literal are content, not structure. SQL's doubled-quote
+    * escape (`''`) falls out of plain toggling: the closing quote and
+    * the immediate reopen cancel for splitting purposes.
     */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var inQuote = false
     val cur = new StringBuilder
     s.foreach {
+      case c @ '\'' => inQuote = !inQuote; cur += c
+      case c if inQuote => cur += c
       case c @ ('(' | '[') => depth += 1; cur += c
       case c @ (')' | ']') => depth -= 1; cur += c
       case ',' if depth == 0 => parts += cur.result(); cur.clear()
       case c => cur += c
     }
+    require(!inQuote, s"unterminated string literal in SET list: $s")
     parts += cur.result()
     val asg = """(?s)\s*(\w+)\s*=\s*(.+?)\s*""".r
     parts.toSeq.map {
@@ -197,40 +225,88 @@ object MergeSql {
     }
   }
 
-  /** Read back a MERGE target — the current table, or a time-travel
-    * snapshot when `versionAsOf` names a retained commit seq.
+  /** Read back a MERGE target — the current table, a `versionAsOf`
+    * commit-seq snapshot, or a `timestampAsOf` wall-clock snapshot
+    * (epoch millis, resolved through the commit log's `ts_ms`).
     */
   def readTarget(
       spark: SparkSession,
       dir: String,
-      versionAsOf: Option[Long] = None): DataFrame =
-    versionAsOf match {
-      case Some(seq) => UpsertStore.readAsOf(spark, dir, seq)
-      case None => UpsertStore.read(spark, dir)
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame =
+    (versionAsOf, timestampAsOf) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "readTarget: VERSION AS OF and TIMESTAMP AS OF are mutually exclusive")
+      case (Some(seq), None) => UpsertStore.readAsOf(spark, dir, seq)
+      case (None, Some(ts)) => UpsertStore.readAsOfTime(spark, dir, ts)
+      case (None, None) => UpsertStore.read(spark, dir)
+    }
+
+  private val selRe = ("""(?is)\s*SELECT\s+\*\s+FROM\s+'([^']+)'""" +
+    """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+))?""" +
+    """\s*;?\s*""").r
+
+  /** The read-back statement, completing the SQL-text time-travel
+    * surface: `SELECT * FROM '<dir>'` with optional
+    * `VERSION AS OF <seq>` or `TIMESTAMP AS OF '<ts>'` — the
+    * wall-clock form is what analysts actually type. The timestamp
+    * literal is `yyyy-MM-dd HH:mm:ss[.SSS]` interpreted as UTC (the
+    * engine's session timezone), or raw epoch millis.
+    */
+  def runSelect(spark: SparkSession, sql: String): DataFrame = sql match {
+    case selRe(dir, ver, ts) =>
+      readTarget(spark, dir,
+        versionAsOf = Option(ver).map(_.toLong),
+        timestampAsOf = Option(ts).map(parseTsMs))
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported SELECT statement; expected: SELECT * FROM '<dir>' " +
+          "[VERSION AS OF <seq> | TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.SSS]>' " +
+          "| TIMESTAMP AS OF <epoch_millis>]")
+  }
+
+  private def parseTsMs(lit: String): Long =
+    if (!lit.startsWith("'")) lit.toLong
+    else {
+      val s = lit.stripPrefix("'").stripSuffix("'")
+      val fmt = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart()
+        .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+        .optionalEnd()
+        .toFormatter()
+      java.time.LocalDateTime.parse(s, fmt)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
 
   private val optRe =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
   private val vacRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+COMMITS\s*;?\s*""".r
 
   /** Maintenance verbs over a store target, completing the SQL-text
     * surface beside MERGE/DELETE/UPDATE:
-    * `OPTIMIZE '<dir>'` — small-file compaction
-    * ([[UpsertStore.optimize]]; returns buckets rewritten), and
+    * `OPTIMIZE '<dir>' [ZORDER BY (col, ...)]` — small-file compaction,
+    * optionally z-order-clustering every bucket on the named columns
+    * while it rewrites ([[UpsertStore.optimize]]; returns buckets
+    * rewritten), and
     * `VACUUM '<dir>' RETAIN <n> COMMITS` — keep-N history retention
     * ([[UpsertStore.retain]] then [[StoreIO.vacuum]] for crash debris;
     * returns the new reconstruction horizon `base_seq`).
     */
   def runMaintenance(spark: SparkSession, sql: String): Long = sql match {
-    case optRe(dir) => UpsertStore.optimize(spark, dir).toLong
+    case optRe(dir, zcols) =>
+      UpsertStore.optimize(spark, dir,
+        zorderBy = Option(zcols).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))).toLong
     case vacRe(dir, n) =>
       UpsertStore.retain(spark, dir, n.toInt)
       StoreIO.vacuum(spark, dir): Unit
       UpsertStore.baseSeq(spark, dir)
     case _ =>
       throw new IllegalArgumentException(
-        "unsupported maintenance statement; expected: OPTIMIZE '<dir>' | " +
+        "unsupported maintenance statement; expected: " +
+          "OPTIMIZE '<dir>' [ZORDER BY (col, ...)] | " +
           "VACUUM '<dir>' RETAIN <n> COMMITS")
   }
 }

@@ -102,7 +102,16 @@ object UpsertStore {
   // COMMIT and one per store READ; at 100 TB metadata latency gates
   // micro-batch cadence, not data throughput.
 
-  private final case class Meta(nBuckets: Int, baseSeq: Long)
+  /** `schema` is the table schema recorded in the metadata file (the
+    * Delta posture: schema lives in the log, not in O(nBuckets) parquet
+    * footer merges). Written at bootstrap, widened BEFORE an evolving
+    * batch publishes (a crash between leaves the recorded schema a
+    * harmless superset of the data — aligned reads surface NULLs).
+    * `None` only for stores written by pre-schema layouts; readers fall
+    * back to a merged footer read then.
+    */
+  private final case class Meta(
+      nBuckets: Int, baseSeq: Long, schema: Option[StructType])
 
   private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -112,12 +121,24 @@ object UpsertStore {
     val txt = StoreIO.readSmall(spark, s"$root/meta.json").getOrElse(
       sys.error(s"upsert store $root has no meta.json"))
     val n = jackson.readTree(txt)
-    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong())
+    val sch = Option(n.get("schema")).filterNot(_.isNull)
+      .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
+    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong(), sch)
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit =
     StoreIO.writeSmallAtomic(spark, s"$root/meta.json",
-      s"""{"n_buckets":${m.nBuckets},"base_seq":${m.baseSeq}}""")
+      s"""{"n_buckets":${m.nBuckets},"base_seq":${m.baseSeq}""" +
+        m.schema.map(s => s""","schema":${jstr(s.json)}""").getOrElse("") + "}")
+
+  /** The table schema without scanning data: the meta-recorded schema
+    * when present (one driver-side JSON read), else a merged footer
+    * read over the newest generations (legacy stores).
+    */
+  def tableSchema(spark: SparkSession, dir: String): StructType = {
+    val root = rootOf(spark, dir)
+    metaOf(spark, root).schema.getOrElse(read(spark, root).schema)
+  }
 
   /** Stored bucket count (meta is written once at bootstrap, so every
     * later batch agrees on the hash modulus whatever the caller says).
@@ -142,15 +163,45 @@ object UpsertStore {
   private final case class Commit(
       seq: Long, batchId: Option[String], kind: String, tsMs: Long)
 
-  /** The commit log as JSON lines (newest last). */
-  private def commitLog(spark: SparkSession, root: String): Seq[Commit] =
-    StoreIO.readSmall(spark, s"$root/commits.json").toSeq
-      .flatMap(_.split('\n')).filter(_.nonEmpty).map { line =>
-        val n = jackson.readTree(line)
+  /** The compacted-history head of a trimmed commit log: retention
+    * replaces every line below the horizon with ONE `horizon` line
+    * carrying the newest [[ledgerWindow]] trimmed batch ids, so the log
+    * stays O(keep window) instead of O(store lifetime) — `recordCommit`
+    * rewrites the whole file per commit, which was quadratic bytes over
+    * a long-running CDC sink's life. The bounded id window preserves
+    * the replay contract that actually exists: foreachBatch only ever
+    * redelivers the LATEST batch (whose line is always still live), so
+    * a trimmed id is only consulted by out-of-contract manual replays —
+    * those stay no-ops for the last [[ledgerWindow]] trimmed commits
+    * and are documented undefined beyond.
+    */
+  private final case class Horizon(seq: Long, tsMs: Long, ids: Seq[String])
+
+  /** Trimmed batch ids kept replay-checkable past the horizon. */
+  private val ledgerWindow = 64
+
+  /** The commit log as JSON lines: optional horizon head + live lines
+    * (newest last).
+    */
+  private def logOf(
+      spark: SparkSession, root: String): (Option[Horizon], Seq[Commit]) = {
+    val lines = StoreIO.readSmall(spark, s"$root/commits.json").toSeq
+      .flatMap(_.split('\n')).filter(_.nonEmpty).map(jackson.readTree)
+    val (hz, live) = lines.partition(n => n.get("kind").asText() == "horizon")
+    (hz.headOption.map { n =>
+      val ids = Option(n.get("applied_ids")).filterNot(_.isNull).toSeq
+        .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+      Horizon(n.get("seq").asLong(), n.get("ts_ms").asLong(), ids)
+    },
+      live.map { n =>
         Commit(n.get("seq").asLong(),
           Option(n.get("batch_id")).filterNot(_.isNull).map(_.asText()),
           n.get("kind").asText(), n.get("ts_ms").asLong())
-      }
+      })
+  }
+
+  private def commitLog(spark: SparkSession, root: String): Seq[Commit] =
+    logOf(spark, root)._2
 
   /** The commit log: (seq, batch_id, kind, ts_ms), one row per
     * state-changing commit (merge / delete / update / rebucket).
@@ -189,8 +240,11 @@ object UpsertStore {
     * when a batchId is present, so their replays stay exact no-ops.
     */
   private def appliedInLog(
-      spark: SparkSession, root: String, batchId: String): Boolean =
-    commitLog(spark, root).exists(_.batchId.contains(batchId))
+      spark: SparkSession, root: String, batchId: String): Boolean = {
+    val (hz, live) = logOf(spark, root)
+    live.exists(_.batchId.contains(batchId)) ||
+      hz.exists(_.ids.contains(batchId))
+  }
 
   /** All generations of one bucket: (seq, path), unsorted. */
   private def genList(
@@ -203,6 +257,26 @@ object UpsertStore {
         Some(n.drop(1).toLong -> st.getPath.toString)
       else None
     }
+
+  /** (bucket, newest generation path) for every non-empty bucket. */
+  private def newestGens(
+      f: org.apache.hadoop.fs.FileSystem,
+      root: String, n: Int): Seq[(Int, String)] =
+    (0 until n).flatMap { b =>
+      val gens = genList(f, bucketDir(root, b))
+      if (gens.isEmpty) None else Some(b -> gens.maxBy(_._1)._2)
+    }
+
+  /** Recover the bucket id of a row from its generation path
+    * (`.../b<k>/g<%012d>/part-*`) via the parquet `_metadata` column —
+    * what lets a MULTI-BUCKET read stay ONE Spark job and still write
+    * back per-bucket (`partitionBy("__b")` + one publish rename each).
+    * The `g` run is pinned to exactly 12 digits, so an unlucky
+    * user-chosen store path cannot alias a generation component.
+    */
+  private def bucketOfPath: org.apache.spark.sql.Column =
+    regexp_extract(col("_metadata.file_path"),
+      "/b(\\d+)/g\\d{12}/", 1).cast("int")
 
   /** Per-bucket newest-generation-`<= seq`, the reconstruction rule. */
   private def pathsAt(
@@ -271,8 +345,17 @@ object UpsertStore {
     * (`lit(true)` for the unconditional form) are removed. Unlike the
     * delta path this inherently visits EVERY bucket — unmatched rows
     * can live anywhere — so reserve it for genuine full-snapshot
-    * sources; each untouched bucket pays one scan and is rewritten
-    * only if it actually loses rows.
+    * sources; the whole-store examination is O(1) Spark jobs
+    * ([[sweepBuckets]]) and only buckets that actually change rows
+    * are rewritten.
+    *
+    * `notMatchedBySourceUpdate` is the clause family's UPDATE arm
+    * (`WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN UPDATE SET ...`):
+    * stored rows absent from the batch matching the predicate take the
+    * assignments instead (flag-stale-rows instead of sweeping them);
+    * right-hand sides see the PRE-update row (ANSI, shared with
+    * [[updateRows]]). Where both arms match a row, UPDATE wins —
+    * first-match-wins in the dialect's fixed clause order.
     *
     * `retainCommits` bounds history growth inline (see
     * [[defaultRetain]]); pass `Int.MaxValue` to keep all generations.
@@ -287,10 +370,13 @@ object UpsertStore {
       leaseStaleMs: Long = 600000L,
       deleteWhere: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceUpdate: Option[(org.apache.spark.sql.Column,
+        Seq[(String, org.apache.spark.sql.Column)])] = None,
       retainCommits: Int = defaultRetain): Boolean =
     StoreIO.withLease(batch.sparkSession, dir, leaseStaleMs) {
       updateLocked(batch, dir, key, versionCol, nBuckets, batchId,
-        deleteWhere, notMatchedBySourceDelete, retainCommits)
+        deleteWhere, notMatchedBySourceDelete, notMatchedBySourceUpdate,
+        retainCommits)
     }
 
   /** Delete every stored row matching `predicate` (SQL DELETE
@@ -312,9 +398,9 @@ object UpsertStore {
       if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
         val hit = coalesce(predicate, lit(false))
-        rewriteBuckets(spark, root, "delete", batchId) {
-          cur => (cur.where(hit).count(), cur.where(!hit))
-        }
+        rewriteBuckets(spark, root, "delete", batchId)(
+          _.withColumn("__hit", hit),
+          _.where(!col("__hit")).drop("__hit"))
       }
     }
 
@@ -336,59 +422,118 @@ object UpsertStore {
       val root = rootOf(spark, dir)
       if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
-        val schema = read(spark, root).schema
+        val schema = tableSchema(spark, root)
         val cols = schema.fieldNames.toSet
         set.foreach { case (c, _) =>
           require(cols.contains(c), s"UPDATE SET names unknown column $c")
         }
         val hit = coalesce(predicate, lit(false))
-        val setMap = set.toMap
-        rewriteBuckets(spark, root, "update", batchId) { cur =>
-          val n = cur.where(hit).count()
-          // one SELECT so every assignment reads the pre-update row
-          (n, cur.select(schema.fieldNames.toSeq.map { c =>
-            setMap.get(c) match {
-              case Some(e) => when(hit, e).otherwise(col(c)).as(c)
-              case None => col(c)
-            }
-          }: _*))
-        }
+        rewriteBuckets(spark, root, "update", batchId)(
+          _.withColumn("__hit", hit),
+          cur => cur.select(col("__b") +: assign(schema, set, col("__hit")): _*))
       }
     }
 
-  /** Shared per-bucket rewrite loop for predicate-driven mutations:
-    * `f(alignedBucket)` returns (affected-row count, replacement
-    * frame); buckets with zero affected rows keep their current
-    * generation. Buckets are aligned to the store's merged schema
-    * before `f` so predicates over evolved columns see NULLs rather
-    * than failing on pre-evolution generations.
+  /** The ANSI UPDATE projection: one SELECT in which every assignment
+    * right-hand side reads the PRE-update row, applied only where `hit`.
+    */
+  private def assign(
+      schema: StructType,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      hit: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val setMap = set.toMap
+    schema.fieldNames.toSeq.map { c =>
+      setMap.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+  }
+
+  /** Shared full-sweep driver for predicate-driven mutations
+    * (DELETE / UPDATE), now O(1) SPARK JOBS in nBuckets via
+    * [[sweepBuckets]] — the round-11 shape looped buckets on the
+    * driver, each iteration submitting its own count + write jobs,
+    * which at the documented 100-TB posture (tens of thousands of
+    * buckets) is hours of serial scheduler latency before any data
+    * cost. Buckets are aligned to the store schema before `prep` so
+    * predicates over evolved columns see NULLs rather than failing on
+    * pre-evolution generations.
     */
   private def rewriteBuckets(
       spark: SparkSession, dir: String, kind: String,
       batchId: Option[String])(
-      f: DataFrame => (Long, DataFrame)): Long = {
+      prep: DataFrame => DataFrame,
+      next: DataFrame => DataFrame): Long = {
     val root = rootOf(spark, dir)
-    val n = buckets(spark, root)
-    val fullSchema = read(spark, root).schema
+    val meta = metaOf(spark, root)
+    val fullSchema = meta.schema.getOrElse(read(spark, root).schema)
     val seq = snapshotSeq(spark, root) + 1
     val fsys = StoreIO.fs(spark, root)
-    var affected = 0L
-    var touched = false
-    (0 until n).foreach { b =>
-      val gens = genList(fsys, bucketDir(root, b))
-      if (gens.nonEmpty) {
-        val cur = align(spark.read.parquet(gens.maxBy(_._1)._2), fullSchema)
-        val (hits, next) = f(cur)
-        if (hits > 0) {
-          affected += hits
-          publishDf(next, spark, bucketDir(root, b), seq)
-          touched = true
-        }
-      }
-    }
+    val affected = sweepBuckets(spark, root,
+      newestGens(fsys, root, meta.nBuckets), seq, fullSchema)(prep, next)
     // a ledgered no-change mutation still commits (empty line, no
     // generations) so its replay is an exact no-op
-    if (touched || batchId.nonEmpty) recordCommit(spark, root, seq, batchId, kind)
+    if (affected > 0 || batchId.nonEmpty)
+      recordCommit(spark, root, seq, batchId, kind)
+    affected
+  }
+
+  /** Mutate `bucketPaths` in TWO Spark jobs total, whatever the bucket
+    * count — the 100-TB replacement for per-bucket driver loops:
+    *
+    *  1. one aggregate scan of every path computes per-bucket affected
+    *     counts off `prep`'s boolean `__hit` column (column-pruned to
+    *     the columns `prep` actually reads; the collect is <= nBuckets
+    *     rows, bounded by configuration, never by data);
+    *  2. one partitioned rewrite of ONLY the hit buckets: re-read
+    *     tagged with [[bucketOfPath]], apply `prep` then `next`, write
+    *     `partitionBy("__b")` into one staged dir, publish each bucket
+    *     with one rename as generation `seq` (a bucket whose rows all
+    *     vanished gets an explicit empty generation).
+    *
+    * Untouched buckets keep their current generation and are not
+    * rewritten (though the count scan reads them — a predicate can hit
+    * anywhere, so one full pass is the floor for a full sweep).
+    * `prep` must add `__hit`; `next` sees `prep`'s output and must
+    * keep `__b`. Both run twice (two frames), so they must be
+    * deterministic. Returns the total affected-row count.
+    */
+  private def sweepBuckets(
+      spark: SparkSession,
+      root: String,
+      bucketPaths: Seq[(Int, String)],
+      seq: Long,
+      fullSchema: StructType)(
+      prep: DataFrame => DataFrame,
+      next: DataFrame => DataFrame): Long = {
+    if (bucketPaths.isEmpty) return 0L
+    def tagged(paths: Seq[String]): DataFrame = {
+      val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val have = raw.columns.toSet
+      raw.select(bucketOfPath.as("__b") +: fullSchema.fields.toSeq.map { fld =>
+        if (have(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }: _*)
+    }
+    val counts = prep(tagged(bucketPaths.map(_._2)))
+      .groupBy("__b")
+      .agg(coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L)).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val affected = counts.values.sum
+    val touched = bucketPaths.filter(p => counts.getOrElse(p._1, 0L) > 0L)
+    if (touched.nonEmpty) {
+      val out = next(prep(tagged(touched.map(_._2))))
+      val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+      out.write.partitionBy("__b").mode("overwrite").parquet(staged)
+      touched.foreach { case (b, _) =>
+        if (StoreIO.exists(spark, s"$staged/__b=$b"))
+          publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), seq)
+        else
+          publishDf(emptyOf(spark, fullSchema), spark, bucketDir(root, b), seq)
+      }
+      StoreIO.delete(spark, staged)
+    }
     affected
   }
 
@@ -417,31 +562,28 @@ object UpsertStore {
       val root = rootOf(spark, dir)
       if (batchId.exists(appliedInLog(spark, root, _))) 0L
       else {
-        val n = buckets(spark, root)
+        val meta = metaOf(spark, root)
+        val n = meta.nBuckets
         val fsys = StoreIO.fs(spark, root)
         val k = keys.select(key).distinct()
-          .withColumn("__b", bucketExpr(key, n))
+          .withColumn("__kb", bucketExpr(key, n))
           .localCheckpoint()
-        val touched = k.select("__b").distinct().collect()
-          .map(_.getInt(0)).sorted // bounded by nBuckets, never by data
+        val touchedB = k.select("__kb").distinct().collect()
+          .map(_.getInt(0)).toSet // bounded by nBuckets, never by data
+        val paths = newestGens(fsys, root, n).filter(p => touchedB(p._1))
         val seq = snapshotSeq(spark, root) + 1
-        var removed = 0L
-        var wrote = false
-        touched.foreach { b =>
-          val gens = genList(fsys, bucketDir(root, b))
-          if (gens.nonEmpty) {
-            val cur = spark.read.parquet(gens.maxBy(_._1)._2)
-            val slice = k.where(col("__b") === b).drop("__b")
-            val hits = cur.join(slice, Seq(key), "left_semi").count()
-            if (hits > 0) {
-              removed += hits
-              publishDf(cur.join(slice, Seq(key), "left_anti"),
-                spark, bucketDir(root, b), seq)
-              wrote = true
-            }
-          }
-        }
-        if (wrote || batchId.nonEmpty)
+        val fullSchema = meta.schema.getOrElse(read(spark, root).schema)
+        val marker = k.drop("__kb").withColumn("__m", lit(true))
+        // membership IS the hit predicate: mark via one key-equi join
+        // (both sides route through the same bucket hash, so the
+        // shuffle is effectively co-partitioned at scale), then one
+        // partitioned anti-rewrite of only the buckets that lost rows
+        val removed = sweepBuckets(spark, root, paths, seq, fullSchema)(
+          _.join(marker, Seq(key), "left")
+            .withColumn("__hit", coalesce(col("__m"), lit(false)))
+            .drop("__m"),
+          _.where(!col("__hit")).drop("__hit"))
+        if (removed > 0 || batchId.nonEmpty)
           recordCommit(spark, root, seq, batchId, "delete_keys")
         removed
       }
@@ -564,11 +706,25 @@ object UpsertStore {
       key: String,
       cursorPath: String): (DataFrame, Long) = {
     val root = rootOf(spark, dir)
-    val from = StoreIO.readSmall(spark, cursorPath)
-      .map(jackson.readTree(_).get("last_seq").asLong())
-      .getOrElse(metaOf(spark, root).baseSeq)
     val head = snapshotSeq(spark, root)
-    (changesBetween(spark, root, from, head, key), head)
+    StoreIO.readSmall(spark, cursorPath)
+      .map(jackson.readTree(_).get("last_seq").asLong()) match {
+      case Some(from) =>
+        (changesBetween(spark, root, from, head, key), head)
+      case None =>
+        // initial load: the FULL snapshot at head as inserts — never a
+        // diff from the retention horizon. Once retention has advanced
+        // base_seq, the horizon snapshot exists per bucket, so
+        // changesBetween(base, head) would silently omit every row
+        // already present and unchanged at the horizon — a new consumer
+        // attaching to a retained store would lose most of the table
+        // with no error. (For base_seq == 0 the two forms agree; this
+        // one also skips the pointless self-join.)
+        val cur = read(spark, root)
+        val others = cur.schema.fieldNames.filterNot(_ == key).toIndexedSeq
+        (cur.select(lit("insert").as("change") +: col(key) +:
+          others.map(col): _*), head)
+    }
   }
 
   /** Durably advance a consumer cursor (atomic replace — a crash
@@ -592,44 +748,99 @@ object UpsertStore {
   def optimize(
       spark: SparkSession,
       dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Int =
     StoreIO.withLease(spark, dir) {
       val root = rootOf(spark, dir)
       val n = buckets(spark, root)
       val fsys = StoreIO.fs(spark, root)
       val seq = snapshotSeq(spark, root) + 1
-      var rewrote = 0
-      (0 until n).foreach { b =>
-        val gens = genList(fsys, bucketDir(root, b))
-        if (gens.nonEmpty) {
-          val cur = gens.maxBy(_._1)._2
-          val parts = fsys.listStatus(hp(cur))
-            .filter(s => !s.isDirectory && s.getPath.getName.startsWith("part-"))
-          val bytes = parts.map(_.getLen).sum
-          val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-          if (parts.length > want) {
-            publishDf(spark.read.parquet(cur).coalesce(want.toInt),
-              spark, bucketDir(root, b), seq)
-            rewrote += 1
-          }
-        }
+      // sizing is driver-side FS listing (metadata, not data); with a
+      // ZORDER clause every non-empty bucket rewrites (clustering
+      // changes row order), otherwise only over-fragmented ones
+      val plan = newestGens(fsys, root, n).flatMap { case (b, cur) =>
+        val parts = fsys.listStatus(hp(cur))
+          .filter(s => !s.isDirectory && s.getPath.getName.startsWith("part-"))
+        val bytes = parts.map(_.getLen).sum
+        val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        if (zorderBy.nonEmpty || parts.length > want) Some((b, cur, want))
+        else None
       }
-      if (rewrote > 0) recordCommit(spark, root, seq, None, "optimize")
-      rewrote
+      if (plan.isEmpty) 0
+      else {
+        // ONE compaction job for every bucket in the plan: range
+        // partition on (bucket, within-bucket order) into sum-of-wants
+        // partitions — each bucket lands in ~want contiguous
+        // partitions — then one partitioned write + one publish rename
+        // per bucket. The round-11 shape submitted a coalesce job PER
+        // BUCKET serially; at tens of thousands of buckets that is
+        // scheduler latency, not data cost.
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(plan.map(_._2): _*)
+        val order: org.apache.spark.sql.Column =
+          if (zorderBy.isEmpty)
+            // deterministic spread (stable under task retry, unlike
+            // rand()) so a bucket bigger than targetFileBytes can split
+            xxhash64(col("_metadata.file_path"), col("_metadata.row_index"))
+          else {
+            // morton key over the cluster columns, ranges from one
+            // cheap min/max aggregate; a constant column gets a unit
+            // range so the interleave never divides by zero
+            val aggs = zorderBy.flatMap(c => Seq(
+              min(col(c).cast("double")).as(s"lo_$c"),
+              max(col(c).cast("double")).as(s"hi_$c")))
+            val mm = raw.agg(aggs.head, aggs.tail: _*).head()
+            val dims = zorderBy.zipWithIndex.map { case (c, i) =>
+              val lo = Option(mm.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+              val hi0 = Option(mm.get(2 * i + 1)).fold(1.0)(_.asInstanceOf[Double])
+              val hi = if (hi0 > lo) hi0 else lo + 1.0
+              (col(c), lo, hi)
+            }
+            Layout.mortonKey(dims, math.min(12, 52 / dims.size))
+          }
+        val totalWant = math.min(plan.map(_._3).sum, 100000L).toInt
+        val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+        // __b and __f must project in ONE select on the scan output:
+        // the parquet _metadata column both derive from is unavailable
+        // once a projection without it intervenes
+        raw.select(bucketOfPath.as("__b") +: order.as("__f") +:
+            raw.columns.map(col).toIndexedSeq: _*)
+          .repartitionByRange(math.max(1, totalWant), col("__b"), col("__f"))
+          .sortWithinPartitions("__b", "__f")
+          .drop("__f")
+          .write.partitionBy("__b").mode("overwrite").parquet(staged)
+        val outSchema = StructType(raw.schema.toSeq)
+        plan.foreach { case (b, _, _) =>
+          if (StoreIO.exists(spark, s"$staged/__b=$b"))
+            publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), seq)
+          else
+            publishDf(emptyOf(spark, outSchema), spark, bucketDir(root, b), seq)
+        }
+        StoreIO.delete(spark, staged)
+        recordCommit(spark, root, seq, None, "optimize")
+        plan.length
+      }
     }
 
   /** Per-bucket row counts off the newest generations — layout
-    * introspection for skew reads and rebucket decisions. One count per
-    * existing bucket dir; no key rehash, no table-wide pass.
+    * introspection for skew reads and rebucket decisions. ONE Spark
+    * job whatever the bucket count (a zero-data-column scan grouped by
+    * [[bucketOfPath]]); no key rehash, no per-bucket driver loop.
     */
   def bucketCounts(spark: SparkSession, dir: String): Seq[(Int, Long)] = {
     val root = rootOf(spark, dir)
     val n = buckets(spark, root)
     val f = StoreIO.fs(spark, root)
-    (0 until n).flatMap { b =>
-      val gens = genList(f, bucketDir(root, b))
-      if (gens.isEmpty) None
-      else Some(b -> spark.read.parquet(gens.maxBy(_._1)._2).count())
+    val paths = newestGens(f, root, n)
+    if (paths.isEmpty) Seq.empty
+    else {
+      val counts = spark.read.parquet(paths.map(_._2): _*)
+        .groupBy(bucketOfPath.as("__b")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // <= nBuckets rows
+        .toMap
+      // a bucket whose newest generation is EMPTY emits no group — it
+      // still exists, so it reports 0 (the round-11 per-bucket contract)
+      paths.map { case (b, _) => b -> counts.getOrElse(b, 0L) }
     }
   }
 
@@ -651,8 +862,9 @@ object UpsertStore {
     require(keepCommits >= 1, "retention must keep at least the newest commit")
     val maxS = snapshotSeq(spark, root)
     val cutoff = maxS - keepCommits + 1
-    if (cutoff <= baseSeq(spark, root)) return
-    val n = buckets(spark, root)
+    val meta = metaOf(spark, root)
+    if (cutoff <= meta.baseSeq) return
+    val n = meta.nBuckets
     val f = StoreIO.fs(spark, root)
     (0 until n).foreach { b =>
       val gens = genList(f, bucketDir(root, b))
@@ -662,8 +874,29 @@ object UpsertStore {
         gens.filter(_._1 < base).foreach(g => f.delete(hp(g._2), true))
       }
     }
-    writeMeta(spark, root, Meta(n, cutoff))
+    writeMeta(spark, root, meta.copy(baseSeq = cutoff))
+    // trim the log below the horizon (see [[Horizon]]): lines < cutoff
+    // compact into one head line carrying the newest ledgerWindow
+    // trimmed batch ids, so per-commit log rewrites stay O(keep window)
+    // over the store's whole life instead of O(history).
+    val (hz, live) = logOf(spark, root)
+    val (drop, keep) = live.partition(_.seq < cutoff)
+    if (drop.nonEmpty) {
+      val ids = (hz.map(_.ids).getOrElse(Nil) ++
+        drop.sortBy(_.seq).flatMap(_.batchId)).takeRight(ledgerWindow)
+      val hzSeq = math.max(hz.map(_.seq).getOrElse(0L), cutoff - 1)
+      val hzTs = math.max(hz.map(_.tsMs).getOrElse(0L),
+        drop.map(_.tsMs).max)
+      val head = s"""{"seq":$hzSeq,"batch_id":null,"kind":"horizon",""" +
+        s""""ts_ms":$hzTs,"applied_ids":[${ids.map(jstr).mkString(",")}]}"""
+      StoreIO.writeSmallAtomic(spark, s"$root/commits.json",
+        (head +: keep.map(commitLine)).mkString("", "\n", "\n"))
+    }
   }
+
+  private def commitLine(c: Commit): String =
+    s"""{"seq":${c.seq},"batch_id":${c.batchId.map(jstr).getOrElse("null")},""" +
+      s""""kind":${jstr(c.kind)},"ts_ms":${c.tsMs}}"""
 
   /** Re-bucket the store to `newBuckets` — the maintenance move when a
     * store outgrows its bucket count (buckets are the unit of rewrite;
@@ -695,6 +928,24 @@ object UpsertStore {
       key: String,
       newBuckets: Int): Unit =
     StoreIO.withLease(spark, dir) {
+      val f0 = StoreIO.fs(spark, dir)
+      // HEAL an interrupted swap first: a previous rebucket that died
+      // between its two root renames left the ONLY complete store at
+      // `<dir>-old` (rootOf serves it). Proceeding from that state
+      // would be fatal — swapInDir's first act is deleting
+      // `<dir>-old`, i.e. the only durable copy, before the staged
+      // promote lands. Finish the old swap instead: re-home the lease
+      // into the fallback, drop the meta-less shell at `<dir>` (it
+      // holds only lease debris — bootstrap writes meta before any
+      // data), and rename the fallback back. A crash between the
+      // delete and the rename leaves the complete store at
+      // `<dir>-old`, which every read path still honours.
+      if (rootOf(spark, dir) == s"$dir-old") {
+        f0.create(hp(s"$dir-old/.lease"), true).close()
+        f0.delete(hp(dir), true)
+        require(f0.rename(hp(s"$dir-old"), hp(dir)),
+          s"rebucket: cannot heal the interrupted swap of $dir")
+      }
       val root0 = rootOf(spark, dir)
       val cur = read(spark, dir).localCheckpoint()
       // the commit log doubles as the applied ledger; carrying it over
@@ -702,7 +953,8 @@ object UpsertStore {
       val log = StoreIO.readSmall(spark, s"$root0/commits.json")
       val seq = snapshotSeq(spark, dir)
       val staged = s"$dir-staged-${java.util.UUID.randomUUID().toString.take(8)}"
-      writeMeta(spark, staged, Meta(newBuckets, seq))
+      writeMeta(spark, staged,
+        Meta(newBuckets, seq, metaOf(spark, root0).schema.orElse(Some(cur.schema))))
       log.foreach(StoreIO.writeSmallAtomic(spark, s"$staged/commits.json", _))
       val tmp = s"$staged/rehash-tmp"
       cur.withColumn("__b", bucketExpr(key, newBuckets))
@@ -763,15 +1015,70 @@ object UpsertStore {
       batchId: Option[String],
       deleteWhere: Option[org.apache.spark.sql.Column],
       notMatchedBySourceDelete: Option[org.apache.spark.sql.Column],
+      notMatchedBySourceUpdate: Option[(org.apache.spark.sql.Column,
+        Seq[(String, org.apache.spark.sql.Column)])],
       retainCommits: Int): Boolean = {
     val spark = batch.sparkSession
     val bootstrap = !exists(spark, dir)
-    if (bootstrap) writeMeta(spark, dir, Meta(nBuckets, 0L))
+    val batchSchema = StructType(batch.schema.toSeq)
+    if (bootstrap) writeMeta(spark, dir, Meta(nBuckets, 0L, Some(batchSchema)))
     val root = rootOf(spark, dir)
     if (batchId.exists(appliedInLog(spark, root, _))) return false
-    val n = buckets(spark, root)
+    val meta = metaOf(spark, root)
+    val n = meta.nBuckets
     val seq = snapshotSeq(spark, root) + 1
     val fsys = StoreIO.fs(spark, root)
+
+    // ---- schema reconciliation, LOUD not implicit: a batch may ADD
+    // columns (additive evolution — old rows surface NULL) and may
+    // OMIT stored columns (pre-evolution replays), but a RETYPED
+    // column has no defined merge semantics; fail with the exact
+    // conflict rather than let parquet schema merging or the union
+    // produce engine-dependent coercions downstream.
+    val stored =
+      if (bootstrap) batchSchema
+      else meta.schema.getOrElse(read(spark, root).schema)
+    val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
+    batchSchema.fields.foreach { f =>
+      storedTypes.get(f.name).foreach { t =>
+        // catalogString compare: type equality up to nullability
+        require(t.catalogString == f.dataType.catalogString,
+          s"schema evolution: column '${f.name}' is ${t.simpleString} in store " +
+            s"$dir but ${f.dataType.simpleString} in the batch; retyping is not " +
+            "supported (additive columns only) — cast the batch explicitly")
+      }
+    }
+    // the post-merge table schema; recorded in meta BEFORE any
+    // generation publishes, so a crash leaves the recorded schema a
+    // harmless superset of the data (aligned reads surface NULLs)
+    val unionSchema = StructType(stored.fields.toSeq ++
+      batchSchema.fields.filterNot(f => storedTypes.contains(f.name)))
+    if (!meta.schema.contains(unionSchema))
+      writeMeta(spark, root, meta.copy(schema = Some(unionSchema)))
+
+    // the full-sync clause arms (UPDATE wins over DELETE where both
+    // match — first-match-wins in the dialect's fixed clause order)
+    val updHit = notMatchedBySourceUpdate
+      .map(u => coalesce(u._1, lit(false))).getOrElse(lit(false))
+    val delHit = notMatchedBySourceDelete
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    notMatchedBySourceUpdate.foreach { case (_, set) =>
+      val cols = unionSchema.fieldNames.toSet
+      set.foreach { case (c, _) =>
+        require(cols.contains(c),
+          s"NOT MATCHED BY SOURCE UPDATE SET names unknown column $c")
+      }
+    }
+    // replacement content for a frame of stored-but-unmatched rows
+    // (expects `__b`; tolerates an extra `__hit` from sweepBuckets)
+    def nmbsNext(df: DataFrame): DataFrame = {
+      val kept = df.where(updHit || !delHit)
+      notMatchedBySourceUpdate match {
+        case Some((_, set)) =>
+          kept.select(col("__b") +: assign(unionSchema, set, updHit): _*)
+        case None => kept.drop("__hit")
+      }
+    }
 
     val wLatest = Window.partitionBy(key).orderBy(col(versionCol).desc)
     val latest = batch
@@ -805,16 +1112,22 @@ object UpsertStore {
           .parquet(existingPaths: _*)
           .withColumn("__b", bucketExpr(key, n))
           .join(latest.select(key), Seq(key), "left_anti")
-        // full-sync: unmatched stored rows matching the clause predicate
-        // leave the touched buckets here (untouched buckets below)
-        val kept = notMatchedBySourceDelete
-          .map(c => kept0.where(!coalesce(c, lit(false))))
-          .getOrElse(kept0)
-        // allowMissingColumns both ways: the batch may ADD columns
-        // (schema evolution) or a pre-evolution replay may LACK some
+        // full-sync arms over the unmatched stored rows of the touched
+        // buckets (untouched buckets below), aligned first so the
+        // predicates and assignments see evolved columns as NULL
+        val have = kept0.columns.toSet
+        val kept0a = kept0.select(col("__b") +: unionSchema.fields.toSeq.map { fld =>
+          if (have(fld.name)) col(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }: _*)
+        val kept =
+          if (notMatchedBySourceDelete.isEmpty && notMatchedBySourceUpdate.isEmpty)
+            kept0a
+          else nmbsNext(kept0a)
+        // allowMissingColumns: a pre-evolution replay batch may LACK
+        // some stored columns
         kept.unionByName(upserts, allowMissingColumns = true)
       }
-    val outSchema = StructType(merged.schema.filterNot(_.name == "__b"))
 
     // ONE staged write covering every touched bucket, then one atomic
     // rename per bucket publishing generation `seq`
@@ -828,23 +1141,19 @@ object UpsertStore {
       if (StoreIO.exists(spark, s"$staged/__b=$b"))
         publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), seq)
       else
-        publishDf(emptyOf(spark, outSchema), spark, bucketDir(root, b), seq)
+        publishDf(emptyOf(spark, unionSchema), spark, bucketDir(root, b), seq)
     }
     StoreIO.delete(spark, staged)
 
     // full-sync over the UNtouched buckets: every stored row there is
-    // by construction not-matched-by-source; rewrite only buckets that
-    // actually lose rows
-    notMatchedBySourceDelete.foreach { c =>
-      val hit = coalesce(c, lit(false))
-      (0 until n).filterNot(touched.contains).foreach { b =>
-        val gens = genList(fsys, bucketDir(root, b))
-        if (gens.nonEmpty) {
-          val cur = align(spark.read.parquet(gens.maxBy(_._1)._2), outSchema)
-          if (cur.where(hit).limit(1).count() > 0)
-            publishDf(cur.where(!hit), spark, bucketDir(root, b), seq)
-        }
-      }
+    // by construction not-matched-by-source. O(1) Spark jobs whatever
+    // the bucket count (sweepBuckets); only buckets where an arm
+    // actually fires are rewritten, at the SAME seq (one commit).
+    if (notMatchedBySourceDelete.nonEmpty || notMatchedBySourceUpdate.nonEmpty) {
+      val touchedSet = touched.toSet
+      val untouched = newestGens(fsys, root, n).filterNot(p => touchedSet(p._1))
+      sweepBuckets(spark, root, untouched, seq, unionSchema)(
+        _.withColumn("__hit", updHit || delHit), nmbsNext): Unit
     }
 
     recordCommit(spark, root, seq, batchId, "merge")

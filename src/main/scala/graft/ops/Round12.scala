@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft.{Op, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round 12: the store's 100-TB posture hardening surfaced as ops —
+  * the MERGE full-sync UPDATE arm, the wall-clock time-travel SQL
+  * surface, OPTIMIZE ZORDER, the live changefeed source, and the
+  * retained-store consumer bootstrap (the round-11 ADVICE fix).
+  */
+object Round12 {
+
+  /** Latest-order-per-customer seed frame with exact integer money
+    * (cents) — the same shared DML fixture Round11 uses, so every
+    * oracle is integer-exact on both engines.
+    */
+  private def seedSrc(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("total_cents"),
+      expr("o_orderkey % 100").as("disc_cents"))
+
+  /** DuckDB CTE `l`: the same latest-per-customer seed. */
+  private val oSeed =
+    "f AS (SELECT o_custkey, o_orderkey, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, " +
+      "o_orderkey % 100 AS disc_cents, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+      "FROM orders), " +
+      "l AS (SELECT o_custkey, o_orderkey, total_cents, disc_cents FROM f WHERE rn = 1)"
+
+  val ops: Seq[Op] = Seq(
+
+    // MERGE's full-sync UPDATE arm: `WHEN NOT MATCHED BY SOURCE AND
+    // <pred> THEN UPDATE SET ...` — flag stale rows instead of (or
+    // beside) sweeping them. Stored keys absent from the snapshot:
+    // every 7th customer gets its discount column rewritten FROM the
+    // pre-update row (ANSI), even customers are swept by the DELETE
+    // arm, and where both arms match, UPDATE wins (first-match-wins in
+    // the fixed clause order — the oracle pins a customer divisible by
+    // both 7 and 2 as updated, not deleted). Replay with the same
+    // batchId asserted a no-op inline.
+    Op("core_merge_full_sync_update",
+      (s, d) => {
+        val dir = s"target/tmp/sync_upd_${java.util.UUID.randomUUID().toString.take(8)}"
+        seedSrc(s, d).createOrReplaceTempView("graft_syncu_seed")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_syncu_seed ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        seedSrc(s, d).where("o_custkey % 3 <> 1")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (col("total_cents") + 1).as("total_cents"), col("disc_cents"))
+          .createOrReplaceTempView("graft_syncu_snap")
+        val sync =
+          s"MERGE INTO '$dir' USING graft_syncu_snap ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT * " +
+            "WHEN NOT MATCHED BY SOURCE AND o_custkey % 7 = 0 " +
+            "THEN UPDATE SET disc_cents = total_cents " +
+            "WHEN NOT MATCHED BY SOURCE AND o_custkey % 2 = 0 THEN DELETE"
+        graft.api.MergeSql.run(s, sync, nBuckets = 8, batchId = Some("sync")): Unit
+        require(!graft.api.MergeSql.run(s, sync, nBuckets = 8, batchId = Some("sync")),
+          "replayed full-sync MERGE must be a ledger no-op")
+        val got = graft.api.MergeSql.readTarget(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some(s"WITH $oSeed " +
+        "SELECT o_custkey, o_orderkey, total_cents + 1 AS total_cents, disc_cents " +
+        "FROM l WHERE o_custkey % 3 <> 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, total_cents, total_cents AS disc_cents " +
+        "FROM l WHERE o_custkey % 3 = 1 AND o_custkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, total_cents, disc_cents " +
+        "FROM l WHERE o_custkey % 3 = 1 AND o_custkey % 7 <> 0 AND o_custkey % 2 <> 0 " +
+        "ORDER BY o_custkey")),
+
+    // TIMESTAMP AS OF on the SQL surface — the wall-clock time-travel
+    // form analysts actually type, resolved through the commit log's
+    // ts_ms to the newest commit at-or-before the instant. Three CDC
+    // batches commit as seqs 1..3 (a short sleep pins strictly
+    // increasing timestamps); both literal forms — epoch millis and a
+    // quoted UTC 'yyyy-MM-dd HH:mm:ss.SSS' — read back the seq-2
+    // snapshot under one oracle.
+    Op("core_store_timestamp_as_of",
+      (s, d) => {
+        val dir = s"target/tmp/ts_asof_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+          Thread.sleep(15) // commit timestamps must strictly increase
+        }
+        val ts = graft.api.UpsertStore.commits(s, dir)
+          .select("seq", "ts_ms").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(ts(3L) > ts(2L), "commit timestamps must strictly increase")
+        val quoted = java.time.Instant.ofEpochMilli(ts(2L))
+          .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        val viaMillis = graft.api.MergeSql.runSelect(s,
+          s"SELECT * FROM '$dir' TIMESTAMP AS OF ${ts(2L)}")
+          .withColumn("form", lit("millis"))
+        val viaQuoted = graft.api.MergeSql.runSelect(s,
+          s"SELECT * FROM '$dir' TIMESTAMP AS OF '$quoted'")
+          .withColumn("form", lit("quoted"))
+        val got = viaMillis.unionByName(viaQuoted).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("form", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "f2 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'millis' AS form FROM f2 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'quoted' AS form FROM f2 WHERE rn = 1 " +
+        "ORDER BY form, o_custkey")),
+
+    // OPTIMIZE ... ZORDER BY: compaction that also CLUSTERS — every
+    // bucket rewrites as one commit whose files cover contiguous
+    // ranges of the cluster key (range partition on (bucket, morton
+    // key) + sort within partitions), so a stats-pruning reader skips
+    // files the way Delta's OPTIMIZE ZORDER buys. The SQL grammar form
+    // runs first; a second pass with a tiny file target forces
+    // multi-file buckets and the op audits engine-side that per-file
+    // key spans within a bucket are near-disjoint slices (sum of
+    // spans <~ bucket span, vs ~span x nFiles unclustered). Content
+    // and time travel are pinned unchanged by the oracle.
+    Op("core_store_optimize_zorder",
+      (s, d) => {
+        val dir = s"target/tmp/opt_z_${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.api.UpsertStore.update(
+          T.t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          dir, "o_custkey", "o_orderkey", nBuckets = 8, batchId = Some("seed")): Unit
+        graft.api.MergeSql.runMaintenance(s,
+          s"OPTIMIZE '$dir' ZORDER BY (o_orderkey)"): Unit
+        graft.api.UpsertStore.optimize(s, dir,
+          targetFileBytes = 16L * 1024, zorderBy = Seq("o_orderkey")): Unit
+        // clustering audit: within each bucket, per-file o_orderkey
+        // ranges must be near-disjoint (only meaningful with several
+        // files; degenerate fixtures skip the check, not the op)
+        val perFile = graft.api.UpsertStore.read(s, dir)
+          .groupBy(regexp_extract(input_file_name(), "/(b\\d+)/g\\d{12}/", 1).as("bk"),
+            input_file_name().as("fn"))
+          .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+          .groupBy("bk").agg(
+            count(lit(1)).as("nf"),
+            sum(col("mx") - col("mn")).as("sum_span"),
+            (max("mx") - min("mn")).as("span"))
+          .collect()
+        perFile.filter(r => r.getLong(1) >= 3 && r.getLong(3) > 0).foreach { r =>
+          require(r.getLong(2) <= 2 * r.getLong(3),
+            s"bucket ${r.getString(0)}: files not z-clustered " +
+              s"(sum of per-file spans ${r.getLong(2)} vs bucket span ${r.getLong(3)})")
+        }
+        // pre-optimize history must still reconstruct (time travel
+        // unaffected by clustering commits)
+        val n1 = graft.api.UpsertStore.readAsOf(s, dir, 1L).count()
+        val nc = graft.api.UpsertStore.read(s, dir).count()
+        require(n1 == nc, s"optimize must not change content: $n1 vs $nc rows")
+        val got = graft.api.UpsertStore.read(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH f AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1 " +
+        "ORDER BY o_custkey")),
+
+    // The store changefeed as a LIVE STREAMING SOURCE (Delta CDF
+    // streaming-read analog): a rate-ticker-driven relay polls
+    // changesSince per trigger, lands each commit window into the
+    // output partitioned by its head seq (dynamic overwrite — crash
+    // redelivery overwrites, never duplicates), and advances the
+    // durable cursor. Window 1 (the initial load, every row an insert)
+    // drains through the RUNNING STREAM; window 2 (a batch + a delete
+    // sweep) through the identical per-trigger relay unit. Parity: the
+    // oracle is core_store_incremental_consume's — the streaming path
+    // must equal the batch consumer exactly.
+    Op("strm_changefeed_source",
+      (s, d) => {
+        val base = s"target/tmp/cfsrc_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/table"
+        val cursor = s"$base/cursor.json"
+        val out = s"$base/out"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        def batch(b: Int): Unit = graft.api.UpsertStore.update(
+          t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some(s"b$b")): Unit
+        batch(0); batch(1)
+        def cursorAt(): Long = graft.api.StoreIO.readSmall(s, cursor)
+          .map(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(_).get("last_seq").asLong()).getOrElse(-1L)
+        val q = graft.streaming.Streams.changefeedStream(
+          s, dir, "o_custkey", cursor, out, s"$base/ckpt", pollIntervalMs = 200L)
+        try {
+          val deadline = System.currentTimeMillis() + 120000L
+          while (cursorAt() < 2L && System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          require(cursorAt() == 2L,
+            s"stream must drain the 2-commit window, cursor at ${cursorAt()}")
+        } finally q.stop()
+        batch(2)
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        graft.streaming.Streams.changefeedRelayOnce(
+          s, dir, "o_custkey", cursor, out): Unit
+        require(cursorAt() == 4L, s"relay must advance to head 4, at ${cursorAt()}")
+        // an all-empty-window run writes no parquet files at all
+        val raw = scala.util.Try(s.read.parquet(out)).getOrElse(
+          s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(
+              StructField("change", StringType), StructField("o_custkey", LongType),
+              StructField("o_orderkey", LongType),
+              StructField("o_totalprice", DoubleType),
+              StructField("to_seq", IntegerType)))))
+        val got = raw
+          .withColumn("run", when(col("to_seq") === 2, lit("r1")).otherwise(lit("r2")))
+          .drop("to_seq").localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("run", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "s2 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb) WHERE rn = 1), " +
+        "m4 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "s4 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m4 ON t.o_custkey = m4.o_custkey AND t.b = m4.mb) " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3) " +
+        "SELECT 'insert' AS change, o_custkey, o_orderkey, o_totalprice, 'r1' AS run FROM s2 " +
+        "UNION ALL " +
+        "SELECT CASE WHEN s2.o_custkey IS NULL THEN 'insert' " +
+        "WHEN s4.o_custkey IS NULL THEN 'delete' ELSE 'update' END AS change, " +
+        "coalesce(s4.o_custkey, s2.o_custkey) AS o_custkey, " +
+        "coalesce(s4.o_orderkey, s2.o_orderkey) AS o_orderkey, " +
+        "coalesce(s4.o_totalprice, s2.o_totalprice) AS o_totalprice, 'r2' AS run " +
+        "FROM s2 FULL OUTER JOIN s4 ON s2.o_custkey = s4.o_custkey " +
+        "WHERE s2.o_custkey IS NULL OR s4.o_custkey IS NULL " +
+        "OR s2.o_orderkey IS DISTINCT FROM s4.o_orderkey " +
+        "OR s2.o_totalprice IS DISTINCT FROM s4.o_totalprice " +
+        "ORDER BY run, o_custkey")),
+
+    // CONSUMER BOOTSTRAP ON A RETAINED STORE — the round-11 ADVICE
+    // fix pinned as an op: four batches commit, retention advances the
+    // horizon to seq 3, and only THEN does a brand-new consumer attach
+    // (no cursor). It must receive the FULL snapshot as inserts — the
+    // pre-fix behavior diffed from the horizon snapshot and silently
+    // omitted every row already present and unchanged at base_seq,
+    // losing most of the table with no error.
+    Op("core_changefeed_bootstrap",
+      (s, d) => {
+        val base = s"target/tmp/cf_boot_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/table"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(4)))
+        (0 to 3).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b"),
+            retainCommits = Int.MaxValue): Unit
+        }
+        graft.api.UpsertStore.retain(s, dir, keepCommits = 2)
+        require(graft.api.UpsertStore.baseSeq(s, dir) == 3L,
+          "retention must advance the horizon to seq 3")
+        val (changes, head) = graft.api.UpsertStore
+          .changesSince(s, dir, "o_custkey", s"$base/cursor.json")
+        require(head == 4L, s"head must be seq 4, got $head")
+        val got = changes.localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_orderkey % 4 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "SELECT 'insert' AS change, o_custkey, o_orderkey FROM f WHERE rn = 1 " +
+        "ORDER BY o_custkey")),
+  )
+}

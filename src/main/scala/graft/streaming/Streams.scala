@@ -822,4 +822,69 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Drain the [[graft.api.UpsertStore]] changefeed ONCE into `outDir`
+    * — the changesSince / commitCursor consumer loop packaged as an
+    * idempotent micro-batch, and the unit of work
+    * [[changefeedStream]] repeats per trigger. Effectively-once to the
+    * parquet sink by construction: the window's rows land partitioned
+    * by the consumed head seq (`to_seq`) with dynamic partition
+    * overwrite BEFORE the cursor commits, so a crash between the two
+    * redelivers the SAME window into the SAME partition — an
+    * overwrite, not a duplicate. A consumer with no cursor gets the
+    * initial load (the full snapshot as inserts). Returns the head
+    * seq the cursor advanced to, or -1 when there was nothing new.
+    */
+  def changefeedRelayOnce(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      cursorPath: String,
+      outDir: String): Long = {
+    val before = graft.api.StoreIO.readSmall(spark, cursorPath)
+    val (changes, head) =
+      graft.api.UpsertStore.changesSince(spark, dir, key, cursorPath)
+    val last = before.map(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(_).get("last_seq").asLong())
+    if (last.contains(head)) -1L
+    else {
+      changes.withColumn("to_seq", lit(head))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("to_seq")
+        .parquet(outDir)
+      graft.api.UpsertStore.commitCursor(spark, cursorPath, head)
+      head
+    }
+  }
+
+  /** The store changefeed as a LIVE STREAMING SOURCE (the Delta CDF
+    * streaming-read analog): a rate ticker drives
+    * [[changefeedRelayOnce]] every `pollIntervalMs`, relaying each new
+    * commit window into `outDir` and advancing the durable cursor.
+    * The CURSOR — not Spark's offset checkpoint — is the source of
+    * truth for what was consumed (the ticker's offsets are just a
+    * clock), so the query can be stopped, restarted, even pointed at a
+    * fresh checkpoint, and consumption resumes exactly where the
+    * cursor says; a crash mid-window redelivers identically (spec- and
+    * parity-pinned against the batch consumer).
+    */
+  def changefeedStream(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      cursorPath: String,
+      outDir: String,
+      checkpointDir: String,
+      pollIntervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(pollIntervalMs))
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        changefeedRelayOnce(spark, dir, key, cursorPath, outDir): Unit
+      }
+      .start()
 }
