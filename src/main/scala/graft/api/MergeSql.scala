@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, max}
 
 /** The mutation-SQL surface for [[UpsertStore]] — MERGE / DELETE /
   * UPDATE statements over the engine's parquet-native bucketed store,
@@ -283,6 +283,10 @@ object MergeSql {
     """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
   private val vacRe =
     """(?is)\s*VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s+COMMITS\s*;?\s*""".r
+  private val rstRe = ("""(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+""" +
+    """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+))\s*;?\s*""").r
+  private val clnRe = ("""(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+    """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
 
   /** Maintenance verbs over a store target, completing the SQL-text
     * surface beside MERGE/DELETE/UPDATE:
@@ -292,7 +296,12 @@ object MergeSql {
     * rewritten), and
     * `VACUUM '<dir>' RETAIN <n> COMMITS` — keep-N history retention
     * ([[UpsertStore.retain]] then [[StoreIO.vacuum]] for crash debris;
-    * returns the new reconstruction horizon `base_seq`).
+    * returns the new reconstruction horizon `base_seq`),
+    * `RESTORE '<dir>' TO VERSION AS OF <n> | TO TIMESTAMP AS OF <ts>` —
+    * undo to a retained state as one new commit
+    * ([[UpsertStore.restore]]; returns the new head seq), and
+    * `CLONE '<src>' TO '<dst>' [VERSION AS OF <n>]` — deep clone into a
+    * new store ([[UpsertStore.cloneStore]]; returns the cloned version).
     */
   def runMaintenance(spark: SparkSession, sql: String): Long = sql match {
     case optRe(dir, zcols) =>
@@ -303,10 +312,25 @@ object MergeSql {
       UpsertStore.retain(spark, dir, n.toInt)
       StoreIO.vacuum(spark, dir): Unit
       UpsertStore.baseSeq(spark, dir)
+    case rstRe(dir, ver, ts) =>
+      val seq = Option(ver).map(_.toLong).getOrElse {
+        val tsMs = parseTsMs(ts)
+        val at = UpsertStore.commits(spark, dir)
+          .where(col("ts_ms") <= tsMs).agg(max("seq")).head()
+        require(!at.isNullAt(0),
+          s"store $dir has no commit at or before ts $tsMs")
+        at.getLong(0)
+      }
+      UpsertStore.restore(spark, dir, seq)
+    case clnRe(src, dst, ver) =>
+      UpsertStore.cloneStore(spark, src, dst, Option(ver).map(_.toLong))
     case _ =>
       throw new IllegalArgumentException(
         "unsupported maintenance statement; expected: " +
           "OPTIMIZE '<dir>' [ZORDER BY (col, ...)] | " +
-          "VACUUM '<dir>' RETAIN <n> COMMITS")
+          "VACUUM '<dir>' RETAIN <n> COMMITS | " +
+          "RESTORE '<dir>' TO VERSION AS OF <n> | " +
+          "RESTORE '<dir>' TO TIMESTAMP AS OF <ts> | " +
+          "CLONE '<src>' TO '<dst>' [VERSION AS OF <n>]")
   }
 }

@@ -844,6 +844,134 @@ object UpsertStore {
     }
   }
 
+  /** RESTORE the table to its state at commit `seq` as ONE NEW commit
+    * (the Delta RESTORE analog — undo a bad merge without losing the
+    * history after it: the restored state lands as `head+1`, every
+    * commit in between stays time-travelable until retention retires
+    * it). Per bucket, the newest generation `<= seq` is re-published
+    * at the new head (a bucket first touched after `seq` gets an
+    * explicit empty generation — it held nothing then); buckets whose
+    * newest generation is ALREADY the asof one are skipped unread and
+    * unrewritten. O(1) Spark jobs: one tagged read of the differing
+    * asof generations + one partitioned write. Runs under lease +
+    * ledger (`batchId` replay is a no-op); always commits (kind
+    * `restore`), even when nothing differed — the intent is
+    * state-changing and its replay must be exact. Returns the new
+    * head seq.
+    */
+  def restore(
+      spark: SparkSession,
+      dir: String,
+      seq: Long,
+      batchId: Option[String] = None): Long =
+    StoreIO.withLease(spark, dir) {
+      val root = rootOf(spark, dir)
+      val head = snapshotSeq(spark, root)
+      if (batchId.exists(appliedInLog(spark, root, _))) head
+      else {
+        val base = baseSeq(spark, root)
+        require(seq >= base && seq >= 1,
+          s"store $dir retains history from commit ${math.max(base, 1)}; " +
+            s"cannot restore to $seq")
+        require(seq <= head, s"cannot restore $dir to future commit $seq (head $head)")
+        val n = buckets(spark, root)
+        val fsys = StoreIO.fs(spark, root)
+        val newSeq = head + 1
+        // (bucket, asof path or None-for-empty) for buckets whose head
+        // generation is not already the asof one
+        val diff = (0 until n).flatMap { b =>
+          val gens = genList(fsys, bucketDir(root, b))
+          if (gens.isEmpty) None
+          else {
+            val atSeq = gens.filter(_._1 <= seq) match {
+              case e if e.isEmpty => None
+              case g => Some(g.maxBy(_._1)._2)
+            }
+            val atHead = gens.maxBy(_._1)._2
+            if (atSeq.contains(atHead)) None else Some(b -> atSeq)
+          }
+        }
+        val copyBack = diff.collect { case (b, Some(p)) => b -> p }
+        if (copyBack.nonEmpty) {
+          val raw = spark.read.option("mergeSchema", "true")
+            .parquet(copyBack.map(_._2): _*)
+          val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+          raw.select(bucketOfPath.as("__b") +: raw.columns.map(col).toIndexedSeq: _*)
+            .write.partitionBy("__b").mode("overwrite").parquet(staged)
+          copyBack.foreach { case (b, _) =>
+            if (StoreIO.exists(spark, s"$staged/__b=$b"))
+              publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), newSeq)
+            else // the asof generation itself was empty
+              publishDf(emptyOf(spark, raw.schema), spark, bucketDir(root, b), newSeq)
+          }
+          StoreIO.delete(spark, staged)
+        }
+        val emptyAtSeq = diff.collect { case (b, None) => b }
+        if (emptyAtSeq.nonEmpty) {
+          // schema of the table AS OF seq (merged over its generations)
+          val asofSchema = readAt(spark, root, seq).schema
+          emptyAtSeq.foreach(b =>
+            publishDf(emptyOf(spark, asofSchema), spark, bucketDir(root, b), newSeq))
+        }
+        recordCommit(spark, root, newSeq, batchId, "restore")
+        newSeq
+      }
+    }
+
+  /** Deep-CLONE the table at `versionAsOf` (default: the current
+    * snapshot) into a NEW store at `dstDir` — one generation per
+    * non-empty bucket, same bucket modulus, `base_seq` pinned at the
+    * cloned version so time travel below it fails loudly. The source
+    * commit log is carried TRIMMED to lines `<=` the cloned version:
+    * replays of batches the clone actually contains stay no-ops, while
+    * later source batches (whose data the clone deliberately excludes)
+    * re-apply as fresh batches — carrying their ids would silently
+    * drop their data on re-delivery. O(1) Spark jobs (one tagged read
+    * + one partitioned write). Returns the cloned version.
+    */
+  def cloneStore(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val root = rootOf(spark, srcDir)
+    require(!exists(spark, dstDir), s"clone target $dstDir already exists")
+    val meta = metaOf(spark, root)
+    val seq = versionAsOf.getOrElse(snapshotSeq(spark, root))
+    require(seq >= meta.baseSeq,
+      s"store $srcDir retains history from commit ${meta.baseSeq}; cannot clone $seq")
+    val n = meta.nBuckets
+    val fsys = StoreIO.fs(spark, root)
+    val srcGens = (0 until n).flatMap { b =>
+      val gens = genList(fsys, bucketDir(root, b)).filter(_._1 <= seq)
+      if (gens.isEmpty) None else Some(b -> gens.maxBy(_._1)._2)
+    }
+    writeMeta(spark, dstDir, meta.copy(baseSeq = seq))
+    val (hz, live) = logOf(spark, root)
+    val carried = (hz.filter(_.seq <= seq).map(h =>
+      s"""{"seq":${h.seq},"batch_id":null,"kind":"horizon","ts_ms":${h.tsMs},""" +
+        s""""applied_ids":[${h.ids.map(jstr).mkString(",")}]}""").toSeq ++
+      live.filter(_.seq <= seq).map(commitLine)).mkString("", "\n", "\n")
+    StoreIO.writeSmallAtomic(spark, s"$dstDir/commits.json", carried)
+    if (srcGens.nonEmpty) {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(srcGens.map(_._2): _*)
+      val staged = s"$dstDir/staged-${java.util.UUID.randomUUID().toString.take(8)}"
+      raw.select(bucketOfPath.as("__b") +: raw.columns.map(col).toIndexedSeq: _*)
+        .write.partitionBy("__b").mode("overwrite").parquet(staged)
+      srcGens.foreach { case (b, _) =>
+        if (StoreIO.exists(spark, s"$staged/__b=$b"))
+          publishDir(spark, s"$staged/__b=$b", bucketDir(dstDir, b), seq)
+        else
+          publishDf(emptyOf(spark, raw.schema), spark, bucketDir(dstDir, b), seq)
+      }
+      StoreIO.delete(spark, staged)
+    } else meta.schema.foreach(sch =>
+      // a clone of a generation-less version must still be readable
+      publishDf(emptyOf(spark, sch), spark, bucketDir(dstDir, 0), math.max(seq, 1L)))
+    seq
+  }
+
   /** Drop generations not needed to reconstruct the newest
     * `keepCommits` commits and advance `meta.base_seq` to the new
     * horizon. Per bucket the rule is: keep everything `>= cutoff` plus

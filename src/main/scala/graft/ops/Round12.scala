@@ -294,5 +294,131 @@ object Round12 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
         "SELECT 'insert' AS change, o_custkey, o_orderkey FROM f WHERE rn = 1 " +
         "ORDER BY o_custkey")),
+
+    // RESTORE — Delta's undo verb: `RESTORE '<dir>' TO VERSION AS OF
+    // 2` republishes the seq-2 state as a NEW head commit (seq 4), so
+    // a bad merge is undone WITHOUT losing the history after it —
+    // asOf(3) still serves the pre-restore head until retention
+    // retires it. O(1) jobs: only buckets whose head generation
+    // differs from the asof one are copied back; the op ships both the
+    // restored current table and the still-travelable pre-restore
+    // snapshot under one oracle.
+    Op("core_store_restore",
+      (s, d) => {
+        val dir = s"target/tmp/restore_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val newHead = graft.api.MergeSql.runMaintenance(s,
+          s"RESTORE '$dir' TO VERSION AS OF 2")
+        require(newHead == 4L, s"restore must commit as head 4, got $newHead")
+        val restored = graft.api.UpsertStore.read(s, dir)
+          .withColumn("snap", lit("restored"))
+        val pre = graft.api.UpsertStore.readAsOf(s, dir, 3L)
+          .withColumn("snap", lit("pre"))
+        val got = pre.unionByName(restored).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("snap", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "f2 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb), " +
+        "m3 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f3 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m3 ON t.o_custkey = m3.o_custkey AND t.b = m3.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'pre' AS snap FROM f3 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'restored' AS snap FROM f2 WHERE rn = 1 " +
+        "ORDER BY snap, o_custkey")),
+
+    // Deep CLONE at a version — the dev/test branch verb: `CLONE
+    // '<src>' TO '<dst>' VERSION AS OF 2` builds a NEW store holding
+    // the seq-2 state (one generation per bucket, base_seq pinned
+    // there). The carried ledger is TRIMMED to the cloned version:
+    // a replay of a batch the clone contains is a no-op (asserted
+    // inline), while later source batches re-apply as fresh data.
+    // Source and clone then evolve independently — a sweep on the
+    // source leaves the clone untouched, pinned by the oracle.
+    Op("core_store_clone",
+      (s, d) => {
+        val base = s"target/tmp/clone_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/src"
+        val dst = s"$base/branch"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val v = graft.api.MergeSql.runMaintenance(s,
+          s"CLONE '$dir' TO '$dst' VERSION AS OF 2")
+        require(v == 2L, s"clone must report version 2, got $v")
+        require(!graft.api.UpsertStore.update(
+          t.where(col("b") === 1).drop("b"), dst, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some("b1")),
+          "replay of a contained batch into the clone must be a ledger no-op")
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        val got = graft.api.UpsertStore.read(s, dst).withColumn("snap", lit("clone"))
+          .unionByName(
+            graft.api.UpsertStore.read(s, dir).withColumn("snap", lit("src")))
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("snap", "o_custkey")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b FROM orders), " +
+        "m2 AS (SELECT o_custkey, max(b) AS mb FROM t WHERE b <= 1 GROUP BY 1), " +
+        "f2 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m2 ON t.o_custkey = m2.o_custkey AND t.b = m2.mb), " +
+        "m3 AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f3 AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m3 ON t.o_custkey = m3.o_custkey AND t.b = m3.mb) " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'clone' AS snap FROM f2 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT o_custkey, o_orderkey, o_totalprice, 'src' AS snap FROM f3 " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3 " +
+        "ORDER BY snap, o_custkey")),
+
+    // DESCRIBE HISTORY: the commit log as a queryable table — one row
+    // per state-changing commit with its seq, kind and applied-batch
+    // id (timestamps excluded: wall-clock). A scripted
+    // merge/merge/delete/restore sequence yields a fully deterministic
+    // audit trail on EVERY fixture (ledgered mutations commit even
+    // when they change nothing, which is exactly what makes their
+    // replays exact no-ops).
+    Op("core_store_history",
+      (s, d) => {
+        val dir = s"target/tmp/history_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(2)))
+        (0 to 1).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        graft.api.UpsertStore.restore(s, dir, 1L, batchId = Some("rst")): Unit
+        val got = graft.api.UpsertStore.commits(s, dir)
+          .select("seq", "kind", "batch_id").localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("seq")
+      },
+      Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'merge', 'b0'), " +
+        "(2, 'merge', 'b1'), (3, 'delete', 'sweep'), (4, 'restore', 'rst')) " +
+        "AS t(seq, kind, batch_id) ORDER BY seq")),
   )
 }
