@@ -70,9 +70,10 @@ object Bench {
     "llm_embedding_neardup", "llm_multimodal_decode", "mod_webhook_parse",
     // round 11: generation-log store (DML triad, time travel, CDC-out)
     "core_update_sql", "core_store_time_travel", "core_store_changefeed",
-    // round 12: full-sync UPDATE arm, live changefeed source, RESTORE
+    // round 12: full-sync UPDATE arm, live changefeed source, RESTORE,
+    // incremental materialized view
     "core_merge_full_sync_update", "strm_changefeed_source",
-    "core_store_restore")
+    "core_store_restore", "core_incremental_matview")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

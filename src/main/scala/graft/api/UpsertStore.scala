@@ -636,7 +636,62 @@ object UpsertStore {
       dir: String,
       fromSeq: Long,
       toSeq: Long,
-      key: String): DataFrame = {
+      key: String): DataFrame =
+    changesJoined(spark, dir, fromSeq, toSeq, key) match {
+      case Left(shape) => shape
+      case Right((joined, others)) =>
+        joined.select(col("change") +: col(key) +: others.map(c =>
+          coalesce(col(s"__after.$c"), col(s"__before.$c")).as(c)): _*)
+    }
+
+  /** [[changesBetween]] in Delta-CDF IMAGE form: an `update` emits TWO
+    * rows — `update_preimage` (the replaced values) and
+    * `update_postimage` (the new ones) — beside `insert` and `delete`
+    * (whose single row is the after- resp. before-image). The pre/post
+    * pair is what DOWNSTREAM INCREMENTAL MAINTENANCE needs: an
+    * aggregate view subtracts the preimage and adds the postimage, so
+    * a row whose update moves it BETWEEN groups adjusts both — the
+    * after-image-only form cannot express that. Same path pruning as
+    * [[changesBetween]] (identical-path buckets skipped unread); the
+    * pair explodes from one joined row, so the join still runs once.
+    */
+  def changesBetweenImages(
+      spark: SparkSession,
+      dir: String,
+      fromSeq: Long,
+      toSeq: Long,
+      key: String): DataFrame =
+    changesJoined(spark, dir, fromSeq, toSeq, key) match {
+      case Left(shape) => shape
+      case Right((joined, others)) =>
+        val pre = struct(
+          when(col("change") === "delete", lit("delete"))
+            .otherwise(lit("update_preimage")).as("ct"),
+          col("__before").as("img"))
+        val post = struct(
+          when(col("change") === "insert", lit("insert"))
+            .otherwise(lit("update_postimage")).as("ct"),
+          col("__after").as("img"))
+        joined.select(col(key), explode(filter(array(
+          when(col("change").isin("delete", "update"), pre),
+          when(col("change").isin("insert", "update"), post)),
+          x => x.isNotNull)).as("__e"))
+          .select(col("__e.ct").as("change") +: col(key) +:
+            others.map(c => col(s"__e.img.$c").as(c)): _*)
+    }
+
+  /** Shared interior of the two changefeed shapes: Left(empty frame in
+    * the requested shape) when no bucket's newest-generation path
+    * differs between the two seqs; Right(joined, others) otherwise,
+    * where `joined` carries `key`, `__before`, `__after` and a
+    * non-null `change` in {insert, delete, update}.
+    */
+  private def changesJoined(
+      spark: SparkSession,
+      dir: String,
+      fromSeq: Long,
+      toSeq: Long,
+      key: String): Either[DataFrame, (DataFrame, IndexedSeq[String])] = {
     val root = rootOf(spark, dir)
     require(fromSeq <= toSeq, s"changesBetween: fromSeq $fromSeq > toSeq $toSeq")
     val base = baseSeq(spark, root)
@@ -661,8 +716,8 @@ object UpsertStore {
       case (None, None) =>
         // no changed buckets: an empty frame in the change-feed shape
         val cur = read(spark, root)
-        cur.limit(0).withColumn("change", lit(""))
-          .select(col("change") +: cur.columns.map(col).toIndexedSeq: _*)
+        Left(cur.limit(0).withColumn("change", lit(""))
+          .select(col("change") +: cur.columns.map(col).toIndexedSeq: _*))
       case _ =>
         val schema = (aOpt, bOpt) match {
           case (Some(a), Some(b)) =>
@@ -677,14 +732,12 @@ object UpsertStore {
           struct(others.map(col): _*).as("__before"))
         val b = aligned(bOpt).select(col(key),
           struct(others.map(col): _*).as("__after"))
-        a.join(b, Seq(key), "full_outer")
+        Right((a.join(b, Seq(key), "full_outer")
           .withColumn("change",
             when(col("__before").isNull, lit("insert"))
               .when(col("__after").isNull, lit("delete"))
               .when(!(col("__before") <=> col("__after")), lit("update")))
-          .where(col("change").isNotNull)
-          .select(col("change") +: col(key) +: others.map(c =>
-            coalesce(col(s"__after.$c"), col(s"__before.$c")).as(c)): _*)
+          .where(col("change").isNotNull), others))
     }
   }
 

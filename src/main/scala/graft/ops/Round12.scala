@@ -420,5 +420,104 @@ object Round12 {
       Some("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'merge', 'b0'), " +
         "(2, 'merge', 'b1'), (3, 'delete', 'sweep'), (4, 'restore', 'rst')) " +
         "AS t(seq, kind, batch_id) ORDER BY seq")),
+
+    // CDF IMAGE FEED (Delta CDF parity): an update emits BOTH rows —
+    // update_preimage (replaced values) and update_postimage (new
+    // ones) — beside insert/delete. The pair is what downstream
+    // incremental maintenance consumes (subtract pre, add post), and
+    // what the after-image-only feed cannot express when an update
+    // moves a row between groups. Same bucket-path pruning as the
+    // plain changefeed; the pair explodes from ONE joined row.
+    Op("core_store_cdf_images",
+      (s, d) => {
+        val dir = s"target/tmp/cdf_img_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .where("o_orderkey % 3 <= 1")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 1).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        val got = graft.api.UpsertStore
+          .changesBetweenImages(s, dir, fromSeq = 1L, toSeq = 3L, key = "o_custkey")
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey", "change")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 3 AS b " +
+        "FROM orders WHERE o_orderkey % 3 <= 1), " +
+        "s1 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn " +
+        "FROM t WHERE b = 0) WHERE rn = 1), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "s3 AS (SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb) " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3), " +
+        "cls AS (SELECT s1.o_custkey AS k1, s1.o_orderkey AS ok1, s1.o_totalprice AS tp1, " +
+        "s3.o_custkey AS k3, s3.o_orderkey AS ok3, s3.o_totalprice AS tp3 " +
+        "FROM s1 FULL OUTER JOIN s3 ON s1.o_custkey = s3.o_custkey " +
+        "WHERE s1.o_custkey IS NULL OR s3.o_custkey IS NULL " +
+        "OR s1.o_orderkey IS DISTINCT FROM s3.o_orderkey " +
+        "OR s1.o_totalprice IS DISTINCT FROM s3.o_totalprice) " +
+        "SELECT CASE WHEN k3 IS NULL THEN 'delete' ELSE 'update_preimage' END AS change, " +
+        "k1 AS o_custkey, ok1 AS o_orderkey, tp1 AS o_totalprice FROM cls WHERE k1 IS NOT NULL " +
+        "UNION ALL " +
+        "SELECT CASE WHEN k1 IS NULL THEN 'insert' ELSE 'update_postimage' END AS change, " +
+        "k3 AS o_custkey, ok3 AS o_orderkey, tp3 AS o_totalprice FROM cls WHERE k3 IS NOT NULL " +
+        "ORDER BY o_custkey, change")),
+
+    // INCREMENTAL MATERIALIZED VIEW — grouped sum/count maintained
+    // from the CDF image feed, never recomputed from the fact table:
+    // refresh 1 seeds from the snapshot; batch 3 + a delete sweep
+    // land; refresh 2 folds exactly the image window (subtract
+    // preimages, add postimages — the group key derives from
+    // o_orderkey, so every updated customer MOVES groups and both
+    // sides must adjust). The oracle is the from-scratch recompute
+    // over the final store state: incremental == full, exactly. A
+    // third refresh with nothing new is a no-op (asserted inline).
+    Op("core_incremental_matview",
+      (s, d) => {
+        val base = s"target/tmp/matview_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/fact"
+        val view = s"$base/view"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        def batch(b: Int): Unit = graft.api.UpsertStore.update(
+          t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some(s"b$b")): Unit
+        def refresh(): Long = graft.api.MatView.refresh(s, dir, "o_custkey", view,
+          groupCols = Seq("grp" -> pmod(col("o_orderkey"), lit(10))),
+          sumCols = Seq("cents"))
+        batch(0); batch(1)
+        require(refresh() == 2L, "first refresh must reach head 2")
+        batch(2)
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        require(refresh() == 4L, "second refresh must reach head 4")
+        require(refresh() == 4L, "refresh with nothing new must be a no-op")
+        val got = graft.api.MatView.read(s, view).localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("grp")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey % 3 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.cents, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb), " +
+        "cur AS (SELECT o_custkey, o_orderkey, cents FROM f " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3) " +
+        "SELECT o_orderkey % 10 AS grp, count(*) AS n_rows, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM cur GROUP BY 1 ORDER BY grp")),
   )
 }

@@ -442,6 +442,93 @@ class Round12Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, d)
   }
 
+  // ---- CDF images + incremental materialized views -----------------------
+
+  test("changesBetweenImages: update emits a pre/post pair, insert/delete one row") {
+    val d = tmpDir("cdf_img")
+    api.UpsertStore.update(kab((1L, 1L, 0L), (2L, 2L, 0L)), d, "k", "a",
+      nBuckets = 4, batchId = Some("c1"))
+    api.UpsertStore.update(kab((2L, 22L, 0L), (3L, 3L, 0L)), d, "k", "a",
+      nBuckets = 4, batchId = Some("c2"))
+    api.UpsertStore.delete(spark, d, expr("k = 1"), batchId = Some("c3")): Unit
+    val got = api.UpsertStore.changesBetweenImages(spark, d, 1L, 3L, "k")
+      .select("change", "k", "a").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._2, r._1)).toSeq
+    assert(got == Seq(
+      ("delete", 1L, 1L),              // before-image
+      ("update_postimage", 2L, 22L),
+      ("update_preimage", 2L, 2L),
+      ("insert", 3L, 3L)))             // after-image
+    // parity: collapsing images reproduces the plain feed exactly
+    val plain = api.UpsertStore.changesBetween(spark, d, 1L, 3L, "k")
+      .select("change", "k", "a").as[(String, Long, Long)].collect().toSet
+    val collapsed = api.UpsertStore.changesBetweenImages(spark, d, 1L, 3L, "k")
+      .where("change <> 'update_preimage'")
+      .withColumn("change",
+        when(col("change") === "update_postimage", "update").otherwise(col("change")))
+      .select("change", "k", "a").as[(String, Long, Long)].collect().toSet
+    assert(collapsed == plain)
+    api.StoreIO.delete(spark, d)
+  }
+
+  test("matview: group-moving updates adjust both groups; incremental == recompute") {
+    val base = tmpDir("mv")
+    val d = s"$base/fact"
+    val v = s"$base/view"
+    def refresh(): Long = api.MatView.refresh(spark, d, "k", v,
+      groupCols = Seq("grp" -> expr("a % 2")), sumCols = Seq("b"))
+    def state(): Seq[(Long, Long, Long)] = api.MatView.read(spark, v)
+      .select("grp", "n_rows", "sum_b").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    api.UpsertStore.update(kab((1L, 0L, 10L), (2L, 1L, 20L), (3L, 2L, 30L)),
+      d, "k", "k", nBuckets = 4, batchId = Some("c1"))
+    assert(refresh() == 1L)
+    assert(state() == Seq((0L, 2L, 40L), (1L, 1L, 20L)))
+    // k=1 moves grp 0 -> 1 (a 0 -> 3); k=3 deleted; k=4 inserted grp 0
+    api.UpsertStore.update(kab((1L, 3L, 11L), (4L, 4L, 40L)),
+      d, "k", "k", nBuckets = 4, batchId = Some("c2"))
+    api.UpsertStore.delete(spark, d, expr("k = 3"), batchId = Some("c3")): Unit
+    assert(refresh() == 3L)
+    assert(state() == Seq((0L, 1L, 40L), (1L, 2L, 31L)))
+    // incremental state == from-scratch recompute over the final table
+    val full = api.UpsertStore.read(spark, d)
+      .groupBy(expr("a % 2").as("grp"))
+      .agg(count(lit(1)).as("n"), sum("b").as("s"))
+      .select("grp", "n", "s").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(state() == full)
+    // a group whose count reaches zero vanishes (no phantom rows)
+    api.UpsertStore.delete(spark, d, expr("a % 2 = 0"), batchId = Some("c4")): Unit
+    assert(refresh() == 4L)
+    assert(state() == Seq((1L, 2L, 31L)))
+    api.StoreIO.delete(spark, base)
+  }
+
+  test("matview state+cursor survive a crash between the swap's renames") {
+    val base = tmpDir("mv_crash")
+    val d = s"$base/fact"
+    val v = s"$base/view"
+    api.UpsertStore.update(kab((1L, 1L, 10L), (2L, 2L, 20L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("c1"))
+    api.MatView.refresh(spark, d, "k", v,
+      groupCols = Seq("grp" -> lit(0)), sumCols = Seq("b")): Unit
+    // simulate the crash window: generation retired, promote never landed
+    val f = api.StoreIO.fs(spark, v)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(f.rename(hp(s"$v/gen"), hp(s"$v/gen-old")))
+    // reads serve the fallback; cursor too — so the next refresh folds
+    // EXACTLY the missing window, never a double-apply
+    assert(api.MatView.cursor(spark, v) == 1L)
+    assert(api.MatView.read(spark, v).select("sum_b").as[Long].head() == 30L)
+    api.UpsertStore.update(kab((3L, 3L, 5L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("c2"))
+    assert(api.MatView.refresh(spark, d, "k", v,
+      groupCols = Seq("grp" -> lit(0)), sumCols = Seq("b")) == 2L)
+    assert(api.MatView.read(spark, v).select("n_rows", "sum_b")
+      .as[(Long, Long)].head() == ((3L, 35L)))
+    assert(!api.StoreIO.exists(spark, s"$v/gen-old"))
+    api.StoreIO.delete(spark, base)
+  }
+
   // ---- retained-store consumer attach ------------------------------------
 
   test("a cursor-less consumer on a retained store receives the full snapshot") {
