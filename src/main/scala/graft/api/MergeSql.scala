@@ -287,6 +287,10 @@ object MergeSql {
     """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+))\s*;?\s*""").r
   private val clnRe = ("""(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
     """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val addConRe = ("""(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+""" +
+    """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val dropConRe =
+    """(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Maintenance verbs over a store target, completing the SQL-text
     * surface beside MERGE/DELETE/UPDATE:
@@ -324,6 +328,12 @@ object MergeSql {
       UpsertStore.restore(spark, dir, seq)
     case clnRe(src, dst, ver) =>
       UpsertStore.cloneStore(spark, src, dst, Option(ver).map(_.toLong))
+    case addConRe(dir, name, check) =>
+      UpsertStore.addConstraint(spark, dir, name, check)
+      UpsertStore.constraints(spark, dir).size.toLong
+    case dropConRe(dir, name) =>
+      UpsertStore.dropConstraint(spark, dir, name)
+      UpsertStore.constraints(spark, dir).size.toLong
     case _ =>
       throw new IllegalArgumentException(
         "unsupported maintenance statement; expected: " +
@@ -331,6 +341,8 @@ object MergeSql {
           "VACUUM '<dir>' RETAIN <n> COMMITS | " +
           "RESTORE '<dir>' TO VERSION AS OF <n> | " +
           "RESTORE '<dir>' TO TIMESTAMP AS OF <ts> | " +
-          "CLONE '<src>' TO '<dst>' [VERSION AS OF <n>]")
+          "CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
+          "ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>) | " +
+          "ALTER '<dir>' DROP CONSTRAINT <name>")
   }
 }

@@ -111,7 +111,8 @@ object UpsertStore {
     * back to a merged footer read then.
     */
   private final case class Meta(
-      nBuckets: Int, baseSeq: Long, schema: Option[StructType])
+      nBuckets: Int, baseSeq: Long, schema: Option[StructType],
+      constraints: Seq[(String, String)] = Nil)
 
   private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -123,13 +124,22 @@ object UpsertStore {
     val n = jackson.readTree(txt)
     val sch = Option(n.get("schema")).filterNot(_.isNull)
       .map(s => DataType.fromJson(s.asText()).asInstanceOf[StructType])
-    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong(), sch)
+    val cons = Option(n.get("constraints")).filterNot(_.isNull).toSeq
+      .flatMap(a => (0 until a.size()).map { i =>
+        val c = a.get(i)
+        c.get("name").asText() -> c.get("check").asText()
+      })
+    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong(), sch, cons)
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit =
     StoreIO.writeSmallAtomic(spark, s"$root/meta.json",
       s"""{"n_buckets":${m.nBuckets},"base_seq":${m.baseSeq}""" +
-        m.schema.map(s => s""","schema":${jstr(s.json)}""").getOrElse("") + "}")
+        m.schema.map(s => s""","schema":${jstr(s.json)}""").getOrElse("") +
+        (if (m.constraints.isEmpty) ""
+         else s""","constraints":[${m.constraints.map { case (nm, ck) =>
+           s"""{"name":${jstr(nm)},"check":${jstr(ck)}}"""
+         }.mkString(",")}]""") + "}")
 
   /** The table schema without scanning data: the meta-recorded schema
     * when present (one driver-side JSON read), else a merged footer
@@ -325,6 +335,58 @@ object UpsertStore {
     readAsOf(spark, root, at.map(_.seq).max)
   }
 
+  /** The CHECK constraints recorded on the store: (name, sql check). */
+  def constraints(spark: SparkSession, dir: String): Seq[(String, String)] =
+    metaOf(spark, rootOf(spark, dir)).constraints
+
+  /** ADD a CHECK constraint (Delta parity). The whole EXISTING table
+    * must already satisfy the check — one validation scan runs first,
+    * so a green ADD is a guarantee about the data, not an aspiration.
+    * From then on every write that produces rows (MERGE upserts, the
+    * full-sync UPDATE arm, the UPDATE verb) validates its STAGED
+    * output before any generation publishes; a violating batch fails
+    * loudly with the constraint name and leaves the store readable at
+    * its prior state. SQL CHECK semantics: only FALSE violates — a
+    * NULL check passes.
+    */
+  def addConstraint(
+      spark: SparkSession, dir: String, name: String, check: String): Unit =
+    StoreIO.withLease(spark, dir) {
+      val root = rootOf(spark, dir)
+      val meta = metaOf(spark, root)
+      require(!meta.constraints.exists(_._1 == name),
+        s"store $dir already has a constraint named $name")
+      enforce(read(spark, root), Seq(name -> check), "the existing table")
+      writeMeta(spark, root, meta.copy(constraints = meta.constraints :+ (name -> check)))
+    }
+
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Unit =
+    StoreIO.withLease(spark, dir) {
+      val root = rootOf(spark, dir)
+      val meta = metaOf(spark, root)
+      require(meta.constraints.exists(_._1 == name),
+        s"store $dir has no constraint named $name")
+      writeMeta(spark, root,
+        meta.copy(constraints = meta.constraints.filterNot(_._1 == name)))
+    }
+
+  /** ONE aggregate scan validating every constraint at once; throws
+    * with the first violated constraint's name and violation count.
+    */
+  private def enforce(
+      df: DataFrame, cons: Seq[(String, String)], what: String): Unit =
+    if (cons.nonEmpty) {
+      val aggs = cons.map { case (nm, ck) =>
+        sum(when(!coalesce(expr(ck), lit(true)), 1L).otherwise(0L)).as(nm)
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cons.zipWithIndex.foreach { case ((nm, ck), i) =>
+        val bad = if (r.isNullAt(i)) 0L else 0L.max(r.getLong(i))
+        require(bad == 0,
+          s"CHECK constraint $nm ($ck) violated by $bad row(s) in $what")
+      }
+    }
+
   /** Merge one batch. Returns false when `batchId` is already in the
     * applied ledger (a foreachBatch redelivery) — nothing is touched.
     * The whole read-modify-write runs under the store writer lease
@@ -428,7 +490,10 @@ object UpsertStore {
           require(cols.contains(c), s"UPDATE SET names unknown column $c")
         }
         val hit = coalesce(predicate, lit(false))
-        rewriteBuckets(spark, root, "update", batchId)(
+        val cons = metaOf(spark, root).constraints
+        rewriteBuckets(spark, root, "update", batchId,
+          validateStaged = if (cons.isEmpty) None
+            else Some(df => enforce(df, cons, "the UPDATE output")))(
           _.withColumn("__hit", hit),
           cur => cur.select(col("__b") +: assign(schema, set, col("__hit")): _*))
       }
@@ -462,7 +527,8 @@ object UpsertStore {
     */
   private def rewriteBuckets(
       spark: SparkSession, dir: String, kind: String,
-      batchId: Option[String])(
+      batchId: Option[String],
+      validateStaged: Option[DataFrame => Unit] = None)(
       prep: DataFrame => DataFrame,
       next: DataFrame => DataFrame): Long = {
     val root = rootOf(spark, dir)
@@ -471,7 +537,8 @@ object UpsertStore {
     val seq = snapshotSeq(spark, root) + 1
     val fsys = StoreIO.fs(spark, root)
     val affected = sweepBuckets(spark, root,
-      newestGens(fsys, root, meta.nBuckets), seq, fullSchema)(prep, next)
+      newestGens(fsys, root, meta.nBuckets), seq, fullSchema,
+      validateStaged)(prep, next)
     // a ledgered no-change mutation still commits (empty line, no
     // generations) so its replay is an exact no-op
     if (affected > 0 || batchId.nonEmpty)
@@ -504,10 +571,41 @@ object UpsertStore {
       root: String,
       bucketPaths: Seq[(Int, String)],
       seq: Long,
+      fullSchema: StructType,
+      validateStaged: Option[DataFrame => Unit] = None)(
+      prep: DataFrame => DataFrame,
+      next: DataFrame => DataFrame): Long =
+    stageSweep(spark, root, bucketPaths, fullSchema)(prep, next) match {
+      case None => 0L
+      case Some(sw) =>
+        // validation runs on the STAGED bytes before anything
+        // publishes: a violating mutation deletes its staging and
+        // leaves the store readable at its prior state
+        validateStaged.foreach { v =>
+          try v(spark.read.parquet(sw.staged))
+          catch { case e: Throwable => StoreIO.delete(spark, sw.staged); throw e }
+        }
+        publishSweep(spark, root, sw, seq, fullSchema)
+        sw.affected
+    }
+
+  /** A staged-but-unpublished sweep: the staged dir, the buckets it
+    * replaces, and the affected-row count. Publish with
+    * [[publishSweep]] once every validation the commit needs has
+    * passed — staging EVERYTHING first is what lets a multi-part
+    * commit (merge + full-sync sweep) reject atomically.
+    */
+  private final case class StagedSweep(
+      staged: String, touched: Seq[(Int, String)], affected: Long)
+
+  private def stageSweep(
+      spark: SparkSession,
+      root: String,
+      bucketPaths: Seq[(Int, String)],
       fullSchema: StructType)(
       prep: DataFrame => DataFrame,
-      next: DataFrame => DataFrame): Long = {
-    if (bucketPaths.isEmpty) return 0L
+      next: DataFrame => DataFrame): Option[StagedSweep] = {
+    if (bucketPaths.isEmpty) return None
     def tagged(paths: Seq[String]): DataFrame = {
       val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       val have = raw.columns.toSet
@@ -522,20 +620,27 @@ object UpsertStore {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val affected = counts.values.sum
     val touched = bucketPaths.filter(p => counts.getOrElse(p._1, 0L) > 0L)
-    if (touched.nonEmpty) {
+    if (touched.isEmpty) None // affected > 0 implies a touched bucket
+    else {
       val out = next(prep(tagged(touched.map(_._2))))
       val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
       out.write.partitionBy("__b").mode("overwrite").parquet(staged)
-      touched.foreach { case (b, _) =>
-        if (StoreIO.exists(spark, s"$staged/__b=$b"))
-          publishDir(spark, s"$staged/__b=$b", bucketDir(root, b), seq)
+      Some(StagedSweep(staged, touched, affected))
+    }
+  }
+
+  private def publishSweep(
+      spark: SparkSession, root: String, sw: StagedSweep, seq: Long,
+      fullSchema: StructType): Unit =
+    if (sw.touched.nonEmpty) {
+      sw.touched.foreach { case (b, _) =>
+        if (StoreIO.exists(spark, s"${sw.staged}/__b=$b"))
+          publishDir(spark, s"${sw.staged}/__b=$b", bucketDir(root, b), seq)
         else
           publishDf(emptyOf(spark, fullSchema), spark, bucketDir(root, b), seq)
       }
-      StoreIO.delete(spark, staged)
+      StoreIO.delete(spark, sw.staged)
     }
-    affected
-  }
 
   private def align(cur: DataFrame, full: StructType): DataFrame = {
     val have = cur.columns.toSet
@@ -1310,10 +1415,38 @@ object UpsertStore {
         kept.unionByName(upserts, allowMissingColumns = true)
       }
 
-    // ONE staged write covering every touched bucket, then one atomic
-    // rename per bucket publishing generation `seq`
+    // STAGE every part of the commit first — the touched-bucket merge
+    // write AND (when a full-sync arm is present) the untouched-bucket
+    // sweep — so constraint validation sees the commit's WHOLE output
+    // before a single generation publishes: a violating batch deletes
+    // its staging and throws, leaving the store readable at its prior
+    // state with the commit seq unadvanced.
     val staged = s"$root/staged-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.partitionBy("__b").mode("overwrite").parquet(staged)
+    // full-sync over the UNtouched buckets: every stored row there is
+    // by construction not-matched-by-source. O(1) Spark jobs whatever
+    // the bucket count; only buckets where an arm actually fires are
+    // rewritten, at the SAME seq (one commit).
+    val sweep =
+      if (notMatchedBySourceDelete.isEmpty && notMatchedBySourceUpdate.isEmpty) None
+      else {
+        val touchedSet = touched.toSet
+        val untouched = newestGens(fsys, root, n).filterNot(p => touchedSet(p._1))
+        stageSweep(spark, root, untouched, unionSchema)(
+          _.withColumn("__hit", updHit || delHit), nmbsNext)
+      }
+    if (meta.constraints.nonEmpty) {
+      try {
+        enforce(spark.read.parquet(staged), meta.constraints, "the merge batch")
+        sweep.foreach(sw => enforce(spark.read.parquet(sw.staged),
+          meta.constraints, "the full-sync UPDATE output"))
+      } catch {
+        case e: Throwable =>
+          StoreIO.delete(spark, staged)
+          sweep.foreach(sw => StoreIO.delete(spark, sw.staged))
+          throw e
+      }
+    }
     touched.foreach { b =>
       // a bucket whose every surviving row was tombstoned away writes no
       // staged partition — publish an explicit EMPTY generation instead
@@ -1325,17 +1458,7 @@ object UpsertStore {
         publishDf(emptyOf(spark, unionSchema), spark, bucketDir(root, b), seq)
     }
     StoreIO.delete(spark, staged)
-
-    // full-sync over the UNtouched buckets: every stored row there is
-    // by construction not-matched-by-source. O(1) Spark jobs whatever
-    // the bucket count (sweepBuckets); only buckets where an arm
-    // actually fires are rewritten, at the SAME seq (one commit).
-    if (notMatchedBySourceDelete.nonEmpty || notMatchedBySourceUpdate.nonEmpty) {
-      val touchedSet = touched.toSet
-      val untouched = newestGens(fsys, root, n).filterNot(p => touchedSet(p._1))
-      sweepBuckets(spark, root, untouched, seq, unionSchema)(
-        _.withColumn("__hit", updHit || delHit), nmbsNext): Unit
-    }
+    sweep.foreach(sw => publishSweep(spark, root, sw, seq, unionSchema))
 
     recordCommit(spark, root, seq, batchId, "merge")
     retainLocked(spark, root, retainCommits)

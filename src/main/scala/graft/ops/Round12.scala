@@ -519,5 +519,53 @@ object Round12 {
         "SELECT o_orderkey % 10 AS grp, count(*) AS n_rows, " +
         "CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM cur GROUP BY 1 ORDER BY grp")),
+
+    // CHECK CONSTRAINTS (Delta parity): `ALTER '<dir>' ADD CONSTRAINT
+    // nonneg CHECK (total_cents >= 0)` validates the EXISTING table
+    // first (a green ADD is a guarantee), then every write validates
+    // its staged output BEFORE any generation publishes — the
+    // violating merge here throws with the constraint name, the store
+    // stays at its prior state and its commit seq does not advance
+    // (asserted inline). After DROP CONSTRAINT the same batch applies.
+    Op("core_store_constraints",
+      (s, d) => {
+        import s.implicits._
+        val dir = s"target/tmp/constraints_${java.util.UUID.randomUUID().toString.take(8)}"
+        seedSrc(s, d).createOrReplaceTempView("graft_cons_seed")
+        graft.api.MergeSql.run(s,
+          s"MERGE INTO '$dir' USING graft_cons_seed ON t.o_custkey = s.o_custkey " +
+            "LATEST BY o_orderkey WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *",
+          nBuckets = 8, batchId = Some("seed")): Unit
+        require(graft.api.MergeSql.runMaintenance(s,
+          s"ALTER '$dir' ADD CONSTRAINT nonneg CHECK (total_cents >= 0)") == 1L)
+        graft.api.MergeSql.runUpdate(s,
+          s"UPDATE '$dir' SET total_cents = total_cents + 1 WHERE o_custkey % 2 = 0",
+          batchId = Some("u1")): Unit
+        val badRow = Seq((-7L, 0L, -5L, 0L))
+          .toDF("o_custkey", "o_orderkey", "total_cents", "disc_cents")
+        val rejected =
+          try { graft.api.UpsertStore.update(badRow, dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some("bad")): Unit; false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("CHECK constraint nonneg") }
+        require(rejected, "a violating merge batch must be rejected by name")
+        require(graft.api.UpsertStore.snapshotSeq(s, dir) == 2L,
+          "a rejected batch must not advance the commit seq")
+        require(graft.api.MergeSql.runMaintenance(s,
+          s"ALTER '$dir' DROP CONSTRAINT nonneg") == 0L)
+        graft.api.UpsertStore.update(badRow, dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some("bad")): Unit
+        val got = graft.api.UpsertStore.read(s, dir).localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey")
+      },
+      Some(s"WITH $oSeed " +
+        "SELECT o_custkey, o_orderkey, " +
+        "CASE WHEN o_custkey % 2 = 0 THEN total_cents + 1 ELSE total_cents END AS total_cents, " +
+        "disc_cents FROM l " +
+        "UNION ALL SELECT CAST(-7 AS BIGINT), CAST(0 AS BIGINT), " +
+        "CAST(-5 AS BIGINT), CAST(0 AS BIGINT) " +
+        "ORDER BY o_custkey")),
   )
 }

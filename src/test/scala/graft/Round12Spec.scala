@@ -442,6 +442,45 @@ class Round12Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, d)
   }
 
+  // ---- CHECK constraints --------------------------------------------------
+
+  test("constraints: ADD validates existing data; writes validate staged output") {
+    val d = tmpDir("cons")
+    api.UpsertStore.update(kab((1L, 5L, 0L), (2L, 7L, 0L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("seed"))
+    // an aspiration the data already violates is rejected outright
+    intercept[IllegalArgumentException] {
+      api.UpsertStore.addConstraint(spark, d, "big", "a > 6")
+    }
+    assert(api.UpsertStore.constraints(spark, d).isEmpty)
+    api.UpsertStore.addConstraint(spark, d, "pos", "a > 0")
+    // UPDATE verb producing a violating row: rejected, state intact
+    val e = intercept[IllegalArgumentException] {
+      api.MergeSql.runUpdate(spark, s"UPDATE '$d' SET a = a - 10 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("CHECK constraint pos"))
+    assert(api.UpsertStore.read(spark, d).select("a")
+      .as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    assert(api.UpsertStore.snapshotSeq(spark, d) == 1L)
+    // the full-sync UPDATE arm validates too
+    intercept[IllegalArgumentException] {
+      api.UpsertStore.update(kab((1L, 6L, 0L)), d, "k", "k", nBuckets = 4,
+        notMatchedBySourceUpdate = Some((lit(true), Seq("a" -> lit(-1L)))))
+    }
+    assert(api.UpsertStore.read(spark, d).select("a")
+      .as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    // NULL checks PASS (SQL semantics: only FALSE violates)
+    api.UpsertStore.addConstraint(spark, d, "nullish", "b / nullif(a - a, 0) > 0")
+    assert(api.UpsertStore.update(kab((3L, 9L, 1L)), d, "k", "k", nBuckets = 4))
+    // dropping an unknown constraint is loud
+    intercept[IllegalArgumentException] {
+      api.UpsertStore.dropConstraint(spark, d, "nope")
+    }
+    api.UpsertStore.dropConstraint(spark, d, "pos")
+    assert(api.UpsertStore.constraints(spark, d).map(_._1) == Seq("nullish"))
+    api.StoreIO.delete(spark, d)
+  }
+
   // ---- CDF images + incremental materialized views -----------------------
 
   test("changesBetweenImages: update emits a pre/post pair, insert/delete one row") {
