@@ -721,6 +721,43 @@ object UpsertStore {
       .join(k.drop("__b"), Seq(key), "left_semi")
   }
 
+  /** FULL VERSION HISTORY of a set of keys — the row-level audit query
+    * the generation log answers in ONE bucket-pruned scan: every
+    * retained generation of ONLY the probed keys' buckets is read
+    * (tagged with its commit seq recovered from the generation path)
+    * and semi-joined to the probe set. A key's row appears once per
+    * retained commit that REWROTE its bucket while the key was
+    * present; between those commits the row was byte-identical by
+    * construction (generations are immutable), so the result IS the
+    * complete value timeline over the retention window. At 100 TB a
+    * handful of audited keys reads a handful of bucket directories —
+    * never the table, never untouched buckets.
+    */
+  def rowVersions(keys: DataFrame, dir: String, key: String): DataFrame = {
+    val spark = keys.sparkSession
+    val root = rootOf(spark, dir)
+    val n = buckets(spark, root)
+    val fsys = StoreIO.fs(spark, root)
+    val k = keys.select(key).distinct()
+      .withColumn("__kb", bucketExpr(key, n))
+      .localCheckpoint()
+    val touched = k.select("__kb").distinct().collect()
+      .map(_.getInt(0)).toSet // bounded by nBuckets, never by data
+    val paths = touched.toSeq.sorted
+      .flatMap(b => genList(fsys, bucketDir(root, b)).map(_._2))
+    if (paths.isEmpty) {
+      val cur = read(spark, root)
+      cur.limit(0).withColumn("commit_seq", lit(0L))
+        .select(col("commit_seq") +: cur.columns.map(col).toIndexedSeq: _*)
+    } else {
+      val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val seqOfPath = regexp_extract(col("_metadata.file_path"),
+        "/b\\d+/g(\\d{12})/", 1).cast("long")
+      raw.select(seqOfPath.as("commit_seq") +: raw.columns.map(col).toIndexedSeq: _*)
+        .join(k.drop("__kb"), Seq(key), "left_semi")
+    }
+  }
+
   /** CDC-OUT off the generation log: the row-level changes between two
     * committed snapshots — `change` is `insert` (key only in `toSeq`),
     * `delete` (key only in `fromSeq`; values are the before-image) or

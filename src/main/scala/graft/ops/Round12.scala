@@ -567,5 +567,41 @@ object Round12 {
         "UNION ALL SELECT CAST(-7 AS BIGINT), CAST(0 AS BIGINT), " +
         "CAST(-5 AS BIGINT), CAST(0 AS BIGINT) " +
         "ORDER BY o_custkey")),
+
+    // ROW-LEVEL AUDIT HISTORY (UpsertStore.rowVersions): a probed
+    // key's full value timeline over the retention window, in ONE
+    // bucket-pruned scan of every retained generation of ONLY its
+    // bucket — the query the immutable generation log answers that a
+    // mutate-in-place table cannot. Each probed customer appears once
+    // per commit that rewrote its bucket while present (single-bucket
+    // store here so every commit rewrites — the semantics under test;
+    // bucket pruning is spec-pinned separately). Oracle replays the
+    // per-commit last-batch-wins states.
+    Op("core_store_row_history",
+      (s, d) => {
+        val dir = s"target/tmp/row_hist_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        (0 to 2).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 1, batchId = Some(s"b$b")): Unit
+        }
+        val probes = T.t(s, d, "orders")
+          .where("o_custkey % 101 = 0").select("o_custkey").distinct()
+        val got = graft.api.UpsertStore.rowVersions(probes, dir, "o_custkey")
+          .select("o_custkey", "commit_seq", "o_orderkey").localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("o_custkey", "commit_seq")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_orderkey % 3 AS b FROM orders), " +
+        "f AS (SELECT h.commit_seq, t.o_custkey, t.o_orderkey, " +
+        "row_number() OVER (PARTITION BY h.commit_seq, t.o_custkey " +
+        "ORDER BY t.b DESC, t.o_orderkey DESC) AS rn " +
+        "FROM (VALUES (1), (2), (3)) h(commit_seq) JOIN t ON t.b < h.commit_seq) " +
+        "SELECT o_custkey, CAST(commit_seq AS BIGINT) AS commit_seq, o_orderkey " +
+        "FROM f WHERE rn = 1 AND o_custkey % 101 = 0 " +
+        "ORDER BY o_custkey, commit_seq")),
   )
 }

@@ -442,6 +442,38 @@ class Round12Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, d)
   }
 
+  // ---- row-version audit history -----------------------------------------
+
+  test("rowVersions: complete value timeline, bucket-pruned to the probed keys") {
+    val d = tmpDir("rowv")
+    api.UpsertStore.update(kab((1L, 1L, 0L), (2L, 2L, 0L)), d, "k", "a",
+      nBuckets = 8, batchId = Some("c1"))
+    api.UpsertStore.update(kab((1L, 11L, 0L)), d, "k", "a",
+      nBuckets = 8, batchId = Some("c2"))
+    api.UpsertStore.delete(spark, d, expr("k = 1"), batchId = Some("c3")): Unit
+    val hist = api.UpsertStore.rowVersions(Seq(1L).toDF("k"), d, "k")
+    val got = hist.select("commit_seq", "k", "a").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // present at c1 and c2 (its bucket rewrote), gone from the c3 gen
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 11L)))
+    // the scan reads ONLY generations of the probed key's bucket
+    val scanned = hist.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten.filter(_.contains(d))
+      .map(_.replaceAll(".*/(b\\d+)/.*", "$1")).toSet
+    val own = api.UpsertStore.lookup(Seq(1L).toDF("k"), d, "k")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten.map(_.replaceAll(".*/(b\\d+)/.*", "$1")).toSet
+    assert(scanned == own, s"rowVersions scanned $scanned, key lives in $own")
+    // a probe on an absent key is empty, not an error
+    assert(api.UpsertStore.rowVersions(Seq(999L).toDF("k"), d, "k")
+      .where("k = 999").count() == 0)
+    api.StoreIO.delete(spark, d)
+  }
+
   // ---- CHECK constraints --------------------------------------------------
 
   test("constraints: ADD validates existing data; writes validate staged output") {
