@@ -603,5 +603,59 @@ object Round12 {
         "SELECT o_custkey, CAST(commit_seq AS BIGINT) AS commit_seq, o_orderkey " +
         "FROM f WHERE rn = 1 AND o_custkey % 101 = 0 " +
         "ORDER BY o_custkey, commit_seq")),
+
+    // CONTINUOUS IVM — the materialized view maintained by a LIVE
+    // streaming query (rate ticker -> MatView.refresh per trigger):
+    // the stream drains the 2-batch seed window, stops; batch 3 and a
+    // delete sweep land; a second live run folds exactly the delta.
+    // Oracle = the from-scratch recompute over the final store — the
+    // streaming-maintained view must equal it exactly, same contract
+    // as the batch refresh op (the per-trigger unit IS the same).
+    Op("strm_matview_sink",
+      (s, d) => {
+        val base = s"target/tmp/mv_strm_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"$base/fact"
+        val view = s"$base/view"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(3)))
+        def batch(b: Int): Unit = graft.api.UpsertStore.update(
+          t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some(s"b$b")): Unit
+        val gcols = Seq("grp" -> pmod(col("o_orderkey"), lit(10)))
+        def live(untilSeq: Long, ckpt: String): Unit = {
+          val q = graft.streaming.Streams.matviewStream(s, dir, "o_custkey", view,
+            gcols, Seq("cents"), s"$base/$ckpt", pollIntervalMs = 200L)
+          try {
+            val deadline = System.currentTimeMillis() + 120000L
+            while (graft.api.MatView.cursor(s, view) < untilSeq &&
+                System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
+            require(graft.api.MatView.cursor(s, view) == untilSeq,
+              s"live view must reach seq $untilSeq, at ${graft.api.MatView.cursor(s, view)}")
+          } finally q.stop()
+        }
+        batch(0); batch(1)
+        live(2L, "ckpt1")
+        batch(2)
+        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+          batchId = Some("sweep")): Unit
+        live(4L, "ckpt2") // fresh checkpoint: the view cursor is the truth
+        val got = graft.api.MatView.read(s, view).localCheckpoint()
+        graft.api.StoreIO.delete(s, base)
+        got.orderBy("grp")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey % 3 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.cents, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb), " +
+        "cur AS (SELECT o_custkey, o_orderkey, cents FROM f " +
+        "WHERE rn = 1 AND o_custkey % 10 <> 3) " +
+        "SELECT o_orderkey % 10 AS grp, count(*) AS n_rows, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM cur GROUP BY 1 ORDER BY grp")),
   )
 }

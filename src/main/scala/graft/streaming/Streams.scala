@@ -887,4 +887,33 @@ object Streams {
         changefeedRelayOnce(spark, dir, key, cursorPath, outDir): Unit
       }
       .start()
+
+  /** CONTINUOUS incremental view maintenance: a rate ticker drives
+    * [[graft.api.MatView.refresh]] per trigger, so the materialized
+    * aggregate follows the store live — each tick folds exactly the
+    * new commit window (O(changed buckets), never the fact table) and
+    * the view's own atomic state+cursor swap makes a crash anywhere
+    * redeliver the identical window. Like [[changefeedStream]], the
+    * view's cursor — not Spark's offset checkpoint — is the source of
+    * truth: stop, restart, or re-checkpoint freely.
+    */
+  def matviewStream(
+      spark: SparkSession,
+      storeDir: String,
+      key: String,
+      viewDir: String,
+      groupCols: Seq[(String, Column)],
+      sumCols: Seq[String],
+      checkpointDir: String,
+      pollIntervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(pollIntervalMs))
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.api.MatView.refresh(
+          spark, storeDir, key, viewDir, groupCols, sumCols): Unit
+      }
+      .start()
 }

@@ -600,6 +600,54 @@ class Round12Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, base)
   }
 
+  // ---- maintenance-vs-writer concurrency soak -----------------------------
+
+  test("OPTIMIZE and RESTORE racing a MERGE writer: lease serializes, nothing lost") {
+    val d = tmpDir("maint_soak")
+    api.UpsertStore.update(
+      (1 to 40).map(i => (i.toLong, 1L, 0L)).toDF("k", "a", "b"),
+      d, "k", "a", nBuckets = 4, batchId = Some("seed"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deadline = System.currentTimeMillis() + 120000L
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: api.StoreIO.LeaseHeldException
+              if System.currentTimeMillis() < deadline => Thread.sleep(100L)
+        }
+      }
+    }
+    val writer = new Thread(() => {
+      try (1 to 5).foreach { i =>
+        retrying(api.UpsertStore.update(
+          Seq((100L + i, i.toLong, 0L)).toDF("k", "a", "b"),
+          d, "k", "a", nBuckets = 4, batchId = Some(s"m$i")): Unit)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val maintainer = new Thread(() => {
+      try (1 to 5).foreach { _ =>
+        retrying(api.UpsertStore.optimize(spark, d, targetFileBytes = 1L): Unit)
+        Thread.sleep(50L)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    writer.start(); maintainer.start()
+    writer.join(150000L); maintainer.join(150000L)
+    assert(errs.isEmpty, s"soak errors: ${errs.toArray.mkString("; ")}")
+    // every merged key present exactly once, seed keys intact
+    val ks = api.UpsertStore.read(spark, d).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(ks == ((1L to 40L) ++ (101L to 105L)).toSeq)
+    // replays of every batch are still no-ops after the interleaving
+    (1 to 5).foreach { i =>
+      assert(!api.UpsertStore.update(
+        Seq((100L + i, 99L, 0L)).toDF("k", "a", "b"),
+        d, "k", "a", nBuckets = 4, batchId = Some(s"m$i")))
+    }
+    api.StoreIO.delete(spark, d)
+  }
+
   // ---- retained-store consumer attach ------------------------------------
 
   test("a cursor-less consumer on a retained store receives the full snapshot") {
