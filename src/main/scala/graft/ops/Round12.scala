@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -657,5 +658,90 @@ object Round12 {
         "SELECT o_orderkey % 10 AS grp, count(*) AS n_rows, " +
         "CAST(sum(cents) AS BIGINT) AS sum_cents " +
         "FROM cur GROUP BY 1 ORDER BY grp")),
+
+    // HOLT-WINTERS additive seasonal forecast — the seasonal companion
+    // to rel_forecast_des: level + trend via the same 8-tap geometric
+    // windows (alpha ~ 0.5, integer-exact), plus a weekly seasonal
+    // index per day-of-week = the mean deviation of y from its
+    // CENTERED 7-day moving average over the training span (held-out
+    // last week never peeks: dev rows stop 3 days before the anchor so
+    // the centered window sees no test actuals). All integer fixed
+    // point; the one portability trap is negative integer division
+    // (Spark `div` truncates toward zero, flooring engines differ), so
+    // every div rides a large positive offset — numerators stay
+    // positive and trunc == floor on both engines. Day-of-week derives
+    // from an epoch subtraction, not dayofweek() (whose origin
+    // convention differs across engines).
+    Op("rel_forecast_hw",
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val K = 1000000000000L // positivity offset for exact cross-engine div
+        val daily = T.t(s, d, "orders")
+          .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val base = daily
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_days", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("dy", col("y") - lag("y", 1).over(w))
+          .withColumn("lnum", (0 to 7)
+            .map(j => coalesce(lag(col("y"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+            .reduce(_ + _))
+          .withColumn("tnum", (0 to 7)
+            .map(j => coalesce(lag(col("dy"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+            .reduce(_ + _))
+          .withColumn("dowk", expr("datediff(day, DATE '1992-01-01') % 7"))
+          .withColumn("ma7sum", sum("y").over(w.rowsBetween(-3, 3)))
+          .withColumn("ma7cnt", count(lit(1)).over(w.rowsBetween(-3, 3)))
+        val anchor = base.where("rn = n_days - 7 AND rn >= 16")
+          .select(col("rn").as("arn"), col("lnum").as("alnum"), col("tnum").as("atnum"))
+        val season = base.crossJoin(broadcast(anchor.select("arn")))
+          .where("ma7cnt = 7 AND rn <= arn - 3")
+          .groupBy("dowk")
+          .agg(sum(lit(7L) * col("y") - col("ma7sum")).as("dev_sum"),
+            count(lit(1)).as("dev_cnt"))
+        base.select("rn", "y", "dowk").crossJoin(broadcast(anchor))
+          .withColumn("h", expr("CAST(rn - arn AS BIGINT)"))
+          .where("h >= 1 AND h <= 7")
+          .join(broadcast(season), Seq("dowk"), "left")
+          .withColumn("s_adj", expr(
+            s"(coalesce(dev_sum, 0) + ${7 * K} * coalesce(dev_cnt, 1)) " +
+              s"div (7 * coalesce(dev_cnt, 1)) - $K"))
+          .withColumn("forecast", expr(
+            s"(alnum + h * atnum + ${255 * K}) div 255 - $K + s_adj"))
+          .withColumn("abs_err", expr("abs(forecast - y)"))
+          .select(col("h"), col("dowk").cast("long").as("dowk"), col("forecast"),
+            col("y").as("actual"), col("abs_err"))
+          .orderBy("h")
+      },
+      Some("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "lagd AS (SELECT day, y, lag(y, 1) OVER (ORDER BY day) AS lag_y FROM daily), " +
+        "base AS (SELECT row_number() OVER w AS rn, count(*) OVER () AS n_days, day, y, " +
+        (0 to 7).map(j => s"coalesce(lag(y, $j) OVER w, 0) * ${1L << (7 - j)}")
+          .mkString(" + ") + " AS lnum, " +
+        (0 to 7).map(j => s"coalesce(lag(y - lag_y, $j) OVER w, 0) * ${1L << (7 - j)}")
+          .mkString(" + ") + " AS tnum, " +
+        "(day - DATE '1992-01-01') % 7 AS dowk, " +
+        "sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7sum, " +
+        "count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7cnt " +
+        "FROM lagd WINDOW w AS (ORDER BY day)), " +
+        "anchor AS (SELECT rn AS arn, lnum AS alnum, tnum AS atnum FROM base " +
+        "WHERE rn = n_days - 7 AND rn >= 16), " +
+        "season AS (SELECT dowk, CAST(sum(7 * y - ma7sum) AS BIGINT) AS dev_sum, " +
+        "count(*) AS dev_cnt " +
+        "FROM base, anchor WHERE ma7cnt = 7 AND rn <= arn - 3 GROUP BY 1) " +
+        "SELECT CAST(rn - arn AS BIGINT) AS h, base.dowk, " +
+        "CAST((alnum + CAST(rn - arn AS BIGINT) * atnum + 255000000000000) // 255 " +
+        "- 1000000000000 + " +
+        "((coalesce(dev_sum, 0) + 7000000000000 * coalesce(dev_cnt, 1)) " +
+        "// (7 * coalesce(dev_cnt, 1)) - 1000000000000) AS BIGINT) AS forecast, " +
+        "y AS actual, " +
+        "CAST(abs((alnum + CAST(rn - arn AS BIGINT) * atnum + 255000000000000) // 255 " +
+        "- 1000000000000 + " +
+        "((coalesce(dev_sum, 0) + 7000000000000 * coalesce(dev_cnt, 1)) " +
+        "// (7 * coalesce(dev_cnt, 1)) - 1000000000000) - y) AS BIGINT) AS abs_err " +
+        "FROM base CROSS JOIN anchor LEFT JOIN season ON season.dowk = base.dowk " +
+        "WHERE rn - arn >= 1 AND rn - arn <= 7 ORDER BY h")),
   )
 }

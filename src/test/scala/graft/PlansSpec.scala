@@ -626,6 +626,7 @@ class PlansSpec extends AnyFunSuite {
       "rel_funnel_conversion" -> "step-over-step window on the 3-row funnel frame (|steps|-bounded)",
       "rel_conversion_lag" -> "CDF window over the lag-hours histogram (hour buckets, calendar-bounded)",
       "rel_forecast_des" -> "double-exponential recursion over the day series (calendar-bounded)",
+      "rel_forecast_hw" -> "Holt-Winters level/trend/seasonal windows over the day series (calendar-bounded)",
       "rel_user_growth" -> "cumulative-users window over the per-day aggregate (calendar-bounded)",
       "rel_benford_audit" -> "deviation window over the 9-row first-digit frame (constant)")
     // CartesianProductExec is the other fact-cardinality killer: a true
