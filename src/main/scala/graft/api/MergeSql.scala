@@ -279,6 +279,32 @@ object MergeSql {
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
 
+  private val descRe = """(?is)\s*DESCRIBE\s+'([^']+)'\s*;?\s*""".r
+
+  /** `DESCRIBE '<dir>'` — the table's catalog card as rows of
+    * (name, value): layout properties (bucket modulus, retention
+    * horizon, head seq), every column with its type (from the
+    * meta-recorded schema — no data read), and every CHECK constraint.
+    * Ordered: properties, then columns in schema order, then
+    * constraints by name.
+    */
+  def runDescribe(spark: SparkSession, sql: String): DataFrame = sql match {
+    case descRe(dir) =>
+      import spark.implicits._
+      val props = Seq(
+        "n_buckets" -> UpsertStore.buckets(spark, dir).toString,
+        "base_seq" -> UpsertStore.baseSeq(spark, dir).toString,
+        "snapshot_seq" -> UpsertStore.snapshotSeq(spark, dir).toString)
+      val cols = UpsertStore.tableSchema(spark, dir).fields.toSeq
+        .map(f => s"col:${f.name}" -> f.dataType.simpleString)
+      val cons = UpsertStore.constraints(spark, dir)
+        .map { case (n, ck) => s"constraint:$n" -> ck }
+      (props ++ cols ++ cons).toDF("name", "value")
+    case _ =>
+      throw new IllegalArgumentException(
+        "unsupported DESCRIBE statement; expected: DESCRIBE '<dir>'")
+  }
+
   private val optRe =
     """(?is)\s*OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
   private val vacRe =

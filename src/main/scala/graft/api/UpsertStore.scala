@@ -356,7 +356,12 @@ object UpsertStore {
       val meta = metaOf(spark, root)
       require(!meta.constraints.exists(_._1 == name),
         s"store $dir already has a constraint named $name")
-      enforce(read(spark, root), Seq(name -> check), "the existing table")
+      // validate against the TABLE schema (meta-recorded): a column
+      // evolved in by a batch whose generations are all gone or
+      // pre-evolution surfaces as NULL, not as an unresolved reference
+      val cur = read(spark, root)
+      enforce(align(cur, meta.schema.getOrElse(cur.schema)),
+        Seq(name -> check), "the existing table")
       writeMeta(spark, root, meta.copy(constraints = meta.constraints :+ (name -> check)))
     }
 

@@ -743,5 +743,35 @@ object Round12 {
         "// (7 * coalesce(dev_cnt, 1)) - 1000000000000) - y) AS BIGINT) AS abs_err " +
         "FROM base CROSS JOIN anchor LEFT JOIN season ON season.dowk = base.dowk " +
         "WHERE rn - arn >= 1 AND rn - arn <= 7 ORDER BY h")),
+
+    // DESCRIBE '<dir>' — the store's catalog card from metadata alone
+    // (no data read): layout properties, every column with its type
+    // (meta-recorded schema, including one evolved in by batch 2), and
+    // the CHECK constraints. Fully deterministic on every fixture —
+    // ledgered commits advance the seq whether or not rows flowed.
+    Op("core_store_describe",
+      (s, d) => {
+        val dir = s"target/tmp/describe_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+        graft.api.UpsertStore.update(
+          t.select("o_custkey", "o_orderkey"), dir, "o_custkey", "o_orderkey",
+          nBuckets = 8, batchId = Some("b0")): Unit
+        graft.api.UpsertStore.update(
+          t.select(col("o_custkey"), col("o_orderkey"),
+            expr("CAST(o_orderkey % 100 AS BIGINT)").as("disc_cents")),
+          dir, "o_custkey", "o_orderkey", nBuckets = 8, batchId = Some("b1")): Unit
+        graft.api.MergeSql.runMaintenance(s,
+          s"ALTER '$dir' ADD CONSTRAINT nonneg CHECK (disc_cents >= 0 OR disc_cents IS NULL)"): Unit
+        val got = graft.api.MergeSql.runDescribe(s, s"DESCRIBE '$dir'")
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("name")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('base_seq', '0'), ('col:disc_cents', 'bigint'), " +
+        "('col:o_custkey', 'bigint'), ('col:o_orderkey', 'bigint'), " +
+        "('constraint:nonneg', 'disc_cents >= 0 OR disc_cents IS NULL'), " +
+        "('n_buckets', '8'), ('snapshot_seq', '2')) " +
+        "AS t(name, value) ORDER BY name")),
   )
 }
