@@ -7,8 +7,12 @@ import org.apache.spark.sql.types._
 
 /** Round 12: the store's 100-TB posture hardening surfaced as ops —
   * the MERGE full-sync UPDATE arm, the wall-clock time-travel SQL
-  * surface, OPTIMIZE ZORDER, the live changefeed source, and the
-  * retained-store consumer bootstrap (the round-11 ADVICE fix).
+  * surface, OPTIMIZE ZORDER, the live changefeed source, the
+  * retained-store consumer bootstrap (the round-11 ADVICE fix),
+  * RESTORE / deep CLONE / DESCRIBE HISTORY / DESCRIBE, row-version
+  * audit, CHECK constraints, CDF pre/post images, incremental
+  * materialized views (batch + continuous), and a Holt-Winters
+  * seasonal forecast.
   */
 object Round12 {
 
