@@ -220,4 +220,89 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"rows=$rows")
     }
   }
+
+  // ---- round-12 store-mutation properties --------------------------------
+
+  private def storeTmp(tag: String) = s"target/tmp/prop_${tag}_${System.nanoTime()}"
+
+  /** Two merge batches over a small key domain. Versions are the row
+    * index, so within-batch arbitration (greatest version wins) is
+    * deterministic — duplicate (key, version) pairs would leave the
+    * tie to row order, which no reference model can replay.
+    */
+  private val batchesGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)], Long)] =
+    for {
+      n1 <- Gen.choose(1, 25)
+      n2 <- Gen.choose(0, 25)
+      ks1 <- Gen.listOfN(n1, Gen.choose(0L, 9L))
+      ks2 <- Gen.listOfN(n2, Gen.choose(0L, 9L))
+      as1 <- Gen.listOfN(n1, Gen.choose(0L, 50L))
+      as2 <- Gen.listOfN(n2, Gen.choose(0L, 50L))
+      m <- Gen.choose(2L, 5L)
+    } yield (
+      ks1.zip(as1).zipWithIndex.map { case ((k, a), i) => (k, a, i.toLong) },
+      ks2.zip(as2).zipWithIndex.map { case ((k, a), i) => (k, a, i.toLong) },
+      m)
+
+  /** Latest-wins reference model: within a batch the greatest version
+    * wins; a later batch overrides stored rows per key outright.
+    */
+  private def latestOf(rows: List[(Long, Long, Long)]): Map[Long, (Long, Long)] =
+    rows.groupBy(_._1).map { case (k, g) =>
+      val win = g.maxBy(_._3); k -> (win._2, win._3)
+    }
+
+  test("store MERGE + UPDATE + DELETE == the collection reference on random data") {
+    forSamples(batchesGen, 3) { case (b1, b2, m) =>
+      val d = storeTmp("dml")
+      def df(rows: List[(Long, Long, Long)]) = rows.toDF("k", "a", "v")
+      api.UpsertStore.update(df(b1), d, "k", "v", nBuckets = 4, batchId = Some("c1"))
+      if (b2.nonEmpty)
+        api.UpsertStore.update(df(b2), d, "k", "v", nBuckets = 4, batchId = Some("c2"))
+      val nUpd = api.UpsertStore.updateRows(spark, d,
+        Seq("a" -> expr("a + v")), expr(s"k % $m = 0"))
+      val nDel = api.UpsertStore.delete(spark, d, expr("a % 3 = 1"))
+      val got = api.UpsertStore.read(spark, d).select("k", "a", "v")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // reference: latest-wins merge, ANSI update, SQL delete
+      val merged = latestOf(b1) ++ latestOf(b2)
+      val updated = merged.map { case (k, (a, v)) =>
+        if (k % m == 0) (k, (a + v, v)) else (k, (a, v))
+      }
+      val kept = updated.filterNot { case (_, (a, _)) => a % 3 == 1 }
+      val ref = kept.toSeq.map { case (k, (a, v)) => (k, a, v) }.sortBy(_._1)
+      assert(got == ref, s"b1=$b1 b2=$b2 m=$m")
+      assert(nUpd == updated.keys.count(_ % m == 0).toLong)
+      assert(nDel == (updated.size - kept.size).toLong)
+      api.StoreIO.delete(spark, d)
+    }
+  }
+
+  test("incremental matview == from-scratch recompute for random batch sequences") {
+    forSamples(batchesGen, 3) { case (b1, b2, m) =>
+      val base = storeTmp("mv")
+      val d = s"$base/fact"
+      val v = s"$base/view"
+      def df(rows: List[(Long, Long, Long)]) = rows.toDF("k", "a", "ver")
+      def refresh(): Long = api.MatView.refresh(spark, d, "k", v,
+        groupCols = Seq("grp" -> expr(s"a % $m")), sumCols = Seq("a"))
+      api.UpsertStore.update(df(b1), d, "k", "ver", nBuckets = 4, batchId = Some("c1"))
+      refresh()
+      if (b2.nonEmpty) {
+        api.UpsertStore.update(df(b2), d, "k", "ver", nBuckets = 4, batchId = Some("c2"))
+        refresh()
+      }
+      api.UpsertStore.delete(spark, d, expr("ver % 2 = 1"), batchId = Some("c3"))
+      refresh()
+      val got = api.MatView.read(spark, v).select("grp", "n_rows", "sum_a")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = api.UpsertStore.read(spark, d)
+        .groupBy(expr(s"a % $m").as("grp"))
+        .agg(count(lit(1)).as("n"), sum("a").as("s"))
+        .select("grp", "n", "s")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"b1=$b1 b2=$b2 m=$m")
+      api.StoreIO.delete(spark, base)
+    }
+  }
 }
