@@ -317,6 +317,7 @@ object MergeSql {
     """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val dropConRe =
     """(?is)\s*ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val anlRe = """(?is)\s*ANALYZE\s+'([^']+)'\s*;?\s*""".r
 
   /** Maintenance verbs over a store target, completing the SQL-text
     * surface beside MERGE/DELETE/UPDATE:
@@ -360,6 +361,8 @@ object MergeSql {
     case dropConRe(dir, name) =>
       UpsertStore.dropConstraint(spark, dir, name)
       UpsertStore.constraints(spark, dir).size.toLong
+    case anlRe(dir) =>
+      UpsertStore.analyze(spark, dir).toLong
     case _ =>
       throw new IllegalArgumentException(
         "unsupported maintenance statement; expected: " +
@@ -369,6 +372,7 @@ object MergeSql {
           "RESTORE '<dir>' TO TIMESTAMP AS OF <ts> | " +
           "CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
           "ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>) | " +
-          "ALTER '<dir>' DROP CONSTRAINT <name>")
+          "ALTER '<dir>' DROP CONSTRAINT <name> | " +
+          "ANALYZE '<dir>'")
   }
 }

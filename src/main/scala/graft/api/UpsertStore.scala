@@ -110,9 +110,15 @@ object UpsertStore {
     * `None` only for stores written by pre-schema layouts; readers fall
     * back to a merged footer read then.
     */
+  /** `statsJson` is the ANALYZE result persisted verbatim (a JSON
+    * object `{"seq":N,"columns":[...]}`) — catalog statistics live in
+    * the metadata like everything else, so a later session serves them
+    * without a scan.
+    */
   private final case class Meta(
       nBuckets: Int, baseSeq: Long, schema: Option[StructType],
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      statsJson: Option[String] = None)
 
   private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -129,7 +135,8 @@ object UpsertStore {
         val c = a.get(i)
         c.get("name").asText() -> c.get("check").asText()
       })
-    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong(), sch, cons)
+    val stats = Option(n.get("stats")).filterNot(_.isNull).map(_.toString)
+    Meta(n.get("n_buckets").asInt(), n.get("base_seq").asLong(), sch, cons, stats)
   }
 
   private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit =
@@ -139,7 +146,8 @@ object UpsertStore {
         (if (m.constraints.isEmpty) ""
          else s""","constraints":[${m.constraints.map { case (nm, ck) =>
            s"""{"name":${jstr(nm)},"check":${jstr(ck)}}"""
-         }.mkString(",")}]""") + "}")
+         }.mkString(",")}]""") +
+        m.statsJson.map(s => s""","stats":$s""").getOrElse("") + "}")
 
   /** The table schema without scanning data: the meta-recorded schema
     * when present (one driver-side JSON read), else a merged footer
@@ -390,6 +398,66 @@ object UpsertStore {
         require(bad == 0,
           s"CHECK constraint $nm ($ck) violated by $bad row(s) in $what")
       }
+    }
+
+  /** ANALYZE: one scan computing per-column catalog statistics
+    * (n_nonnull, exact ndv, min/max as strings, n_rows — via
+    * [[Stats.columnStats]]) over the current snapshot, PERSISTED into
+    * the store metadata tagged with the analyzed commit seq. A later
+    * session reads them back through [[tableStats]] with zero data
+    * access — the Delta/Iceberg catalog-statistics posture, and the
+    * input a cost-based planner wants before picking join sides.
+    * Array/map/struct columns are skipped (no meaningful scalar ndv).
+    * Returns the number of columns analyzed.
+    */
+  def analyze(spark: SparkSession, dir: String): Int =
+    StoreIO.withLease(spark, dir) {
+      val root = rootOf(spark, dir)
+      val meta = metaOf(spark, root)
+      val cur = read(spark, root)
+      val schema = meta.schema.getOrElse(cur.schema)
+      val cols = schema.fields.toSeq.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }).map(_.name)
+      require(cols.nonEmpty, s"store $dir has no analyzable columns")
+      val rows = Stats.columnStats(align(cur, schema), cols)
+        .select("column", "n_nonnull", "ndv", "min_v", "max_v", "n_rows")
+        .collect() // <= one row per column, bounded by schema width
+      val seq = snapshotSeq(spark, root)
+      val json = s"""{"seq":$seq,"columns":[""" + rows.map { r =>
+        s"""{"column":${jstr(r.getString(0))},"n_nonnull":${r.getLong(1)},""" +
+          s""""ndv":${r.getLong(2)},""" +
+          s""""min_v":${Option(r.getString(3)).map(jstr).getOrElse("null")},""" +
+          s""""max_v":${Option(r.getString(4)).map(jstr).getOrElse("null")},""" +
+          s""""n_rows":${r.getLong(5)}}"""
+      }.mkString(",") + "]}"
+      writeMeta(spark, root, meta.copy(statsJson = Some(json)))
+      rows.length
+    }
+
+  /** The persisted ANALYZE result: (analyzed seq, one row per column
+    * `(column, n_nonnull, ndv, min_v, max_v, n_rows)`) — served from
+    * METADATA alone, no data scan. None before the first ANALYZE.
+    */
+  def tableStats(spark: SparkSession, dir: String): Option[(Long, DataFrame)] =
+    metaOf(spark, rootOf(spark, dir)).statsJson.map { js =>
+      val n = jackson.readTree(js)
+      val a = n.get("columns")
+      val rows = (0 until a.size()).map { i =>
+        val c = a.get(i)
+        Row(c.get("column").asText(), c.get("n_nonnull").asLong(),
+          c.get("ndv").asLong(),
+          Option(c.get("min_v")).filterNot(_.isNull).map(_.asText()).orNull,
+          Option(c.get("max_v")).filterNot(_.isNull).map(_.asText()).orNull,
+          c.get("n_rows").asLong())
+      }
+      (n.get("seq").asLong(), spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("column", StringType), StructField("n_nonnull", LongType),
+          StructField("ndv", LongType), StructField("min_v", StringType),
+          StructField("max_v", StringType), StructField("n_rows", LongType)))))
     }
 
   /** Merge one batch. Returns false when `batchId` is already in the

@@ -777,5 +777,47 @@ object Round12 {
         "('constraint:nonneg', 'disc_cents >= 0 OR disc_cents IS NULL'), " +
         "('n_buckets', '8'), ('snapshot_seq', '2')) " +
         "AS t(name, value) ORDER BY name")),
+
+    // ANALYZE '<dir>' — catalog statistics for the store, persisted in
+    // the metadata (the Delta/Iceberg posture): one scan computes
+    // per-column n_nonnull / EXACT ndv / min-max / n_rows over the
+    // current snapshot; tableStats() then serves them from meta.json
+    // with ZERO data access (the op reads the persisted copy, not the
+    // scan's return — pinning the round trip). The oracle recomputes
+    // the same statistics over the latest-wins state.
+    Op("core_store_analyze",
+      (s, d) => {
+        val dir = s"target/tmp/analyze_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t = T.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", pmod(col("o_orderkey"), lit(2)))
+        (0 to 1).foreach { b =>
+          graft.api.UpsertStore.update(
+            t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
+            nBuckets = 8, batchId = Some(s"b$b")): Unit
+        }
+        val nCols = graft.api.MergeSql.runMaintenance(s, s"ANALYZE '$dir'")
+        require(nCols == 3L, s"ANALYZE must cover 3 columns, got $nCols")
+        val (seq, stats) = graft.api.UpsertStore.tableStats(s, dir)
+          .getOrElse(sys.error("ANALYZE must persist stats"))
+        require(seq == 2L, s"stats must be tagged with the analyzed seq, got $seq")
+        val got = stats.select("column", "n_nonnull", "ndv", "n_rows")
+          .localCheckpoint()
+        graft.api.StoreIO.delete(s, dir)
+        got.orderBy("column")
+      },
+      Some("WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderkey % 2 AS b FROM orders), " +
+        "m AS (SELECT o_custkey, max(b) AS mb FROM t GROUP BY 1), " +
+        "f AS (SELECT t.o_custkey, t.o_orderkey, t.o_totalprice, " +
+        "row_number() OVER (PARTITION BY t.o_custkey ORDER BY t.o_orderkey DESC) AS rn " +
+        "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb), " +
+        "cur AS (SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1) " +
+        "SELECT 'o_custkey' AS \"column\", count(o_custkey) AS n_nonnull, " +
+        "count(DISTINCT o_custkey) AS ndv, (SELECT count(*) FROM cur) AS n_rows FROM cur " +
+        "UNION ALL SELECT 'o_orderkey', count(o_orderkey), " +
+        "count(DISTINCT o_orderkey), (SELECT count(*) FROM cur) FROM cur " +
+        "UNION ALL SELECT 'o_totalprice', count(o_totalprice), " +
+        "count(DISTINCT o_totalprice), (SELECT count(*) FROM cur) FROM cur " +
+        "ORDER BY \"column\"")),
   )
 }

@@ -474,6 +474,34 @@ class Round12Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, d)
   }
 
+  // ---- ANALYZE / catalog statistics ---------------------------------------
+
+  test("ANALYZE persists stats in metadata; tableStats serves them without a scan") {
+    val d = tmpDir("analyze")
+    api.UpsertStore.update(kab((1L, 5L, 0L), (2L, 5L, 1L), (3L, 7L, 2L)),
+      d, "k", "k", nBuckets = 4, batchId = Some("c1"))
+    assert(api.UpsertStore.tableStats(spark, d).isEmpty)
+    assert(api.MergeSql.runMaintenance(spark, s"ANALYZE '$d'") == 3L)
+    val (seq, stats) = api.UpsertStore.tableStats(spark, d).get
+    assert(seq == 1L)
+    val byCol = stats.select("column", "n_nonnull", "ndv", "min_v", "max_v", "n_rows")
+      .as[(String, Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byCol("k") == (("k", 3L, 3L, "1", "3", 3L)))
+    assert(byCol("a") == (("a", 3L, 2L, "5", "7", 3L)))
+    // serving is metadata-only: no file scan in the served frame's plan
+    assert(stats.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty)
+    // stats are a snapshot: a later mutation + re-ANALYZE replaces them
+    api.UpsertStore.delete(spark, d, expr("k = 3"), batchId = Some("c2")): Unit
+    api.UpsertStore.analyze(spark, d): Unit
+    val (seq2, stats2) = api.UpsertStore.tableStats(spark, d).get
+    assert(seq2 == 2L)
+    assert(stats2.where("column = 'k'").select("ndv").as[Long].head() == 2L)
+    api.StoreIO.delete(spark, d)
+  }
+
   // ---- CHECK constraints --------------------------------------------------
 
   test("constraints: ADD validates existing data; writes validate staged output") {
