@@ -97,13 +97,22 @@ object MatView {
           sumCols.map(c => col(s"__d_$c").as(s"sum_$c")): _*)
           .where(col("n_rows") > 0)
       case Some(state) =>
-        state.join(delta, names, "full_outer")
-          .select(names.map(col) ++:
-            (coalesce(col("n_rows"), lit(0L)) +
-              coalesce(col("__dn"), lit(0L))).as("n_rows") +:
+        // NULL-SAFE key equality (`<=>`): a NULL-valued group key must
+        // match its existing state row — a plain using-columns join
+        // never matches NULL to NULL, so every refresh would append a
+        // fresh NULL-group row and that group's counts would silently
+        // diverge from a recompute. Keys coalesce across the two sides
+        // (both NULL for the NULL group — coalesce then keeps NULL).
+        val st = state.alias("st")
+        val dl = delta.alias("dl")
+        val cond = names.map(n => col(s"st.$n") <=> col(s"dl.$n")).reduce(_ && _)
+        st.join(dl, cond, "full_outer")
+          .select(names.map(n => coalesce(col(s"st.$n"), col(s"dl.$n")).as(n)) ++:
+            (coalesce(col("st.n_rows"), lit(0L)) +
+              coalesce(col("dl.__dn"), lit(0L))).as("n_rows") +:
             sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0L).cast(state.schema(s"sum_$c").dataType)) +
-                coalesce(col(s"__d_$c"), lit(0L).cast(state.schema(s"sum_$c").dataType)))
+              (coalesce(col(s"st.sum_$c"), lit(0L).cast(state.schema(s"sum_$c").dataType)) +
+                coalesce(col(s"dl.__d_$c"), lit(0L).cast(state.schema(s"sum_$c").dataType)))
                 .as(s"sum_$c")): _*)
           .where(col("n_rows") > 0)
     }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One-scan ANALYZE: compute the full cost-based-optimizer input surface
-  * — row count plus per-column non-null count, exact NDV, min/max and
+  * — row count plus per-column non-null count, NDV (HLL++ sketch by
+  * default, exact opt-in), min/max and
   * byte lengths — in a SINGLE aggregation over the table, and install it
   * into the session catalog where Spark's CBO (`spark.sql.cbo.enabled`,
   * on by default in [[Sessions.production]]) consumes it for join-side,
@@ -44,8 +45,20 @@ object Stats {
   /** The one-scan per-column stats frame: one row per requested column —
     * `(column, n_nonnull, ndv, min_v, max_v, avg_len, max_len, n_rows)`,
     * every aggregate computed in the same pass and unpivoted.
+    *
+    * NDV is SKETCH-BASED by default (HLL++ via `approx_count_distinct`,
+    * rsd 0.05 — the same estimator Spark's own ANALYZE uses): k exact
+    * `count(DISTINCT)`s in one aggregate plan through Catalyst's
+    * `Expand`, replicating the input once per distinct column — "one
+    * scan" over a k-column 100-TB table would shuffle ~k× the table.
+    * HLL sketches are ordinary (map-side-combined, fixed-state)
+    * aggregates, so ALL columns genuinely share one pass with no row
+    * replication (PlansSpec pins the no-Expand plan). `exactNdv = true`
+    * opts back into the exact counts for narrow/small tables where the
+    * replication is affordable and exactness matters.
     */
-  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnStats(df: DataFrame, cols: Seq[String],
+      exactNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
     val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
       val dt = df.schema(c).dataType
@@ -56,7 +69,8 @@ object Stats {
         case _ => (lit(dt.defaultSize.toLong), lit(dt.defaultSize.toLong))
       }
       Seq(count(col(c)).as(s"nn$i"),
-        countDistinct(col(c)).as(s"nd$i"),
+        (if (exactNdv) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.05)).as(s"nd$i"),
         min(col(c)).cast("string").as(s"mn$i"),
         max(col(c)).cast("string").as(s"mx$i"),
         avgLen.as(s"al$i"), maxLen.as(s"ml$i"))

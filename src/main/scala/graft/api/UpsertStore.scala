@@ -655,12 +655,26 @@ object UpsertStore {
         // publishes: a violating mutation deletes its staging and
         // leaves the store readable at its prior state
         validateStaged.foreach { v =>
-          try v(spark.read.parquet(sw.staged))
+          try v(readStaged(spark, sw.staged, fullSchema))
           catch { case e: Throwable => StoreIO.delete(spark, sw.staged); throw e }
         }
         publishSweep(spark, root, sw, seq, fullSchema)
         sw.affected
     }
+
+  /** Read a staged (`partitionBy("__b")`) dir with an EXPLICIT schema:
+    * an all-tombstone batch (or an all-delete sweep) stages ZERO data
+    * files, and schema inference over an empty dir throws an unrelated
+    * AnalysisException — with the schema given, an empty stage reads
+    * as an empty frame and validates trivially, so a legitimate
+    * bucket-emptying commit publishes instead of aborting.
+    */
+  private def readStaged(
+      spark: SparkSession, staged: String, fullSchema: StructType): DataFrame =
+    spark.read
+      .schema(StructType(fullSchema.fields.toSeq :+
+        StructField("__b", IntegerType)))
+      .parquet(staged)
 
   /** A staged-but-unpublished sweep: the staged dir, the buckets it
     * replaces, and the affected-row count. Publish with
@@ -1053,16 +1067,40 @@ object UpsertStore {
           else {
             // morton key over the cluster columns, ranges from one
             // cheap min/max aggregate; a constant column gets a unit
-            // range so the interleave never divides by zero
+            // range so the interleave never divides by zero.
+            // Each column maps to a double through a TYPE-AWARE
+            // projection — a blind cast("double") yields NULL for
+            // every string/date row, making the morton key NULL
+            // everywhere so clustering silently no-ops. Order is
+            // preserved where the type has one (numerics, dates,
+            // timestamps, booleans); strings/binary interleave their
+            // 64-bit hash (equal values still co-locate — the
+            // data-skipping win — range locality is honestly
+            // unavailable); anything else fails loudly.
+            def zval(c: String): org.apache.spark.sql.Column = {
+              require(raw.columns.contains(c),
+                s"ZORDER BY names unknown column $c")
+              raw.schema(c).dataType match {
+                case _: NumericType => col(c).cast("double")
+                case BooleanType => col(c).cast("int").cast("double")
+                case DateType =>
+                  datediff(col(c), to_date(lit("1970-01-01"))).cast("double")
+                case TimestampType | TimestampNTZType =>
+                  col(c).cast("long").cast("double")
+                case StringType | BinaryType => xxhash64(col(c)).cast("double")
+                case dt => throw new IllegalArgumentException(
+                  s"ZORDER BY $c: ${dt.simpleString} has no morton mapping " +
+                    "(numeric, boolean, date, timestamp, string, binary only)")
+              }
+            }
             val aggs = zorderBy.flatMap(c => Seq(
-              min(col(c).cast("double")).as(s"lo_$c"),
-              max(col(c).cast("double")).as(s"hi_$c")))
+              min(zval(c)).as(s"lo_$c"), max(zval(c)).as(s"hi_$c")))
             val mm = raw.agg(aggs.head, aggs.tail: _*).head()
             val dims = zorderBy.zipWithIndex.map { case (c, i) =>
               val lo = Option(mm.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
               val hi0 = Option(mm.get(2 * i + 1)).fold(1.0)(_.asInstanceOf[Double])
               val hi = if (hi0 > lo) hi0 else lo + 1.0
-              (col(c), lo, hi)
+              (zval(c), lo, hi)
             }
             Layout.mortonKey(dims, math.min(12, 52 / dims.size))
           }
@@ -1214,7 +1252,12 @@ object UpsertStore {
       val gens = genList(fsys, bucketDir(root, b)).filter(_._1 <= seq)
       if (gens.isEmpty) None else Some(b -> gens.maxBy(_._1)._2)
     }
-    writeMeta(spark, dstDir, meta.copy(baseSeq = seq))
+    // stats carry over ONLY when the analyzed seq is within the cloned
+    // version: a versionAsOf clone predating the ANALYZE would
+    // otherwise report statistics for a snapshot it never contained
+    val carriedStats = meta.statsJson.filter(js =>
+      jackson.readTree(js).get("seq").asLong() <= seq)
+    writeMeta(spark, dstDir, meta.copy(baseSeq = seq, statsJson = carriedStats))
     val (hz, live) = logOf(spark, root)
     val carried = (hz.filter(_.seq <= seq).map(h =>
       s"""{"seq":${h.seq},"batch_id":null,"kind":"horizon","ts_ms":${h.tsMs},""" +
@@ -1547,8 +1590,9 @@ object UpsertStore {
       }
     if (meta.constraints.nonEmpty) {
       try {
-        enforce(spark.read.parquet(staged), meta.constraints, "the merge batch")
-        sweep.foreach(sw => enforce(spark.read.parquet(sw.staged),
+        enforce(readStaged(spark, staged, unionSchema),
+          meta.constraints, "the merge batch")
+        sweep.foreach(sw => enforce(readStaged(spark, sw.staged, unionSchema),
           meta.constraints, "the full-sync UPDATE output"))
       } catch {
         case e: Throwable =>

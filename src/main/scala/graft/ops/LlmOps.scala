@@ -454,10 +454,14 @@ object LlmOps {
 
     Op("llm_dedup_fuzzy",
       (s, d) => {
-        val w = Window.partitionBy("sig")
+        // the window partitions on a 256-bit HASH of the signature, not
+        // the signature text itself: the shuffle key is fixed-width
+        // instead of document-sized (collision-free at corpus
+        // cardinalities, same posture as llm_dedup_exact)
+        val w = Window.partitionBy("sigh")
         T.t(s, d, "documents")
-          .withColumn("sig",
-            expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"))
+          .withColumn("sigh",
+            sha2(expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"), 256))
           .withColumn("grp_n", count(lit(1)).over(w))
           .withColumn("rep", min("doc_id").over(w))
           .where("grp_n > 1")
@@ -475,10 +479,11 @@ object LlmOps {
     // singletons included.
     Op("llm_corpus_dedupe",
       (s, d) => {
-        val w = Window.partitionBy("sig")
+        // fixed-width shuffle key, as in llm_dedup_fuzzy above
+        val w = Window.partitionBy("sigh")
         T.t(s, d, "documents")
-          .withColumn("sig",
-            expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"))
+          .withColumn("sigh",
+            sha2(expr("array_join(array_sort(array_distinct(split(lower(text), ' '))), ' ')"), 256))
           .withColumn("rep", min("doc_id").over(w))
           .where("doc_id = rep")
           .select("doc_id", "lang", "source", "n_chars")

@@ -780,11 +780,15 @@ object Round12 {
 
     // ANALYZE '<dir>' — catalog statistics for the store, persisted in
     // the metadata (the Delta/Iceberg posture): one scan computes
-    // per-column n_nonnull / EXACT ndv / min-max / n_rows over the
+    // per-column n_nonnull / sketch ndv / min-max / n_rows over the
     // current snapshot; tableStats() then serves them from meta.json
     // with ZERO data access (the op reads the persisted copy, not the
-    // scan's return — pinning the round trip). The oracle recomputes
-    // the same statistics over the latest-wins state.
+    // scan's return — pinning the round trip). NDV is HLL++-sketched
+    // (exact multi-column count(DISTINCT) Expand-replicates the fact
+    // table — see Stats.columnStats), so its parity check is the
+    // error-bound boolean: the persisted estimate must land within 15%
+    // of the exact NDV the op recomputes over the latest-wins state,
+    // which the oracle rebuilds independently.
     Op("core_store_analyze",
       (s, d) => {
         val dir = s"target/tmp/analyze_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -801,7 +805,15 @@ object Round12 {
         val (seq, stats) = graft.api.UpsertStore.tableStats(s, dir)
           .getOrElse(sys.error("ANALYZE must persist stats"))
         require(seq == 2L, s"stats must be tagged with the analyzed seq, got $seq")
-        val got = stats.select("column", "n_nonnull", "ndv", "n_rows")
+        val exact = graft.api.Stats.columnStats(
+            graft.api.UpsertStore.read(s, dir),
+            Seq("o_custkey", "o_orderkey", "o_totalprice"), exactNdv = true)
+          .select(col("column"), col("ndv").as("ndv_exact"))
+        val got = stats.join(exact, Seq("column"))
+          .select(col("column"), col("n_nonnull"),
+            (abs(col("ndv") - col("ndv_exact")) <=
+              col("ndv_exact") * lit(0.15)).as("ndv_within_bounds"),
+            col("n_rows"))
           .localCheckpoint()
         graft.api.StoreIO.delete(s, dir)
         got.orderBy("column")
@@ -813,11 +825,11 @@ object Round12 {
         "FROM t JOIN m ON t.o_custkey = m.o_custkey AND t.b = m.mb), " +
         "cur AS (SELECT o_custkey, o_orderkey, o_totalprice FROM f WHERE rn = 1) " +
         "SELECT 'o_custkey' AS \"column\", count(o_custkey) AS n_nonnull, " +
-        "count(DISTINCT o_custkey) AS ndv, (SELECT count(*) FROM cur) AS n_rows FROM cur " +
+        "true AS ndv_within_bounds, (SELECT count(*) FROM cur) AS n_rows FROM cur " +
         "UNION ALL SELECT 'o_orderkey', count(o_orderkey), " +
-        "count(DISTINCT o_orderkey), (SELECT count(*) FROM cur) FROM cur " +
+        "true, (SELECT count(*) FROM cur) FROM cur " +
         "UNION ALL SELECT 'o_totalprice', count(o_totalprice), " +
-        "count(DISTINCT o_totalprice), (SELECT count(*) FROM cur) FROM cur " +
+        "true, (SELECT count(*) FROM cur) FROM cur " +
         "ORDER BY \"column\"")),
   )
 }

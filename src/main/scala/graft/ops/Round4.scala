@@ -470,26 +470,40 @@ object Round4 {
         "CAST(MIN(hits) AS DOUBLE) / 5 AS min_recall FROM h")),
 
     // ANALYZE-style column statistics — the numbers a cost-based
-    // optimizer consumes (non-null count, exact NDV, min/max) — in ONE
+    // optimizer consumes (non-null count, NDV, min/max) — in ONE
     // scan: all columns aggregate together, then the wide row unpivots
     // to one row per column. Three separate ANALYZE passes become one
-    // table read at any scale. The same job is LOAD-BEARING, not just a
-    // report: graft.api.Stats.analyze runs it and installs the result
-    // into the session catalog for the cost-based optimizer
+    // table read at any scale. NDV is HLL++-sketched by default (k
+    // exact count(DISTINCT)s would Expand-replicate the input k times
+    // — see Stats.columnStats), so the parity check is the sketch
+    // family's error-bound boolean: the estimate must land within 15%
+    // of the exact NDV the op recomputes (exactNdv = true) and the
+    // oracle recomputes independently. The same job is LOAD-BEARING,
+    // not just a report: graft.api.Stats.analyze runs it and installs
+    // the result into the session catalog for the cost-based optimizer
     // (CboSpec pins a join build side flipping on these stats).
     Op("core_column_stats",
-      (s, d) => graft.api.Stats
-        .columnStats(T.t(s, d, "orders"),
-          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
-        .select("column", "n_nonnull", "ndv", "min_v", "max_v")
-        .orderBy("column"),
+      (s, d) => {
+        val t = T.t(s, d, "orders")
+        val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+        val approx = graft.api.Stats.columnStats(t, cols)
+          .select("column", "n_nonnull", "ndv", "min_v", "max_v")
+        val exact = graft.api.Stats.columnStats(t, cols, exactNdv = true)
+          .select(col("column"), col("ndv").as("ndv_exact"))
+        approx.join(exact, Seq("column"))
+          .select(col("column"), col("n_nonnull"),
+            (abs(col("ndv") - col("ndv_exact")) <=
+              col("ndv_exact") * lit(0.15)).as("ndv_within_bounds"),
+            col("min_v"), col("max_v"))
+          .orderBy("column")
+      },
       Some("SELECT 'o_custkey' AS column, count(o_custkey) AS n_nonnull, " +
-        "count(DISTINCT o_custkey) AS ndv, CAST(min(o_custkey) AS VARCHAR) AS min_v, " +
+        "true AS ndv_within_bounds, CAST(min(o_custkey) AS VARCHAR) AS min_v, " +
         "CAST(max(o_custkey) AS VARCHAR) AS max_v FROM orders " +
         "UNION ALL SELECT 'o_orderpriority', count(o_orderpriority), " +
-        "count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders " +
+        "true, min(o_orderpriority), max(o_orderpriority) FROM orders " +
         "UNION ALL SELECT 'o_orderstatus', count(o_orderstatus), " +
-        "count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders " +
+        "true, min(o_orderstatus), max(o_orderstatus) FROM orders " +
         "ORDER BY \"column\"")),
 
     // Winnowing fingerprints (Schleimer et al. 2003 — the MOSS method):

@@ -849,6 +849,24 @@ object Streams {
         .readTree(_).get("last_seq").asLong())
     if (last.contains(head)) -1L
     else {
+      // drop ORPHAN output partitions first: a crash between the
+      // parquet write and commitCursor leaves a to_seq=H1 partition
+      // with no cursor behind it; if new store commits arrive before
+      // redelivery, the rerun's window lands at to_seq=H2 and the
+      // orphan's (F, H1] rows would otherwise appear TWICE to a
+      // consumer reading outDir. Any partition above the COMMITTED
+      // cursor is by definition such an orphan — remove it before
+      // writing, restoring effectively-once whatever interleaving the
+      // crash produced.
+      val f = graft.api.StoreIO.fs(spark, outDir)
+      val op = new org.apache.hadoop.fs.Path(outDir)
+      if (f.exists(op)) f.listStatus(op).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith("to_seq=") &&
+            nm.drop(7).forall(_.isDigit) &&
+            nm.drop(7).toLong > last.getOrElse(-1L))
+          f.delete(st.getPath, true)
+      }
       changes.withColumn("to_seq", lit(head))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -22,6 +22,9 @@ object GraftSqlBridge {
   def executedPlan(df: Dataset[_]): execution.SparkPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan
 
+  def optimizedPlan(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]

@@ -195,8 +195,33 @@ class CboSpec extends AnyFunSuite {
     val statusNdv = df.select("o_orderstatus").distinct().count()
     assert(got.map(_.getAs[String]("column")).toSeq == Seq("o_custkey", "o_orderstatus"))
     assert(got.forall(_.getAs[Long]("n_rows") == n))
-    assert(got(0).getAs[Long]("ndv") == custNdv)
-    assert(got(1).getAs[Long]("ndv") == statusNdv)
+    // default NDV is the HLL++ sketch (rsd 0.05): within 15% of exact
+    assert(math.abs(got(0).getAs[Long]("ndv") - custNdv) <= custNdv * 0.15)
+    assert(math.abs(got(1).getAs[Long]("ndv") - statusNdv) <= statusNdv * 0.15)
     assert(got(0).getAs[Long]("n_nonnull") == n)
+    // the exact opt-in still returns exact counts
+    val exact = api.Stats.columnStats(df, Seq("o_custkey", "o_orderstatus"),
+      exactNdv = true).orderBy("column").collect()
+    assert(exact(0).getAs[Long]("ndv") == custNdv)
+    assert(exact(1).getAs[Long]("ndv") == statusNdv)
+  }
+
+  test("columnStats default plan carries NO Expand (sketch NDV shares one pass)") {
+    val df = Tables.t(spark, TestSpark.sf, "orders")
+    // multi-column: the exact path would Expand-replicate the input
+    // once per distinct column; the sketch default must not. Pinned on
+    // the OPTIMIZED LOGICAL plan (RewriteDistinctAggregates inserts
+    // Expand there) — the physical plan hides inside AQE's wrapper.
+    val plan = GraftSqlBridge.optimizedPlan(api.Stats.columnStats(df,
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")))
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.isEmpty, s"sketch-NDV columnStats must not Expand the input:\n$plan")
+    // sanity: the exact opt-in is precisely the shape being avoided
+    val exactPlan = GraftSqlBridge.optimizedPlan(api.Stats.columnStats(df,
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exactNdv = true))
+    assert(exactPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.nonEmpty)
   }
 }
