@@ -264,6 +264,37 @@ object UpsertStore {
       hz.exists(_.ids.contains(batchId))
   }
 
+  /** Delete generation directories ABOVE the committed head — debris
+    * from a writer that crashed between its publish renames and its
+    * commit-log append (on an object store a "rename" is a non-atomic
+    * copy+delete, so this window is real). The log is the source of
+    * truth ([[read]] caps at the head), which makes these dirs
+    * invisible to readers — but the NEXT commit claims the same seq,
+    * and an orphan in a bucket that commit does not touch would
+    * silently become visible the moment the head advances past it.
+    * Every mutation therefore sweeps first, under the writer lease.
+    * O(nBuckets directory listings), never O(data).
+    */
+  private def sweepOrphanGens(
+      spark: SparkSession, root: String, head: Long): Unit = {
+    val f = StoreIO.fs(spark, root)
+    val n = metaOf(spark, root).nBuckets
+    (0 until n).foreach { b =>
+      genList(f, bucketDir(root, b)).filter(_._1 > head)
+        .foreach(g => f.delete(hp(g._2), true))
+    }
+  }
+
+  /** Claim the next commit seq: sweep crash orphans above the
+    * committed head first, so the claimed seq's generation directories
+    * are guaranteed fresh however the previous writer died.
+    */
+  private def nextSeq(spark: SparkSession, root: String): Long = {
+    val head = snapshotSeq(spark, root)
+    sweepOrphanGens(spark, root, head)
+    head + 1
+  }
+
   /** All generations of one bucket: (seq, path), unsorted. */
   private def genList(
       f: org.apache.hadoop.fs.FileSystem,
@@ -317,10 +348,19 @@ object UpsertStore {
   }
 
   /** The current table: one path-pruned multi-path read over the
-    * newest generation of every non-empty bucket.
+    * newest generation `<=` the COMMITTED head of every non-empty
+    * bucket. Capping at the log head (instead of "newest directory
+    * wins") is what makes the commit protocol object-store-safe: a
+    * writer that crashed mid-publish — after some bucket renames, or
+    * mid-way through one non-atomic object-store "rename" — leaves
+    * generation debris ABOVE the head that no reader ever resolves;
+    * the head moves only in [[recordCommit]]'s atomic metadata append,
+    * after every touched bucket has fully landed.
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    readAt(spark, dir, Long.MaxValue)
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val root = rootOf(spark, dir)
+    readAt(spark, root, snapshotSeq(spark, root))
+  }
 
   /** The table as of commit `seq` (inclusive). Fails loudly when the
     * history below `seq` has been retired by retention or rebucket —
@@ -607,7 +647,7 @@ object UpsertStore {
     val root = rootOf(spark, dir)
     val meta = metaOf(spark, root)
     val fullSchema = meta.schema.getOrElse(read(spark, root).schema)
-    val seq = snapshotSeq(spark, root) + 1
+    val seq = nextSeq(spark, root)
     val fsys = StoreIO.fs(spark, root)
     val affected = sweepBuckets(spark, root,
       newestGens(fsys, root, meta.nBuckets), seq, fullSchema,
@@ -763,7 +803,7 @@ object UpsertStore {
         val touchedB = k.select("__kb").distinct().collect()
           .map(_.getInt(0)).toSet // bounded by nBuckets, never by data
         val paths = newestGens(fsys, root, n).filter(p => touchedB(p._1))
-        val seq = snapshotSeq(spark, root) + 1
+        val seq = nextSeq(spark, root)
         val fullSchema = meta.schema.getOrElse(read(spark, root).schema)
         val marker = k.drop("__kb").withColumn("__m", lit(true))
         // membership IS the hit predicate: mark via one key-equi join
@@ -1036,7 +1076,7 @@ object UpsertStore {
       val root = rootOf(spark, dir)
       val n = buckets(spark, root)
       val fsys = StoreIO.fs(spark, root)
-      val seq = snapshotSeq(spark, root) + 1
+      val seq = nextSeq(spark, root)
       // sizing is driver-side FS listing (metadata, not data); with a
       // ZORDER clause every non-empty bucket rewrites (clustering
       // changes row order), otherwise only over-fragmented ones
@@ -1182,6 +1222,7 @@ object UpsertStore {
         require(seq <= head, s"cannot restore $dir to future commit $seq (head $head)")
         val n = buckets(spark, root)
         val fsys = StoreIO.fs(spark, root)
+        sweepOrphanGens(spark, root, head) // genList below must not see debris
         val newSeq = head + 1
         // (bucket, asof path or None-for-empty) for buckets whose head
         // generation is not already the asof one
@@ -1278,8 +1319,9 @@ object UpsertStore {
       }
       StoreIO.delete(spark, staged)
     } else meta.schema.foreach(sch =>
-      // a clone of a generation-less version must still be readable
-      publishDf(emptyOf(spark, sch), spark, bucketDir(dstDir, 0), math.max(seq, 1L)))
+      // a clone of a generation-less version must still be readable;
+      // published AT the cloned seq so the head-capped read resolves it
+      publishDf(emptyOf(spark, sch), spark, bucketDir(dstDir, 0), seq))
     seq
   }
 
@@ -1465,7 +1507,7 @@ object UpsertStore {
     if (batchId.exists(appliedInLog(spark, root, _))) return false
     val meta = metaOf(spark, root)
     val n = meta.nBuckets
-    val seq = snapshotSeq(spark, root) + 1
+    val seq = nextSeq(spark, root)
     val fsys = StoreIO.fs(spark, root)
 
     // ---- schema reconciliation, LOUD not implicit: a batch may ADD

@@ -122,6 +122,49 @@ class Round13Spec extends AnyFunSuite {
     api.StoreIO.delete(spark, d)
   }
 
+  // ---- object-store-safe commit protocol ------------------------------------
+
+  test("torn generation publish can neither lose the head nor leak into it") {
+    val d = tmpDir("torn")
+    api.UpsertStore.update(kab((1L, 1L, 0L), (2L, 2L, 0L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("c1"))
+    api.UpsertStore.update(kab((3L, 3L, 0L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("c2"))
+    // simulate a writer that CRASHED between its publish renames and
+    // its commit-log append (on an object store, "rename" is a
+    // non-atomic copy+delete, so half-landed publishes are a real
+    // state): a fully-materialized generation dir at seq 3 carrying a
+    // poison row, in every bucket, with NO commit record behind it
+    val f = api.StoreIO.fs(spark, d)
+    (0 until 4).foreach { b =>
+      Seq((999L + b, 999L, 9L)).toDF("k", "a", "b")
+        .coalesce(1).write.parquet(s"$d/b$b/g%012d".format(3L))
+    }
+    // the committed head is untouched: readers resolve the LOG head,
+    // never "newest directory wins" — the orphan rows are invisible
+    assert(api.UpsertStore.snapshotSeq(spark, d) == 2L)
+    assert(api.UpsertStore.read(spark, d).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(api.UpsertStore.readAsOf(spark, d, 2L).count() == 3L)
+    // the next writer claims seq 3 after sweeping the debris — even in
+    // buckets its own batch does not touch, where the orphan would
+    // otherwise become visible the moment the head advances
+    api.UpsertStore.update(kab((4L, 4L, 0L)), d, "k", "k",
+      nBuckets = 4, batchId = Some("c3"))
+    assert(api.UpsertStore.snapshotSeq(spark, d) == 3L)
+    assert(api.UpsertStore.read(spark, d).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "orphan generations must be swept, not adopted, by the next commit")
+    // no debris above the head remains anywhere
+    (0 until 4).foreach { b =>
+      val orphan = new org.apache.hadoop.fs.Path(s"$d/b$b/g%012d".format(3L))
+      if (f.exists(orphan))
+        assert(spark.read.parquet(orphan.toString)
+          .where("k >= 999").count() == 0L)
+    }
+    api.StoreIO.delete(spark, d)
+  }
+
   // ---- clone: stats carry only when the analyzed seq is retained ------------
 
   test("versionAsOf clone drops stats analyzed after the cloned version") {
