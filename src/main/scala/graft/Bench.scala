@@ -156,6 +156,17 @@ object Bench {
       .map(n => bySlowest.take(n))
       .find(kept => line(kept, all.size - kept.size).length <= budget)
       .getOrElse(Seq.empty)
+    // local triage only: dump EVERY per-query minimum to a file (the
+    // driver-facing JSON line is budget-capped to the slowest ~60), so
+    // optimization rounds can diff complete baselines run-over-run
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try {
+        w.println(all.sortBy(q => (-q._2, q._1)).map { case (k, v) =>
+          "\"" + k + "\":" + r3(v)
+        }.mkString("{", ",\n", "}"))
+      } finally w.close()
+    }
     val out = line(keep, all.size - keep.size)
     // guardrail: a driver-tail overflow must fail HERE, not as a
     // truncated BENCH_r{N}.json

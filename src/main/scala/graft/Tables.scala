@@ -28,8 +28,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer schemas of the IMMUTABLE testdata tables, cached per path:
+    * plain `spark.read.parquet` runs one footer-inference Spark job per
+    * call, and a bench pass pays it on every one of several hundred
+    * table reads. METADATA only — row data is always re-read from the
+    * parquet files (nothing here caches results or rows).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   /** `events` with `ts` normalized to a microsecond TIMESTAMP_NTZ,
     * whatever physical type the generator wrote.
@@ -45,7 +57,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val p = s"$dir/events.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    val df = spark.read.schema(sch).parquet(p)
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts",

@@ -32,6 +32,23 @@ object DistOrder {
 
   final case class Ranked(df: DataFrame, n: Long, total: Long)
 
+  /** Bucket of `k` = #boundaries strictly below it, as a WHOLE-STAGE-
+    * CODEGEN expression: a chain of `when(k <= b_i, i)` over the sorted
+    * boundaries (k <= b_i ⟺ no boundary below b_i is < k ⟹ bucket i).
+    * The previous `size(filter(typedlit(bounds), b => b < k))` built an
+    * interpreted higher-order function — a CodegenFallback evaluated
+    * per row that made the two bucket passes the hottest jobs of
+    * `rel_global_percentiles` (1.7 s + 1.4 s of 4.3 s at sf0.1; the
+    * same rows CASE-chain in ~0.2 s). Bounded by `buckets` (≤ 64
+    * branches), so the codegen method stays small.
+    */
+  private def bucketOf(bounds: Seq[Double], k: Column): Column =
+    bounds.zipWithIndex
+      .foldLeft(when(k.isNull, 0)) { case (acc, (b, i)) =>
+        acc.when(k <= lit(b), i)
+      } // null bucketed smallest, exactly like `size(filter(b < null))` = 0
+      .otherwise(bounds.size)
+
   /** Rank `in` by `order` (which must be a total order — include a unique
     * tiebreak) and optionally carry the running sum of `value` in result
     * order. `ascKey` is any numeric column ASCENDING-monotone in `order`'s
@@ -60,8 +77,7 @@ object DistOrder {
     // bucket = #boundaries strictly below the key: rows equal to a
     // boundary all land in the SAME bucket, preserving the total order
     // across the bucket sequence
-    val withB = keyed.withColumn("__do_b",
-      size(filter(typedlit(bounds), b => b < col("__do_k"))))
+    val withB = keyed.withColumn("__do_b", bucketOf(bounds, col("__do_k")))
     val valC = value.getOrElse(lit(0L)).cast("long")
     val stats = withB.groupBy("__do_b")
       .agg(count(lit(1)).as("c"), sum(valC).as("s"))
@@ -109,8 +125,7 @@ object DistOrder {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = keyed.stat.approxQuantile("__do_k", probs, 0.01)
       .distinct.sorted.toSeq
-    val withB = keyed.withColumn("__do_b",
-      size(filter(typedlit(bounds), b => b < col("__do_k"))))
+    val withB = keyed.withColumn("__do_b", bucketOf(bounds, col("__do_k")))
     val stats = withB.groupBy("__do_b").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var off = 0L

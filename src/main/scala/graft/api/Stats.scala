@@ -54,23 +54,36 @@ object Stats {
     * HLL sketches are ordinary (map-side-combined, fixed-state)
     * aggregates, so ALL columns genuinely share one pass with no row
     * replication (PlansSpec pins the no-Expand plan). `exactNdv = true`
-    * opts back into the exact counts for narrow/small tables where the
-    * replication is affordable and exactness matters.
+    * opts into exact counts — planned as ONE SINGLE-COLUMN AGGREGATE
+    * BRANCH PER COLUMN unioned together (a lone `count(DISTINCT)` never
+    * Expands): each branch's scan is column-pruned to its own column,
+    * so k branches read the table's columns once between them and the
+    * distinct shuffle carries one column's values — strictly less I/O
+    * and shuffle than the old k-way Expand replication, and no plan
+    * node replicates rows at any scale (CboSpec pins both paths
+    * Expand-free).
     */
   def columnStats(df: DataFrame, cols: Seq[String],
       exactNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
+    if (exactNdv) {
+      return cols.map { c =>
+        df.agg(
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_v"),
+          max(col(c)).cast("string").as("max_v"),
+          lenAggs(df, c)._1.as("avg_len"), lenAggs(df, c)._2.as("max_len"),
+          count(lit(1)).as("n_rows"))
+          .select(lit(c).as("column"), col("n_nonnull"), col("ndv"),
+            col("min_v"), col("max_v"), col("avg_len"), col("max_len"),
+            col("n_rows"))
+      }.reduce(_.unionByName(_))
+    }
     val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
-      val dt = df.schema(c).dataType
-      val (avgLen, maxLen) = dt match {
-        case StringType | BinaryType =>
-          (ceil(coalesce(avg(length(col(c))), lit(0))).cast("long"),
-            coalesce(max(length(col(c))), lit(0)).cast("long"))
-        case _ => (lit(dt.defaultSize.toLong), lit(dt.defaultSize.toLong))
-      }
+      val (avgLen, maxLen) = lenAggs(df, c)
       Seq(count(col(c)).as(s"nn$i"),
-        (if (exactNdv) countDistinct(col(c))
-         else approx_count_distinct(col(c), 0.05)).as(s"nd$i"),
+        approx_count_distinct(col(c), 0.05).as(s"nd$i"),
         min(col(c)).cast("string").as(s"mn$i"),
         max(col(c)).cast("string").as(s"mx$i"),
         avgLen.as(s"al$i"), maxLen.as(s"ml$i"))
@@ -83,6 +96,16 @@ object Stats {
       .select(col("n_rows"), explode(expr(structs)).as("s"))
       .select(col("s.*"), col("n_rows"))
   }
+
+  private def lenAggs(
+      df: DataFrame, c: String): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) =
+    df.schema(c).dataType match {
+      case StringType | BinaryType =>
+        (ceil(coalesce(avg(length(col(c))), lit(0))).cast("long"),
+          coalesce(max(length(col(c))), lit(0)).cast("long"))
+      case dt => (lit(dt.defaultSize.toLong), lit(dt.defaultSize.toLong))
+    }
 
   /** Equi-height histograms for numeric columns — the catalog statistic
     * Spark's filter estimation consults for RANGE predicates (min/max +

@@ -347,6 +347,27 @@ object UpsertStore {
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
+  /** Multi-path generation read at the CURRENT head with the
+    * META-RECORDED schema given explicitly: no distributed
+    * footer-merge job per read (the Delta posture — schema lives in
+    * the log, not in O(files) parquet footers; `mergeSchema=true`
+    * costs one Spark job listing-and-merging every footer on EVERY
+    * store read). Columns absent from pre-evolution generations
+    * surface as NULL exactly as the merged read did; column order is
+    * the meta order, which equals the merged order under the
+    * additive-only evolution this store enforces. Legacy stores
+    * without a recorded schema fall back to the footer merge.
+    * HEAD-STATE READS ONLY — historical reads (readAsOf below head,
+    * changefeeds, rowVersions) keep the merged-footer read so a
+    * pre-evolution snapshot keeps its own narrower schema.
+    */
+  private def readWithMeta(
+      spark: SparkSession, meta: Meta, paths: Seq[String]): DataFrame =
+    meta.schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
   /** The current table: one path-pruned multi-path read over the
     * newest generation `<=` the COMMITTED head of every non-empty
     * bucket. Capping at the log head (instead of "newest directory
@@ -359,7 +380,13 @@ object UpsertStore {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val root = rootOf(spark, dir)
-    readAt(spark, root, snapshotSeq(spark, root))
+    val meta = metaOf(spark, root)
+    if (meta.schema.isEmpty) readAt(spark, root, snapshotSeq(spark, root))
+    else {
+      val paths = pathsAt(spark, root, snapshotSeq(spark, root))
+      require(paths.nonEmpty, s"upsert store $dir has no generations")
+      readWithMeta(spark, meta, paths)
+    }
   }
 
   /** The table as of commit `seq` (inclusive). Fails loudly when the
@@ -733,13 +760,12 @@ object UpsertStore {
       prep: DataFrame => DataFrame,
       next: DataFrame => DataFrame): Option[StagedSweep] = {
     if (bucketPaths.isEmpty) return None
+    // explicit fullSchema read: no footer-merge job, and the
+    // NULL-surfacing alignment for evolved columns comes free
     def tagged(paths: Seq[String]): DataFrame = {
-      val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      val have = raw.columns.toSet
-      raw.select(bucketOfPath.as("__b") +: fullSchema.fields.toSeq.map { fld =>
-        if (have(fld.name)) col(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
-      }: _*)
+      val raw = spark.read.schema(fullSchema).parquet(paths: _*)
+      raw.select(bucketOfPath.as("__b") +: fullSchema.fields.toSeq.map(f =>
+        col(f.name)): _*)
     }
     val counts = prep(tagged(bucketPaths.map(_._2)))
       .groupBy("__b")
@@ -832,7 +858,8 @@ object UpsertStore {
   def lookup(keys: DataFrame, dir: String, key: String): DataFrame = {
     val spark = keys.sparkSession
     val root = rootOf(spark, dir)
-    val n = buckets(spark, root)
+    val meta = metaOf(spark, root)
+    val n = meta.nBuckets
     val fsys = StoreIO.fs(spark, root)
     val k = keys.select(key).distinct()
       .withColumn("__b", bucketExpr(key, n))
@@ -844,7 +871,7 @@ object UpsertStore {
       if (gens.isEmpty) None else Some(gens.maxBy(_._1)._2)
     }
     if (paths.isEmpty) read(spark, root).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else readWithMeta(spark, meta, paths)
       .join(k.drop("__b"), Seq(key), "left_semi")
   }
 
@@ -1096,9 +1123,9 @@ object UpsertStore {
         // partitions — then one partitioned write + one publish rename
         // per bucket. The round-11 shape submitted a coalesce job PER
         // BUCKET serially; at tens of thousands of buckets that is
-        // scheduler latency, not data cost.
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(plan.map(_._2): _*)
+        // scheduler latency, not data cost. Head-state read → explicit
+        // meta schema (no footer-merge job).
+        val raw = readWithMeta(spark, metaOf(spark, root), plan.map(_._2))
         val order: org.apache.spark.sql.Column =
           if (zorderBy.isEmpty)
             // deterministic spread (stable under task retry, unlike
@@ -1589,18 +1616,14 @@ object UpsertStore {
     val merged =
       if (existingPaths.isEmpty) upserts
       else {
-        val kept0 = spark.read.option("mergeSchema", "true")
-          .parquet(existingPaths: _*)
+        // EXPLICIT union schema (no footer-merge job; absent evolved
+        // columns surface as NULL — the alignment the old
+        // mergeSchema-read-then-realign produced, in one projection),
+        // so the full-sync predicates and assignments see evolved
+        // columns as NULL on pre-evolution generations
+        val kept0a = spark.read.schema(unionSchema).parquet(existingPaths: _*)
           .withColumn("__b", bucketExpr(key, n))
           .join(latest.select(key), Seq(key), "left_anti")
-        // full-sync arms over the unmatched stored rows of the touched
-        // buckets (untouched buckets below), aligned first so the
-        // predicates and assignments see evolved columns as NULL
-        val have = kept0.columns.toSet
-        val kept0a = kept0.select(col("__b") +: unionSchema.fields.toSeq.map { fld =>
-          if (have(fld.name)) col(fld.name)
-          else lit(null).cast(fld.dataType).as(fld.name)
-        }: _*)
         val kept =
           if (notMatchedBySourceDelete.isEmpty && notMatchedBySourceUpdate.isEmpty)
             kept0a

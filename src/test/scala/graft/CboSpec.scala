@@ -217,11 +217,12 @@ class CboSpec extends AnyFunSuite {
     assert(plan.collect {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
     }.isEmpty, s"sketch-NDV columnStats must not Expand the input:\n$plan")
-    // sanity: the exact opt-in is precisely the shape being avoided
+    // the exact opt-in is now one single-distinct branch per column
+    // (a lone count(DISTINCT) never Expands) — pinned Expand-free too
     val exactPlan = GraftSqlBridge.optimizedPlan(api.Stats.columnStats(df,
       Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exactNdv = true))
     assert(exactPlan.collect {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
-    }.nonEmpty)
+    }.isEmpty, s"exact-NDV columnStats must not Expand either:\n$exactPlan")
   }
 }
