@@ -83,6 +83,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode IO plumbing: no .crc shadow files, no /bin/chmod fork
+      // per created file (see graft.api.NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.api.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (codegen, parquet reader, shuffle paths) on the

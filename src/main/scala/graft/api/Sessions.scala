@@ -53,9 +53,16 @@ object Sessions {
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
-  /** The same knobs scaled for a laptop/CI smoke run. */
+  /** The same knobs scaled for a laptop/CI smoke run, plus local-only
+    * I/O plumbing: `file://` without `.crc` shadow files and without
+    * Hadoop's fork-a-`/bin/chmod`-per-file permission fallback (see
+    * [[NioLocalFileSystem]]) — a cluster run never takes this path, its
+    * data FS is HDFS/S3.
+    */
   def local(appName: String, cores: Int = 4): SparkSession.Builder =
     production(appName, shufflePartitions = cores)
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[NioLocalFileSystem].getName)
 }

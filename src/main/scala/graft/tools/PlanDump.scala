@@ -15,6 +15,9 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode IO plumbing: no .crc shadow files, no /bin/chmod fork
+      // per created file (see graft.api.NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.api.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

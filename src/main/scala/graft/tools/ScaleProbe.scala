@@ -17,6 +17,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode IO plumbing: no .crc shadow files, no /bin/chmod fork
+      // per created file (see graft.api.NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.api.NioLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -11,6 +11,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode IO plumbing: no .crc shadow files, no /bin/chmod fork
+      // per created file (see graft.api.NioLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.api.NioLocalFileSystem].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
