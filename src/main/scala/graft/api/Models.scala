@@ -59,16 +59,38 @@ object Models {
   private[graft] def xq: Column =
     expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT))")
 
+  /** The `xq`·`w` margin as a WHOLE-STAGE-CODEGEN expression: a
+    * left-associated `+` chain over `w(j) * xq[j+1]` — the EXACT IEEE
+    * addition order of the previous
+    * `aggregate(zip_with(w, xq, _*_), 0.0, _+_)` sequential fold
+    * (((0 + w₁x₁) + w₂x₂) + …), so every quantized score is
+    * bit-identical, but the per-row evaluation compiles instead of
+    * interpreting two lambda HOFs per row (guide §4.1) — this sits
+    * under every training iteration and every corpus scoring pass of
+    * the classifier family.
+    *
+    * Local-scale trade-off, measured: each training iteration embeds
+    * fresh weight constants, so whole-stage codegen recompiles per
+    * iteration (~100 ms each — routing the weights through an array
+    * literal does not help, ConstantFolding folds `element_at(lit, j)`
+    * right back to scalars). At sf0.1 that costs the classifier family
+    * ~0.5 s total vs the interpreted fold; at corpus scale the compile
+    * amortizes over every row while interpretation pays ~µs/row
+    * forever — the 100-TB posture wins by orders of magnitude, so the
+    * codegen form stays.
+    */
+  private def dotFp(w: Array[Double]): Column =
+    w.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (wj, j)) =>
+      acc + (lit(wj) * element_at(col("xq"), j + 1).cast("double"))
+    }
+
   /** Quantized sigmoid of the margin of `xq` against literal weights
     * `w` — shared by training and corpus scoring so apply can never
     * drift from train. The +1e-9 guard keeps a last-ulp exp()
     * difference across engines from flipping the floor.
     */
   private[graft] def sigmoidFp(w: Array[Double]): Column = {
-    val m = aggregate(
-      zip_with(array(w.map(lit).toIndexedSeq: _*),
-        transform(col("xq"), _.cast("double")), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
+    val m = dotFp(w)
     floor(lit(1.0) / (lit(1.0) + exp(-greatest(lit(-30.0), least(lit(30.0), m))))
       * lit(1000000.0) + lit(0.000000001)).cast("long")
   }
@@ -123,10 +145,9 @@ object Models {
     var v = Array.fill(64)(0.125)
     var lastNorm = 0.0
     for (_ <- 1 to iters) {
-      val sFp = floor(aggregate(
-        zip_with(array(v.map(lit).toIndexedSeq: _*),
-          transform(col("xq"), _.cast("double")), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) + lit(0.000001)).cast("long")
+      // same codegen dot-product chain as sigmoidFp (bit-identical
+      // IEEE order to the old aggregate(zip_with) sequential fold)
+      val sFp = floor(dotFp(v) + lit(0.000001)).cast("long")
       val g = base.withColumn("s_fp", sFp)
         .agg(sum(col("s_fp") * element_at(col("xq"), 1)).as("u1"),
           (2 to 64).map(j =>
