@@ -183,4 +183,45 @@ class Round13Spec extends AnyFunSuite {
     assert(api.UpsertStore.tableStats(spark, full).map(_._1).contains(2L))
     Seq(d, past, full).foreach(api.StoreIO.delete(spark, _))
   }
+
+  // ---- optimization-round pins (r13): changed operator internals ------------
+
+  test("DistOrder codegen bucketing handles NaN keys exactly like the old HOF") {
+    import spark.implicits._
+    // NaN sorts greatest in Spark; the old size(filter(b < k)) bucketed
+    // NaN into the top bucket (every comparison true). The CASE-chain
+    // replacement must keep rank exactness with NaNs present.
+    val df = spark.range(0, 500)
+      .select(when(col("id") % 50 === 0, lit(Double.NaN))
+        .otherwise((col("id") % 23).cast("double")).as("v"), col("id").as("tie"))
+    val rk = api.DistOrder.rankCum(df, col("v"),
+      Seq(col("v").asc, col("tie").asc), buckets = 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("tie").asc)
+    val truth = df.withColumn("rn_t", row_number().over(w).cast("long"))
+    assert(rk.df.join(truth, Seq("v", "tie"))
+      .where("rn <> rn_t").count() == 0)
+    assert(rk.n == 500L)
+  }
+
+  test("Models.dotFp codegen chain is bit-identical to the interpreted fold") {
+    // the optimization replaced aggregate(zip_with(w, xq, _*_), 0, _+_)
+    // with a left-associated codegen + chain; the IEEE addition order is
+    // the same, so every quantized sigmoid must match bit for bit
+    val w = Array.tabulate(64)(j => 0.013 * ((j * 7) % 11 + 1) - 0.05)
+    val wArr = array(w.map(lit).toIndexedSeq: _*)
+    val oldFold = aggregate(
+      zip_with(wArr, transform(col("xq"), _.cast("double")), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val oldSigmoid = floor(lit(1.0) /
+      (lit(1.0) + exp(-greatest(lit(-30.0), least(lit(30.0), oldFold))))
+      * lit(1000000.0) + lit(0.000000001)).cast("long")
+    val scored = Tables.t(spark, TestSpark.sf, "embeddings")
+      .select(api.Models.xq.as("xq"))
+      .withColumn("s_new", api.Models.sigmoidFp(w))
+      .withColumn("s_old", oldSigmoid)
+    assert(scored.where("s_new <> s_old OR (s_new IS NULL) <> (s_old IS NULL)")
+      .count() == 0)
+    assert(scored.count() > 0)
+  }
 }
