@@ -163,12 +163,13 @@ object Bench {
     // driver-facing JSON line is budget-capped to the slowest ~60), so
     // optimization rounds can diff complete baselines run-over-run
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { p =>
-      val w = new java.io.PrintWriter(p)
-      try {
-        w.println(all.sortBy(q => (-q._2, q._1)).map { case (k, v) =>
+      // Files.write throws on a bad path or full disk — a silently
+      // truncated dump must never pass as complete baseline evidence
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (all.sortBy(q => (-q._2, q._1)).map { case (k, v) =>
           "\"" + k + "\":" + r3(v)
-        }.mkString("{", ",\n", "}"))
-      } finally w.close()
+        }.mkString("{", ",\n", "}") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val out = line(keep, all.size - keep.size)
     // guardrail: a driver-tail overflow must fail HERE, not as a

@@ -78,10 +78,16 @@ object Models {
     * amortizes over every row while interpretation pays ~µs/row
     * forever — the 100-TB posture wins by orders of magnitude, so the
     * codegen form stays.
+    *
+    * try_element_at (not element_at): under ANSI mode an embedding
+    * shorter than the weight vector must degrade to a NULL margin —
+    * exactly what the old zip_with fold produced — instead of failing
+    * the whole job on one malformed row; rows longer than the weight
+    * vector score over the leading dims either way.
     */
   private def dotFp(w: Array[Double]): Column =
     w.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (wj, j)) =>
-      acc + (lit(wj) * element_at(col("xq"), j + 1).cast("double"))
+      acc + (lit(wj) * try_element_at(col("xq"), lit(j + 1)).cast("double"))
     }
 
   /** Quantized sigmoid of the margin of `xq` against literal weights

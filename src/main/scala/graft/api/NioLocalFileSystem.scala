@@ -25,9 +25,16 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
 
   override def setPermission(p: HPath, perm: FsPermission): Unit = {
     val bits = perm.toShort.toInt
-    val set = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
-    bitPerms.foreach { case (bit, pp) => if ((bits & bit) != 0) set.add(pp) }
-    java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, set): Unit
+    if ((bits & 0xE00) != 0) {
+      // sticky/setuid/setgid cannot be expressed as PosixFilePermission;
+      // fall back to Hadoop's chmod path for the rare caller that sets
+      // them rather than silently dropping the special bits
+      super.setPermission(p, perm)
+    } else {
+      val set = java.util.EnumSet.noneOf(classOf[PosixFilePermission])
+      bitPerms.foreach { case (bit, pp) => if ((bits & bit) != 0) set.add(pp) }
+      java.nio.file.Files.setPosixFilePermissions(pathToFile(p).toPath, set): Unit
+    }
   }
 }
 

@@ -62,6 +62,13 @@ object Stats {
     * and shuffle than the old k-way Expand replication, and no plan
     * node replicates rows at any scale (CboSpec pins both paths
     * Expand-free).
+    *
+    * Derived-input caveat: each exact branch re-executes the ENTIRE
+    * upstream plan of `df`, so the "columns read once between them"
+    * claim holds for plain column-pruned table scans; a caller whose
+    * input is itself a computed frame (e.g. a store read behind joins)
+    * should localCheckpoint/cache it before `columnStats(exactNdv =
+    * true)` or accept k reconstructions.
     */
   def columnStats(df: DataFrame, cols: Seq[String],
       exactNdv: Boolean = false): DataFrame = {

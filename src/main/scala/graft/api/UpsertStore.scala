@@ -360,6 +360,14 @@ object UpsertStore {
     * HEAD-STATE READS ONLY — historical reads (readAsOf below head,
     * changefeeds, rowVersions) keep the merged-footer read so a
     * pre-evolution snapshot keeps its own narrower schema.
+    *
+    * Known read-uncommitted-schema anomaly, accepted: the meta schema
+    * is widened BEFORE an evolving commit publishes, so a concurrent
+    * reader (or any reader after a crash inside that window) observes
+    * the still-uncommitted evolved column as an all-NULL phantom until
+    * the commit lands or the replay converges. Readers must not treat
+    * schema presence as evidence the evolving commit committed; the
+    * commit log is the truth for that.
     */
   private def readWithMeta(
       spark: SparkSession, meta: Meta, paths: Seq[String]): DataFrame =

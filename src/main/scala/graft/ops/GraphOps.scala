@@ -29,8 +29,25 @@ object GraphOps {
     * pointer-double between rounds, so convergence is O(log diameter)
     * and the 16-round cap covers any graph this side of 2^16 hops.
     * Throws rather than return truncated labels. At 100 TB this is the
-    * alternating large-star/small-star shape; per-round frames persist
-    * so lineage stays flat, and every internal cache is released.
+    * alternating large-star/small-star shape.
+    *
+    * Round structure: exactly ONE action per round — the changed-node
+    * count on the propagated frame. Each round's frames are LAZY
+    * local checkpoints: the logical plan truncates to a LogicalRDD
+    * immediately — the per-round self-join would otherwise DOUBLE the
+    * plan every round, and a deep chain graph's 2^rounds plan string
+    * OOMs the driver in the listener's explain rendering long before
+    * the data is a problem — and the checkpointed partitions persist
+    * across rounds, so no round ever re-derives the chain of previous
+    * rounds (the old loop released each round's cache before its
+    * dependent materialized, which re-ran every prior round's join
+    * per action — quadratic recompute). The converged round never
+    * builds the jump join, exactly as before. Edges are persisted
+    * pre-partitioned on the propagation join key, so on a cluster
+    * each round's sort-merge/hash join exchanges only the
+    * (node-sized) label frame, never the (edge-sized) adjacency —
+    * E-row shuffles per round drop from two to the one the d1-regroup
+    * fundamentally needs.
     */
   def connectedComponents(pairs: DataFrame, extraNodes: Seq[DataFrame] = Nil): DataFrame = {
     val nodes = extraNodes
@@ -41,10 +58,9 @@ object GraphOps {
     val edges = pairs.select("d1", "d2")
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .unionByName(nodes.select(col("d1"), col("d1").as("d2")))
+      .repartition(col("d2"))
       .persist()
     var labels = edges.groupBy(col("d1").as("id")).agg(min("d2").as("lbl"))
-      .persist()
-    var cached = labels // the frame actually holding the cache
     var converged = false
     var rounds = 0
     while (!converged && rounds < 16) {
@@ -53,24 +69,24 @@ object GraphOps {
         .groupBy(col("d1").as("id"))
         .agg(min("lbl").as("lbl"),
           min(when(col("d1") === col("d2"), col("lbl"))).as("old"))
-        .persist()
-      converged = prop.where("lbl < old").isEmpty
-      cached.unpersist()
-      if (converged) {
-        cached = prop
-        labels = prop.select("id", "lbl")
-      } else {
-        // pointer-jump: follow each node's new label to THAT node's new
-        // label; labels only ever point at node ids, so the self-join
-        // is total and chain depth halves per round
-        val jumped = prop.as("c")
-          .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
-          .select(col("id"), col("lbl2").as("lbl"))
-          .persist()
-        prop.unpersist()
-        cached = jumped
-        labels = jumped
-      }
+        .localCheckpoint(false)
+      // ONE action per round: the changed-label count. It materializes
+      // this round's checkpoint (and, transitively, the previous
+      // round's still-lazy pointer-jump checkpoint).
+      converged = prop
+        .agg(count(when(col("lbl") < col("old"), lit(1)))).first().getLong(0) == 0L
+      labels =
+        if (converged) prop.select("id", "lbl")
+        else
+          // pointer-jump: follow each node's new label to THAT node's
+          // new label; labels only ever point at node ids, so the
+          // self-join is total and chain depth halves per round. Lazy —
+          // the next round's count materializes it off the checkpointed
+          // `prop` partitions.
+          prop.as("c")
+            .join(prop.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("p"), "lbl")
+            .select(col("id"), col("lbl2").as("lbl"))
+            .localCheckpoint(false)
       rounds += 1
     }
     if (!converged)
@@ -78,7 +94,6 @@ object GraphOps {
         s"connectedComponents: min-label propagation not converged after $rounds rounds " +
           "(component diameter > 2^16?) — refusing to return truncated labels")
     val out = labels.select("id", "lbl").localCheckpoint()
-    cached.unpersist()
     edges.unpersist()
     out
   }

@@ -213,7 +213,9 @@ object Round12 {
         try {
           val deadline = System.currentTimeMillis() + 120000L
           while (cursorAt() < 2L && System.currentTimeMillis() < deadline)
-            Thread.sleep(100)
+            Thread.sleep(25) // cursor check is a driver-side file read;
+                             // a tight poll shaves dead time after the
+                             // relay's first trigger has already drained
           require(cursorAt() == 2L,
             s"stream must drain the 2-commit window, cursor at ${cursorAt()}")
         } finally q.stop()
@@ -629,24 +631,32 @@ object Round12 {
           t.where(col("b") === b).drop("b"), dir, "o_custkey", "o_orderkey",
           nBuckets = 8, batchId = Some(s"b$b")): Unit
         val gcols = Seq("grp" -> pmod(col("o_orderkey"), lit(10)))
-        def live(untilSeq: Long, ckpt: String): Unit = {
-          val q = graft.streaming.Streams.matviewStream(s, dir, "o_custkey", view,
-            gcols, Seq("cents"), s"$base/$ckpt", pollIntervalMs = 200L)
-          try {
-            val deadline = System.currentTimeMillis() + 120000L
-            while (graft.api.MatView.cursor(s, view) < untilSeq &&
-                System.currentTimeMillis() < deadline)
-              Thread.sleep(100)
-            require(graft.api.MatView.cursor(s, view) == untilSeq,
-              s"live view must reach seq $untilSeq, at ${graft.api.MatView.cursor(s, view)}")
-          } finally q.stop()
+        def drainTo(untilSeq: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 120000L
+          while (graft.api.MatView.cursor(s, view) < untilSeq &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(25)
+          require(graft.api.MatView.cursor(s, view) == untilSeq,
+            s"live view must reach seq $untilSeq, at ${graft.api.MatView.cursor(s, view)}")
         }
         batch(0); batch(1)
-        live(2L, "ckpt1")
-        batch(2)
-        graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
-          batchId = Some("sweep")): Unit
-        live(4L, "ckpt2") // fresh checkpoint: the view cursor is the truth
+        // ONE long-lived stream follows the store across BOTH commit
+        // windows — the production shape (a live view is not restarted
+        // per upstream batch), and one stream start/stop lifecycle
+        // instead of two. The view cursor stays the source of truth
+        // per trigger; the fresh-checkpoint restart semantics this op
+        // used to re-demonstrate in its second window is pinned by
+        // StreamingParitySpec ("matviewStream: fresh checkpoint
+        // resumes from the view cursor").
+        val q = graft.streaming.Streams.matviewStream(s, dir, "o_custkey", view,
+          gcols, Seq("cents"), s"$base/ckpt1", pollIntervalMs = 200L)
+        try {
+          drainTo(2L)
+          batch(2)
+          graft.api.UpsertStore.delete(s, dir, expr("o_custkey % 10 = 3"),
+            batchId = Some("sweep")): Unit
+          drainTo(4L)
+        } finally q.stop()
         val got = graft.api.MatView.read(s, view).localCheckpoint()
         graft.api.StoreIO.delete(s, base)
         got.orderBy("grp")

@@ -206,6 +206,33 @@ class CboSpec extends AnyFunSuite {
     assert(exact(1).getAs[Long]("ndv") == statusNdv)
   }
 
+  test("exact-NDV arm equals a driver-side independent recompute (oracle teeth)") {
+    // The ANALYZE ops ship `ndv_within_bounds` (sketch within 15% of the
+    // exact arm), so the DuckDB oracle no longer constrains NDV itself.
+    // Pin the exact arm against ground truth computed OUTSIDE the
+    // aggregate path under test — collected raw values, deduped on the
+    // driver — including a NULL-carrying column (count(DISTINCT)
+    // ignores NULLs; the ground truth must too).
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (2L, "b"), (3L, null), (null, "b"), (null, null))
+      .toDF("k", "v")
+    val got = api.Stats.columnStats(df, Seq("k", "v"), exactNdv = true)
+      .orderBy("column").collect()
+    val kTruth = df.select("k").collect().map(r => Option(r.get(0)))
+      .flatten.toSet.size.toLong
+    val vTruth = df.select("v").collect().map(r => Option(r.get(0)))
+      .flatten.toSet.size.toLong
+    assert(got(0).getAs[Long]("ndv") == kTruth, s"k ndv: ${got(0)} vs $kTruth")
+    assert(got(1).getAs[Long]("ndv") == vTruth, s"v ndv: ${got(1)} vs $vTruth")
+    // and the sketch arm stays inside the 15% bound the ops assert on —
+    // the ndv_within_bounds boolean cannot silently degrade while this
+    // holds on the same data shape
+    val sk = api.Stats.columnStats(df, Seq("k", "v")).orderBy("column").collect()
+    assert(math.abs(sk(0).getAs[Long]("ndv") - kTruth) <= math.ceil(kTruth * 0.15))
+    assert(math.abs(sk(1).getAs[Long]("ndv") - vTruth) <= math.ceil(vTruth * 0.15))
+  }
+
   test("columnStats default plan carries NO Expand (sketch NDV shares one pass)") {
     val df = Tables.t(spark, TestSpark.sf, "orders")
     // multi-column: the exact path would Expand-replicate the input

@@ -467,6 +467,37 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("matviewStream: fresh checkpoint resumes from the view cursor") {
+    import spark.implicits._
+    val base = s"target/tmp/mv_restart_${System.nanoTime()}"
+    val dir = s"$base/fact"
+    def batch(rows: (Long, Long, Long)*): Unit =
+      api.UpsertStore.update(rows.toDF("k", "version", "cents"), dir,
+        "k", "version", nBuckets = 4): Unit
+    val gcols = Seq("grp" -> (col("k") % 2).as("grp"))
+    def live(untilSeq: Long, ckpt: String): Unit = {
+      val q = Streams.matviewStream(spark, dir, "k", s"$base/view",
+        gcols, Seq("cents"), s"$base/$ckpt", pollIntervalMs = 50L)
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (api.MatView.cursor(spark, s"$base/view") < untilSeq &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+      } finally q.stop()
+    }
+    batch((1L, 1L, 10L), (2L, 1L, 20L))
+    live(1L, "ckpt1")
+    assert(api.MatView.cursor(spark, s"$base/view") == 1L)
+    batch((1L, 2L, 30L), (3L, 1L, 40L))
+    // a FRESH checkpoint must not replay the seed window: the view's
+    // own cursor — not Spark's offset log — decides what is consumed
+    live(2L, "ckpt2")
+    val got = api.MatView.read(spark, s"$base/view")
+      .select("grp", "n_rows", "sum_cents")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L, 20L), (1L, 2L, 70L)),
+      s"view after fresh-checkpoint restart: $got")
+  }
+
   test("foreachBatch upsert sink keeps latest record per key across restarts") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
