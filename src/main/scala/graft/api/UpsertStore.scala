@@ -1617,10 +1617,19 @@ object UpsertStore {
       if (gens.isEmpty) None else Some(gens.maxBy(_._1)._2)
     }
     // tombstone split: EVERY arbitrated batch key overrides its stored
-    // row (the anti-join below), but only non-tombstone rows re-insert
+    // row (the anti-join below), but only non-tombstone rows re-insert.
+    // The batch side is CLUSTERED by bucket before the partitioned
+    // staged write (the Iceberg write.distribution-mode=hash posture):
+    // an unclustered side writes up to (tasks × touched buckets) part
+    // files per commit, and every later read of the generation — merge
+    // anti-joins, asOf reconstructions, changefeed diffs, footer
+    // merges — pays a task per file. The kept side is NOT reshuffled:
+    // its input tasks are per-bucket generation files, so it is
+    // already clustered, and the union preserves both layouts.
     val upserts = deleteWhere
       .map(c => latest.where(!coalesce(c, lit(false))))
       .getOrElse(latest)
+      .repartition(col("__b"))
     val merged =
       if (existingPaths.isEmpty) upserts
       else {
