@@ -42,10 +42,22 @@ object MatView {
 
   /** The maintained view state: group columns + `n_rows` +
     * `sum_<col>` per tracked column. Throws when the view has never
-    * been refreshed (there is no schema to serve).
+    * been refreshed (there is no schema to serve). Reads with the
+    * schema recorded at the last refresh when present (cursor.json —
+    * no footer-inference job per read; refresh reads the state back
+    * every trigger, so the saved job recurs per commit window).
     */
-  def read(spark: SparkSession, viewDir: String): DataFrame =
-    spark.read.parquet(s"${StoreIO.genPath(spark, genDir(viewDir))}/state")
+  def read(spark: SparkSession, viewDir: String): DataFrame = {
+    val gen = StoreIO.genPath(spark, genDir(viewDir))
+    val sch = StoreIO.readSmall(spark, s"$gen/cursor.json")
+      .flatMap(t => Option(jackson.readTree(t).get("schema")).filterNot(_.isNull))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    sch match {
+      case Some(st) => spark.read.schema(st).parquet(s"$gen/state")
+      case None => spark.read.parquet(s"$gen/state")
+    }
+  }
 
   /** The last store commit folded into the view, -1 before the first
     * refresh.
@@ -116,13 +128,17 @@ object MatView {
                 .as(s"sum_$c")): _*)
           .where(col("n_rows") > 0)
     }
-    // state + cursor promote in ONE atomic swap (see scaladoc)
+    // state + cursor promote in ONE atomic swap (see scaladoc); the
+    // cursor record carries the state schema so later reads skip the
+    // footer-inference job
     val staged = s"$viewDir/staged-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.parquet(s"$staged/state")
     val f = StoreIO.fs(spark, staged)
     val out = f.create(new org.apache.hadoop.fs.Path(s"$staged/cursor.json"), true)
-    try out.write(s"""{"last_seq":$head}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (s"""{"last_seq":$head,"schema":""" +
+        jackson.writeValueAsString(merged.schema.json) + "}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     StoreIO.swapInDir(spark, staged, genDir(viewDir))
     head
